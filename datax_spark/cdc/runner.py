@@ -1,0 +1,93 @@
+"""Job runners: full sync, bounded incremental replay, and resume.
+
+≈ DataX's JobContainer lifecycle (core/src/main/java/com/alibaba/datax/core/
+job/JobContainer.java:96-180: init→prepare→split→schedule→post) collapsed to
+its Spark-native shape: the "split" is the feed's partitioning, the
+"schedule" is Spark's, and each micro-batch is one reader→channel→writer
+round that ends in an atomic lake commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.apply import CdcApplier
+from datax_spark.lake.table import LakeTable
+
+REPO_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+KEY_COLS = ["repo", "path", "commit"]
+
+
+def create_repo_table(
+    spark: SparkSession,
+    location: str,
+    num_buckets: int = 16,
+    schema: T.StructType = REPO_SCHEMA,
+) -> LakeTable:
+    """The Iceberg-shaped target mandated by BASELINE.json input_hint:
+    (repo, path, commit, lang, content), bucketed by repo."""
+    return LakeTable.create(
+        spark,
+        location,
+        schema=schema,
+        key_cols=KEY_COLS,
+        bucket_col="repo",
+        num_buckets=num_buckets,
+    )
+
+
+def full_sync(table: LakeTable, snapshot: DataFrame) -> None:
+    """Initial snapshot load (DataX full-sync job; writeMode=truncate,
+    hdfswriter/.../HdfsWriter.java:84-92)."""
+    table.overwrite(snapshot)
+
+
+def run_incremental(
+    table: LakeTable,
+    feed: DataFrame,
+    batch_lsns: int,
+    start_batch_id: int = 0,
+    max_batches: int | None = None,
+    on_batch=None,
+) -> list[dict]:
+    """Bounded incremental replay: slice the feed into micro-batches by LSN
+    range and apply each with exactly-once lineage.
+
+    This is the batch-mode equivalent of the streaming runner (identical
+    apply path); used by tests for kill/resume and by bench.  Batch id =
+    lsn // batch_lsns, so a resumed run regenerates identical batch
+    boundaries — replayed ids no-op via the lineage guard.
+    """
+    applier = CdcApplier(table)
+    feed = applier.filter_already_applied(feed)
+    bounds = feed.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return []
+    first = int(bounds["lo"]) // batch_lsns
+    last = int(bounds["hi"]) // batch_lsns
+    out = []
+    n = 0
+    for b in range(first, last + 1):
+        if max_batches is not None and n >= max_batches:
+            break
+        lo, hi = b * batch_lsns, (b + 1) * batch_lsns
+        batch = feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        lineage = applier.apply_batch(batch, start_batch_id + b)
+        n += 1
+        if lineage is not None:
+            out.append(lineage)
+            if on_batch is not None:
+                on_batch(lineage)
+    return out

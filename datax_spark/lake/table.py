@@ -1,0 +1,477 @@
+"""LakeTable — a minimal ACID snapshot table over parquet (Iceberg-shaped).
+
+The reference achieves atomic publish with HDFS temp-dir + rename
+(hdfswriter/src/main/java/com/alibaba/datax/plugin/writer/hdfswriter/HdfsWriter.java:195-196,293-326)
+and idempotent block commit on ODPS upload sessions
+(odpswriter/.../OdpsWriter.java:379-381; OdpsWriterProxy.java:193-195).  The
+Spark-native equivalent is an Iceberg table with atomic snapshot commits; this
+container ships no Iceberg runtime jars, so this module implements the same
+contract directly over parquet + JSON manifests:
+
+- **Snapshot isolation / atomic commit** — every commit writes an immutable
+  manifest ``meta/v{N}.json`` (created with O_EXCL, so two racing writers
+  cannot both claim version N) listing every live data file, then atomically
+  swaps the ``meta/current`` pointer.  Readers resolve the pointer once and
+  see a consistent snapshot; a crash mid-commit leaves the table at version
+  N-1 with only orphan data files (cleaned by ``vacuum``).
+- **Bucketed layout** — data files live under ``data/b=<k>/``; the bucket of a
+  row is ``pmod(hash(bucket_col), num_buckets)`` computed with Spark's own
+  ``hash`` so MERGE only rewrites the buckets a batch touches (the analogue of
+  Iceberg ``bucket(N, col)`` partition + copy-on-write).  At 100 TB this is
+  what keeps an incremental batch from rewriting the world: cost is
+  O(touched buckets), not O(table).
+- **Schema evolution** — manifests carry the full schema history; column-add
+  and int→long / float→double widening update the current schema without
+  rewriting old files (old files are read with their write-time schema and
+  cast/padded on scan).
+- **Lineage / exactly-once** — each commit can embed ``applied_batch``
+  lineage (batch id, per-partition last-applied LSN, rows/bytes/wall_ms) in
+  the SAME manifest write as the data, so "data visible" and "batch recorded"
+  are one atomic event.  Replay after kill/resume consults
+  ``is_batch_applied`` / ``last_lsn`` and becomes a no-op (SURVEY.md §7.4).
+
+On a real cluster with Iceberg available, ``datax_spark.cdc.apply`` can target
+``MERGE INTO`` instead; the semantics here are deliberately identical.
+
+Concurrency model: single writer per table (like Iceberg's HadoopCatalog,
+which also relies on atomic rename); concurrent commit attempts fail cleanly
+on the O_EXCL manifest create.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BUCKET_COL = "__dx_bucket"
+
+# Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
+# DoubleColumn keeps the string form until cast — common/src/main/java/com/
+# alibaba/datax/common/element/{LongColumn.java:20-39,DoubleColumn.java:12-38}).
+_WIDEN_RANK: dict[str, int] = {
+    "byte": 0,
+    "short": 1,
+    "integer": 2,
+    "long": 3,
+    "float": 10,
+    "double": 11,
+}
+_WIDEN_FAMILY: dict[str, str] = {
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "int",
+    "float": "fp",
+    "double": "fp",
+}
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Merged schema: current columns (possibly widened) + new incoming columns.
+
+    Mirrors DataX's config-driven column mapping growth; incompatible type
+    changes raise (→ dirty/quarantine path, not silent corruption).
+    """
+    cur_fields = {f.name: f for f in current.fields}
+    out: list[T.StructField] = []
+    for f in current.fields:
+        inc = next((g for g in incoming.fields if g.name == f.name), None)
+        if inc is None or inc.dataType == f.dataType:
+            out.append(f)
+            continue
+        a, b = f.dataType.typeName(), inc.dataType.typeName()
+        if (
+            a in _WIDEN_RANK
+            and b in _WIDEN_RANK
+            and _WIDEN_FAMILY[a] == _WIDEN_FAMILY[b]
+        ):
+            wide = f.dataType if _WIDEN_RANK[a] >= _WIDEN_RANK[b] else inc.dataType
+            out.append(T.StructField(f.name, wide, True))
+        elif a in _WIDEN_RANK and b in _WIDEN_RANK:
+            # cross family: int-family → fp-family widens to double
+            out.append(T.StructField(f.name, T.DoubleType(), True))
+        else:
+            raise ValueError(
+                f"incompatible schema change for column {f.name!r}: {a} -> {b}"
+            )
+    for g in incoming.fields:
+        if g.name not in cur_fields:
+            out.append(T.StructField(g.name, g.dataType, True))  # column-add
+    return T.StructType(out)
+
+
+@dataclass
+class Manifest:
+    version: int
+    schema: T.StructType
+    num_buckets: int
+    bucket_col: str
+    key_cols: list[str]
+    # bucket id (str) -> list of data-file relpaths; each entry (path, schema_id)
+    files: dict[str, list[list[Any]]]
+    # schema_id -> schema json (history for reading old files)
+    schemas: dict[str, dict]
+    current_schema_id: int
+    applied_batches: dict[str, dict] = field(default_factory=dict)
+    # shard/partition id (str) -> last applied LSN
+    shard_lsns: dict[str, int] = field(default_factory=dict)
+    properties: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "format": "datax-spark-laketable/1",
+                "version": self.version,
+                "schema": self.schema.jsonValue(),
+                "num_buckets": self.num_buckets,
+                "bucket_col": self.bucket_col,
+                "key_cols": self.key_cols,
+                "files": self.files,
+                "schemas": self.schemas,
+                "current_schema_id": self.current_schema_id,
+                "applied_batches": self.applied_batches,
+                "shard_lsns": self.shard_lsns,
+                "properties": self.properties,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Manifest":
+        d = json.loads(text)
+        return Manifest(
+            version=d["version"],
+            schema=T.StructType.fromJson(d["schema"]),
+            num_buckets=d["num_buckets"],
+            bucket_col=d["bucket_col"],
+            key_cols=d["key_cols"],
+            files=d["files"],
+            schemas=d["schemas"],
+            current_schema_id=d["current_schema_id"],
+            applied_batches=d.get("applied_batches", {}),
+            shard_lsns={k: int(v) for k, v in d.get("shard_lsns", {}).items()},
+            properties=d.get("properties", {}),
+        )
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class LakeTable:
+    """Bucketed ACID parquet table with manifest-tracked snapshots."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self.meta_dir = os.path.join(self.location, "meta")
+        self.data_dir = os.path.join(self.location, "data")
+
+    # ---------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_col: str | None = None,
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = LakeTable(spark, location)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        if os.path.exists(os.path.join(t.meta_dir, "current")):
+            raise FileExistsError(f"table already exists at {location}")
+        m = Manifest(
+            version=0,
+            schema=schema,
+            num_buckets=num_buckets,
+            bucket_col=bucket_col or key_cols[0],
+            key_cols=list(key_cols),
+            files={},
+            schemas={"0": schema.jsonValue()},
+            current_schema_id=0,
+        )
+        t._write_manifest(m)
+        return t
+
+    @staticmethod
+    def exists(location: str) -> bool:
+        return os.path.exists(os.path.join(location, "meta", "current"))
+
+    # ------------------------------------------------------------- manifests
+    def current_version(self) -> int:
+        with open(os.path.join(self.meta_dir, "current"), encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        v = self.current_version() if version is None else version
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json"), encoding="utf-8") as f:
+            return Manifest.from_json(f.read())
+
+    def _write_manifest(self, m: Manifest) -> None:
+        path = os.path.join(self.meta_dir, f"v{m.version:08d}.json")
+        try:
+            with open(path, "x", encoding="utf-8") as f:
+                f.write(m.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+        except FileExistsError as e:  # optimistic-concurrency loss
+            raise CommitConflict(
+                f"version {m.version} already committed at {self.location}"
+            ) from e
+        _atomic_write_text(os.path.join(self.meta_dir, "current"), str(m.version))
+
+    # ----------------------------------------------------------------- reads
+    def schema(self) -> T.StructType:
+        return self.manifest().schema
+
+    def bucket_expr(self, col: str, num_buckets: int):
+        """Spark-side bucket id — identical everywhere (write & merge prune)."""
+        return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
+
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
+        fast path — Iceberg partition pruning analogue)."""
+        m = self.manifest(version)
+        want = None if buckets is None else {str(b) for b in buckets}
+        by_schema: dict[str, list[str]] = {}
+        for b, entries in m.files.items():
+            if want is not None and b not in want:
+                continue
+            for rel, schema_id in entries:
+                by_schema.setdefault(str(schema_id), []).append(
+                    os.path.join(self.location, rel)
+                )
+        target = m.schema
+        if not by_schema:
+            return self.spark.createDataFrame([], target)
+        parts: list[DataFrame] = []
+        for schema_id, paths in by_schema.items():
+            file_schema = T.StructType.fromJson(m.schemas[schema_id])
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            # project/cast up to the current schema: missing columns → null,
+            # widened columns → cast (reads stay JVM-side, no Python).
+            have = {f.name for f in file_schema.fields}
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in target.fields
+            ]
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------------------------------------------------------------- writes
+    def _stage_write(
+        self, df: DataFrame, m: Manifest, files_per_bucket: int = 1
+    ) -> dict[str, list[list[Any]]]:
+        """Write df into per-bucket parquet files; returns files map fragment.
+
+        The frame is hash-repartitioned on the bucket id so each bucket's rows
+        land in files under ``data/b=<k>/`` — co-located exactly like Iceberg
+        ``bucket(N, col)`` write distribution.  File row-counts come from
+        parquet footers (no extra Spark job).
+        """
+        staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
+        bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
+        staged = df.select(*[F.col(f.name) for f in m.schema.fields]).withColumn(
+            _BUCKET_COL, bexpr
+        )
+        shuffle_n = max(1, m.num_buckets * files_per_bucket)
+        if files_per_bucket == 1:
+            staged = staged.repartition(m.num_buckets, F.col(_BUCKET_COL))
+        else:
+            salt = (F.pmod(F.hash(*[F.col(c) for c in m.key_cols]),
+                           F.lit(files_per_bucket)))
+            staged = staged.repartition(shuffle_n, F.col(_BUCKET_COL), salt)
+        (
+            staged.write.mode("overwrite")
+            .partitionBy(_BUCKET_COL)
+            .parquet(staging)
+        )
+        frag: dict[str, list[list[Any]]] = {}
+        schema_id = m.current_schema_id
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith(f"{_BUCKET_COL}="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(self.data_dir, f"b={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(staging, entry))):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, entry, fn), os.path.join(bdir, new_name)
+                )
+                frag.setdefault(bucket, []).append(
+                    [os.path.join("data", f"b={bucket}", new_name), schema_id]
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return frag
+
+    def _commit(
+        self,
+        base: Manifest,
+        new_files: dict[str, list[list[Any]]],
+        replaced_buckets: set[str],
+        lineage: dict | None = None,
+        schema: T.StructType | None = None,
+    ) -> Manifest:
+        files = {b: list(v) for b, v in base.files.items() if b not in replaced_buckets}
+        for b, v in new_files.items():
+            files.setdefault(b, []).extend(v)
+        schemas = dict(base.schemas)
+        schema_id = base.current_schema_id
+        new_schema = schema or base.schema
+        if schema is not None and schema.jsonValue() != base.schema.jsonValue():
+            schema_id = base.current_schema_id + 1
+            schemas[str(schema_id)] = schema.jsonValue()
+        applied = dict(base.applied_batches)
+        shard_lsns = dict(base.shard_lsns)
+        if lineage:
+            applied[str(lineage["batch_id"])] = lineage
+            for shard, lsn in lineage.get("shard_lsns", {}).items():
+                shard_lsns[str(shard)] = max(int(lsn), shard_lsns.get(str(shard), -1))
+        m = Manifest(
+            version=base.version + 1,
+            schema=new_schema,
+            num_buckets=base.num_buckets,
+            bucket_col=base.bucket_col,
+            key_cols=base.key_cols,
+            files=files,
+            schemas=schemas,
+            current_schema_id=schema_id,
+            applied_batches=applied,
+            shard_lsns=shard_lsns,
+            properties=base.properties,
+        )
+        self._write_manifest(m)
+        return m
+
+    def overwrite(self, df: DataFrame, files_per_bucket: int = 1) -> Manifest:
+        """Full replace (the initial full-sync load; DataX writeMode=truncate)."""
+        base = self.manifest()
+        schema = merge_schemas(base.schema, df.schema)
+        staged_base = Manifest(**{**base.__dict__, "schema": schema})
+        if schema.jsonValue() != base.schema.jsonValue():
+            staged_base.current_schema_id = base.current_schema_id + 1
+            staged_base.schemas = {
+                **base.schemas,
+                str(staged_base.current_schema_id): schema.jsonValue(),
+            }
+        frag = self._stage_write(
+            df.select(*[F.col(f.name) for f in schema.fields
+                        if f.name in df.columns] +
+                      [F.lit(None).cast(f.dataType).alias(f.name)
+                       for f in schema.fields if f.name not in df.columns]),
+            staged_base,
+            files_per_bucket,
+        )
+        return self._commit(
+            base, frag, replaced_buckets=set(base.files.keys()), schema=schema
+        )
+
+    def append(self, df: DataFrame, files_per_bucket: int = 1) -> Manifest:
+        base = self.manifest()
+        frag = self._stage_write(df, base, files_per_bucket)
+        return self._commit(base, frag, replaced_buckets=set())
+
+    # --------------------------------------------------------------- lineage
+    def is_batch_applied(self, batch_id: int | str) -> bool:
+        return str(batch_id) in self.manifest().applied_batches
+
+    def last_lsn(self, shard: int | str | None = None) -> int:
+        m = self.manifest()
+        if shard is not None:
+            return m.shard_lsns.get(str(shard), -1)
+        return max(m.shard_lsns.values(), default=-1)
+
+    def lineage_df(self) -> DataFrame:
+        """Per-batch, per-partition lineage as a DataFrame (FIXTURES.md §4)."""
+        m = self.manifest()
+        rows = []
+        for bid, info in m.applied_batches.items():
+            for p in info.get("partitions", []):
+                rows.append(
+                    (
+                        int(bid),
+                        int(p["partition_id"]),
+                        int(p["last_lsn"]),
+                        int(p["rows"]),
+                        int(p["bytes"]),
+                        int(info.get("wall_ms", 0)),
+                    )
+                )
+        schema = T.StructType(
+            [
+                T.StructField("batch_epoch", T.LongType()),
+                T.StructField("partition_id", T.IntegerType()),
+                T.StructField("last_lsn", T.LongType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("wall_ms", T.LongType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    # ------------------------------------------------------------ maintenance
+    def file_stats(self) -> dict:
+        m = self.manifest()
+        n_files, n_bytes, n_rows = 0, 0, 0
+        for entries in m.files.values():
+            for rel, _ in entries:
+                p = os.path.join(self.location, rel)
+                n_files += 1
+                n_bytes += os.path.getsize(p)
+                n_rows += pq.read_metadata(p).num_rows
+        return {
+            "version": m.version,
+            "files": n_files,
+            "bytes": n_bytes,
+            "rows": n_rows,
+            "buckets": len(m.files),
+        }
+
+    def vacuum(self, keep_versions: int = 2) -> int:
+        """Delete data files unreferenced by the latest ``keep_versions``
+        manifests (crash-orphans and rewritten buckets)."""
+        cur = self.current_version()
+        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        live: set[str] = set()
+        for v in keep:
+            for entries in self.manifest(v).files.values():
+                live.update(rel for rel, _ in entries)
+        removed = 0
+        for bdir in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, bdir)
+            for fn in os.listdir(full):
+                rel = os.path.join("data", bdir, fn)
+                if rel not in live:
+                    os.remove(os.path.join(full, fn))
+                    removed += 1
+        return removed

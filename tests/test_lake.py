@@ -1,0 +1,156 @@
+"""LakeTable: atomic snapshots, bucketed layout, schema evolution, vacuum."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.merge import dedup_last_per_key, merge_into
+from datax_spark.lake.table import LakeTable, merge_schemas
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+KEYS = ["repo", "path", "commit"]
+
+
+def _mk(spark, tmp_path, rows, num_buckets=4):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, KEYS, num_buckets=num_buckets
+    )
+    if rows:
+        t.overwrite(spark.createDataFrame(rows, SCHEMA))
+    return t
+
+
+def test_create_overwrite_read(spark, tmp_path):
+    rows = [(f"org/r{i%3}", f"p{i}", f"c{i}", "py", f"body{i}") for i in range(50)]
+    t = _mk(spark, tmp_path, rows)
+    got = {(r.repo, r.path, r.commit, r.lang, r.content) for r in t.read().collect()}
+    assert got == set(rows)
+    assert t.current_version() == 1
+    stats = t.file_stats()
+    assert stats["rows"] == 50 and stats["buckets"] <= 4
+
+
+def test_bucket_layout_prunes(spark, tmp_path):
+    rows = [(f"org/r{i}", "p", f"c{i}", "py", "x") for i in range(40)]
+    t = _mk(spark, tmp_path, rows)
+    m = t.manifest()
+    # reading a bucket subset returns exactly that subset's rows
+    some = [int(b) for b in list(m.files.keys())[:2]]
+    sub = t.read(buckets=some)
+    bexpr = t.bucket_expr("repo", m.num_buckets)
+    assert sub.filter(~bexpr.isin(some)).count() == 0
+    assert sub.count() > 0
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a/r", "p1", "c1", "py", "v1")])
+    t.append(spark.createDataFrame([("b/r", "p2", "c2", "go", "v2")], SCHEMA))
+    assert t.read().count() == 2
+    assert t.read(version=1).count() == 1  # snapshot isolation / time travel
+
+
+def test_merge_upsert_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a/r", "p", "c1", "py", "old"), ("a/r", "p", "c2", "py", "keep")])
+    batch = spark.createDataFrame(
+        [
+            ("update", "a/r", "p", "c1", "py", "new", 10),
+            ("delete", "a/r", "p", "c2", None, None, 11),
+            ("insert", "z/r", "p", "c3", "go", "fresh", 12),
+        ],
+        "op string, repo string, path string, commit string, lang string, content string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn",
+               payload_cols=["repo", "path", "commit", "lang", "content"])
+    got = {(r.commit, r.content) for r in t.read().collect()}
+    assert got == {("c1", "new"), ("c3", "fresh")}
+
+
+def test_merge_dedup_last_wins(spark, tmp_path):
+    t = _mk(spark, tmp_path, [])
+    batch = spark.createDataFrame(
+        [
+            ("insert", "a/r", "p", "c", "py", "v1", 1),
+            ("update", "a/r", "p", "c", "py", "v3", 3),
+            ("update", "a/r", "p", "c", "py", "v2", 2),
+        ],
+        "op string, repo string, path string, commit string, lang string, content string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn",
+               payload_cols=["repo", "path", "commit", "lang", "content"])
+    assert [r.content for r in t.read().collect()] == ["v3"]
+
+
+def test_dedup_delete_then_reinsert(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a/r", "p", "c", "py", "orig")])
+    batch = spark.createDataFrame(
+        [
+            ("delete", "a/r", "p", "c", None, None, 5),
+            ("insert", "a/r", "p", "c", "py", "reborn", 6),
+        ],
+        "op string, repo string, path string, commit string, lang string, content string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn",
+               payload_cols=["repo", "path", "commit", "lang", "content"])
+    assert [r.content for r in t.read().collect()] == ["reborn"]
+
+
+def test_merge_schemas_widen_and_add():
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("s", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("n", T.FloatType())])
+    m = merge_schemas(a, b)
+    assert dict((f.name, f.dataType.typeName()) for f in m.fields) == {
+        "x": "long", "s": "string", "n": "float",
+    }
+    import pytest
+    with pytest.raises(ValueError):
+        merge_schemas(
+            T.StructType([T.StructField("x", T.StringType())]),
+            T.StructType([T.StructField("x", T.LongType())]),
+        )
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    t = _mk(spark, tmp_path, [("a/r", "p", "c0", "py", "base")])
+    batch = spark.createDataFrame(
+        [("insert", "a/r", "p", "c1", "py", "evolved", 1, 777)],
+        "op string, repo string, path string, commit string, lang string, content string, lsn long, stars int",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn",
+               payload_cols=["repo", "path", "commit", "lang", "content", "stars"])
+    df = t.read()
+    assert "stars" in df.columns
+    rows = {r.commit: r.stars for r in df.collect()}
+    assert rows == {"c0": None, "c1": 777}  # old files padded with null
+
+
+def test_vacuum_removes_rewritten_files(spark, tmp_path):
+    rows = [(f"org/r{i}", "p", f"c{i}", "py", "x") for i in range(20)]
+    t = _mk(spark, tmp_path, rows, num_buckets=2)
+    for i in range(3):
+        t.overwrite(spark.createDataFrame(rows, SCHEMA))
+    before = sum(len(os.listdir(os.path.join(t.data_dir, d)))
+                 for d in os.listdir(t.data_dir))
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0
+    after = sum(len(os.listdir(os.path.join(t.data_dir, d)))
+                for d in os.listdir(t.data_dir))
+    assert after == before - removed
+    assert t.read().count() == 20  # current snapshot intact
+
+
+def test_dedup_last_per_key_unit(spark):
+    df = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 3, "c"), ("k", 2, "b"), ("j", 9, "z")],
+        "key string, lsn long, v string",
+    )
+    out = {(r.key, r.v) for r in dedup_last_per_key(df, ["key"], "lsn").collect()}
+    assert out == {("k", "c"), ("j", "z")}
