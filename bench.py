@@ -1,0 +1,126 @@
+"""Benchmark harness — the driver runs this per-round (BENCH_r{N}.json).
+
+Headline metric: sustained CDC upsert throughput (change-events/sec) through
+the full engine path — deterministic synthetic feed (fixtures.change_events)
+→ envelope → incremental MERGE batches into a LakeTable — plus wall-clock
+for each suite query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "cdc_upsert_events_per_sec", "value": N, "unit": "events/sec",
+   "queries": {...secs...}, "sf": 0.1, ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), DX_BENCH_EVENTS (default 200_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F  # noqa: F401 (bench queries may use)
+
+
+def bench_cdc_ingest(spark, n_events: int, n_batches: int = 4) -> dict:
+    """Full-sync + incremental MERGE replay of a synthetic feed; returns
+    events/sec over the incremental (steady-state) phase."""
+    from datax_spark import fixtures
+    from datax_spark.cdc.runner import create_repo_table, full_sync, run_incremental
+
+    work = tempfile.mkdtemp(prefix="dx_bench_")
+    try:
+        feed_dir = os.path.join(work, "feed")
+        fixtures.change_events(
+            spark, n_events, n_keys=max(1, n_events // 3), seed=42,
+            partitions=max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        ).write.mode("overwrite").parquet(feed_dir)
+        feed = spark.read.parquet(feed_dir)
+
+        t = create_repo_table(
+            spark, os.path.join(work, "table"), num_buckets=32
+        )
+        t0 = time.monotonic()
+        full_sync(t, fixtures.repo_files(spark, n_events // 4, seed=42))
+        full_sync_s = time.monotonic() - t0
+
+        t1 = time.monotonic()
+        lineages = run_incremental(
+            t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches
+        )
+        inc_s = time.monotonic() - t1
+        rows = sum(l["rows"] for l in lineages)
+        return {
+            "events": rows,
+            "full_sync_sec": round(full_sync_s, 3),
+            "incremental_sec": round(inc_s, 3),
+            "events_per_sec": round(rows / inc_s, 1),
+            "batches": len(lineages),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# Suite queries that represent the operator surface; heavy all-pairs ops are
+# included — they are the training-data path and must stay fast at sf0.1.
+BENCH_QUERIES = [
+    "cdc_merge_apply_e2e",
+    "cdc_dedup_last_per_key",
+    "cdc_shard_lineage",
+    "skew_salted_agg",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q3_top_shipping",
+    "tx_chain_docs",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "embed_cosine_topk",
+    "ann_bucketed_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("DX_BENCH_EVENTS", "200000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1
+
+    from datax_spark import suite
+    from datax_spark.session import get_session
+
+    spark = get_session("datax-spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = suite.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+
+    ingest = bench_cdc_ingest(spark, n_events)
+    print(f"# cdc_ingest: {ingest}", file=sys.stderr)
+
+    out = {
+        "metric": "cdc_upsert_events_per_sec",
+        "value": ingest["events_per_sec"],
+        "unit": "events/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cdc_ingest": ingest,
+        "cores": int(cpus) if str(cpus).isdigit() else cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,7 @@ class CdcApplier:
         )
 
     # ----------------------------------------------------------------- apply
-    def apply_batch(self, batch: DataFrame, batch_id: int) -> dict | None:
+    def apply_batch(self, batch: DataFrame, batch_id: int | str) -> dict | None:
         """MERGE one micro-batch; returns lineage dict, or None if the batch
         was already applied (replay no-op)."""
         if self.table.is_batch_applied(batch_id):
@@ -71,24 +71,27 @@ class CdcApplier:
             # one aggregate pass for lineage: per-shard consumption metrics
             # (≈ DataX Communication counters, core/.../statistics/communication/
             # CommunicationTool.java:17-53, merged task→job)
+            str_cols = [
+                f.name
+                for f in batch.schema.fields
+                if f.dataType.typeName() == "string" and f.name != "op"
+            ]
+            byte_expr = F.lit(48)  # fixed envelope overhead per event
+            for c in str_cols:
+                byte_expr = byte_expr + F.coalesce(F.octet_length(c), F.lit(0))
             stats = (
                 batch.groupBy("shard")
                 .agg(
                     F.max("lsn").alias("last_lsn"),
                     F.count(F.lit(1)).alias("rows"),
-                    F.sum(
-                        F.coalesce(F.octet_length("content"), F.lit(0))
-                        + F.coalesce(F.octet_length("repo"), F.lit(0))
-                        + F.coalesce(F.octet_length("path"), F.lit(0))
-                        + F.lit(48)
-                    ).alias("bytes"),
+                    F.sum(byte_expr).alias("bytes"),
                 )
                 .collect()
             )
             if not stats:
                 return None  # empty batch
             lineage = {
-                "batch_id": int(batch_id),
+                "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
                 "rows": int(sum(r["rows"] for r in stats)),
                 "bytes": int(sum(r["bytes"] for r in stats)),
                 "shard_lsns": {int(r["shard"]): int(r["last_lsn"]) for r in stats},

@@ -1,0 +1,221 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+Exact dedup, n-gram Jaccard, MinHash+LSH, and SimHash — the standard
+training-data dedup ladder.  All sketch computation is per-row native
+Column expressions (datax_spark.functions.text); only the candidate-pair
+generation shuffles, and it shuffles on the *sketch* (shingle / band /
+simhash prefix), never on raw content:
+
+- exact:    one hash-aggregate on md5(text) — map-side partial agg, then
+            one shuffle of (hash, id) pairs.  O(corpus) scan, tiny shuffle.
+- jaccard:  explode distinct shingles → self-join on shingle.  The join key
+            is a shingle hash; frequency-capped (``max_df``) to drop
+            degenerate hub shingles that would quadratically blow up a
+            skewed key (the classic LSH-join skew guard).
+- minhash:  k md5-seeded min-hashes → b bands → self-join on (band, sig).
+            Collision probability follows the usual (1-(1-j^r)^b) curve; the
+            shuffle carries only (band_sig, id).
+- simhash:  64→48-bit fingerprint; near-dup = hamming ≤ t.  Pair generation
+            joins on ``bit-prefix blocks`` (t+1 blocks: two fingerprints
+            within hamming t must agree exactly on ≥1 block — pigeonhole),
+            so no O(n²) cross join at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datax_spark.functions import text as TX
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical row per identical text: (doc_id=min id, text_hash, n_copies)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) exploded distinct n-word shingles + per-doc set size."""
+    sh = df.select(
+        F.col(id_col), TX.word_shingles(text_col, n).alias("__sh")
+    ).withColumn("n_shingles", F.size("__sh"))
+    return sh.select(id_col, "n_shingles", F.explode("__sh").alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    ``max_df`` drops shingles appearing in more than that many docs before
+    the self-join — the skew guard for hub shingles (at corpus scale a
+    boilerplate shingle can appear in millions of docs; its join group is
+    quadratic).  Dropped shingles only lower the estimate, mirroring
+    standard LSH-join practice."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(freq.filter(F.col("__df") <= max_df), "shingle", "inner").drop(
+            "__df"
+        )
+    a = sh.select(
+        F.col(id_col).alias("a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """k MinHash values per doc: mh_i = min over shingles of
+    hash60(shingle || '#' || i).  One explode + one hash-aggregate."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of r=k/bands rows; docs sharing any
+    band signature become a candidate pair.  Returns (a, b, n_shared_bands,
+    est_jaccard = fraction of matching minhashes)."""
+    assert k % bands == 0, "k must divide into equal bands"
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k).persist()
+    band_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band_idx", "bs.sig")
+    pa = melted.select(F.col(id_col).alias("a"), "band_idx", "sig")
+    pb = melted.select(F.col(id_col).alias("b"), "band_idx", "sig")
+    cand = (
+        pa.join(pb, ["band_idx", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    sa = sig.select(F.col(id_col).alias("a"), *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k)])
+    sb = sig.select(F.col(id_col).alias("b"), *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k)])
+    est = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(k)
+    ) / F.lit(float(k))
+    out = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
+    )
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bits: int = TX.SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Pair generation uses prefix-block LSH: split the fingerprint into
+    ``max_hamming+1`` blocks; by pigeonhole two fingerprints within the
+    distance budget share at least one exact block — join per block, then
+    verify true hamming.  Shuffle key = (block_idx, block_value): no cross
+    join, survives corpus scale."""
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    fp = df.select(F.col(id_col), TX.simhash(text_col, bits).alias("simhash"))
+    blocks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("block"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bl"),
+    ).select(id_col, "simhash", "bl.block_idx", "bl.block")
+    pa = blocks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "block_idx", "block"
+    )
+    pb = blocks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "block_idx", "block"
+    )
+    cand = (
+        pa.join(pb, ["block_idx", "block"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", TX.hamming64("sh_a", "sh_b"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

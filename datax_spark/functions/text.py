@@ -1,0 +1,172 @@
+"""Text-analysis primitives for training-data pipelines — all native Column
+expressions (JVM-side, WholeStageCodegen; no Python in the hot path).
+
+These extend the engine beyond the reference's six scalar transformers
+(core/.../transport/transformer/TransformerRegistry.java:34-39) with the
+operations a 100 TB document/corpus pipeline needs: tokenization, shingling,
+quality scoring, language ID, fingerprinting, SimHash/MinHash sketches.
+
+Design notes for scale:
+- Everything is per-row (embarrassingly parallel) — no shuffle introduced
+  here; downstream dedup joins decide the shuffle strategy.
+- Hash-to-int uses an md5 prefix (60 bits, always positive in a signed
+  int64) so the identical value is computable in any ANSI-SQL oracle
+  (DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``) — exact cross-engine
+  parity for tests, and stable across Spark versions (unlike xxhash64
+  seeds, md5 is specified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword list — deterministic, matched in oracle SQL.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+SIMHASH_BITS = 48  # fits signed int64 sums comfortably; cross-SQL safe
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash60(col) -> Column:
+    """60-bit positive int64 from md5 prefix — cross-engine reproducible."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization (BPE-ish regex split; empty-safe)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.length(F.trim(c)) == 0, F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_shingles(col, n: int) -> Column:
+    """Distinct n-word shingles (space-joined) — the dedup unit."""
+    w = tokens(col)
+    k = F.size(w) - F.lit(n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(
+        F.when(k >= 1, sh).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def char_count(col) -> Column:
+    return F.length(F.coalesce(_c(col), F.lit(""))).cast("long")
+
+
+def punct_count(col, klass: str = "[.,!?;:]") -> Column:
+    """Punctuation occurrences via length-difference (no regex-count
+    portability issues across engines)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return (F.length(c) - F.length(F.regexp_replace(c, klass, ""))).cast("long")
+
+
+def stopword_count(col, stopwords: list[str] | None = None) -> Column:
+    w = tokens(col)
+    stop = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(w, lambda t: F.array_contains(stop, F.lower(t)))).cast(
+        "long"
+    )
+
+
+def quality_features(col) -> dict[str, Column]:
+    """The quality-score feature bundle: lengths, ratios as exact integers
+    (ratio = numerator/denominator pairs so oracles compare exactly)."""
+    w = tokens(col)
+    return {
+        "n_chars_m": char_count(col),
+        "n_tokens": token_count(col),
+        "n_punct": punct_count(col),
+        "n_stop": stopword_count(col),
+        "sum_token_len": F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ),
+    }
+
+
+def lang_id(col, min_hits: int = 1) -> Column:
+    """N-gram/stopword-heuristic language ID.
+
+    Real pipelines plug a fastText-style model in as a pandas UDF; the
+    built-in heuristic votes on marker-token hits per language and is fully
+    SQL-expressible for the oracle."""
+    markers = {
+        "en": STOPWORDS,
+        "de": ["der", "die", "das", "und", "nicht"],
+        "fr": ["le", "la", "les", "et", "une"],
+    }
+    w = tokens(col)
+
+    def _hits(words: list[str]):
+        arr = F.array(*[F.lit(x) for x in words])
+        return F.size(F.filter(w, lambda t: F.array_contains(arr, F.lower(t))))
+
+    hits = {lang: _hits(m) for lang, m in markers.items()}
+    best = F.greatest(*hits.values())
+    out = F.lit("unknown")
+    # deterministic priority order on ties: en > de > fr
+    for lang in ["fr", "de", "en"]:
+        out = F.when(hits[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best >= min_hits, out).otherwise(F.lit("unknown"))
+
+
+def doc_fingerprint(col, n: int = 4) -> Column:
+    """Document fingerprint: min rolling-hash over n-word shingles
+    (the winnowing/min-sampling primitive; deterministic, SQL-matchable)."""
+    sh = word_shingles(col, n)
+    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    return F.array_min(hashes)
+
+
+def simhash(col, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens (frequency-weighted): per-bit majority vote
+    of 60-bit token hashes, packed into an int64.
+
+    Native-expression construction: per-token hash → per-bit ±1 votes
+    accumulated with ``aggregate`` over the token array — one pass, no
+    explode, no shuffle."""
+    w = tokens(col)
+    hashes = F.transform(w, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    # votes[j] = sum over tokens of (2*bit_j - 1); the per-bit array is
+    # unrolled over a Python range (shiftright needs a literal shift count)
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")) * 2 - 1
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, j: F.when(v > 0, F.pow(F.lit(2.0), j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(w) == 0, F.lit(0).cast("long")).otherwise(packed)
+
+
+def hamming64(a, b) -> Column:
+    return F.bit_count(_c(a).bitwiseXOR(_c(b))).cast("int")

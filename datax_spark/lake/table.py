@@ -416,10 +416,12 @@ class LakeTable:
         m = self.manifest()
         rows = []
         for bid, info in m.applied_batches.items():
+            # batch ids may be namespaced (e.g. streaming "s3") — keep digits
+            num = "".join(ch for ch in str(bid) if ch.isdigit())
             for p in info.get("partitions", []):
                 rows.append(
                     (
-                        int(bid),
+                        int(num) if num else -1,
                         int(p["partition_id"]),
                         int(p["last_lsn"]),
                         int(p["rows"]),

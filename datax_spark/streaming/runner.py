@@ -1,0 +1,95 @@
+"""Structured-Streaming CDC runner: tail a feed → foreachBatch MERGE.
+
+The streaming shape mandated by BASELINE.json north_star: ``readStream`` on
+a binlog/WAL-shaped feed → per-micro-batch idempotent MERGE into the lake
+table, ``Trigger.AvailableNow`` for bounded replay (the analogue of the
+reference CDC reader's time-bounded [startTs, endTs) window —
+otsstreamreader/.../core/RecordProcessor.java:206-228).
+
+Exactly-once layering (SURVEY.md §7.4 risk 1):
+1. Spark's streaming checkpoint makes micro-batch ids stable across
+   restarts — a replayed ``foreachBatch(batch_id)`` is detected by the
+   lineage guard (batch id recorded atomically with the data commit).
+2. If the checkpoint itself is lost (or the source rewinds), the per-shard
+   last-applied-LSN watermark filters already-applied events
+   (CdcApplier.filter_already_applied) — at-least-once source, exactly-once
+   effect.
+
+Batch ids are namespaced ``s{batch_id}`` so a streaming resume never
+collides with batch-mode (run_incremental) lineage on the same table.
+
+Cross-batch ordering: like every log-tailing CDC applier, correctness
+requires the feed be consumed in LSN order across micro-batches (within a
+batch, order is irrelevant — dedup by max LSN).  The file source lists
+files in path order, so writers must emit lsn-range-named files
+(write_feed_ordered below guarantees this).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.cdc.apply import CdcApplier
+from datax_spark.lake.table import LakeTable
+
+
+def write_feed_ordered(feed: DataFrame, path: str, n_files: int = 8) -> None:
+    """Materialize a feed as lsn-range-ordered parquet files.
+
+    ``repartitionByRange(lsn)`` makes part-file ordinals follow LSN order,
+    so the streaming file source (which processes files in listing order)
+    replays the log in sequence — the WAL contract."""
+    feed.repartitionByRange(n_files, F.col("lsn")).sortWithinPartitions(
+        "lsn"
+    ).write.mode("overwrite").parquet(path)
+
+
+def run_available_now(
+    spark: SparkSession,
+    feed_dir: str,
+    table: LakeTable,
+    feed_schema: T.StructType | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    timeout_sec: int = 600,
+) -> list[dict]:
+    """Drain the feed directory through Structured Streaming into the table.
+
+    Returns the lineage dicts of batches applied in this run (replays and
+    already-applied events are skipped, not re-applied)."""
+    if feed_schema is None:
+        feed_schema = spark.read.parquet(feed_dir).schema
+    if checkpoint_dir is None:
+        checkpoint_dir = os.path.join(table.location, "_stream_checkpoint")
+
+    reader = spark.readStream.schema(feed_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
+
+    applier = CdcApplier(table)
+    applied: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = applier.filter_already_applied(batch_df)
+        lineage = applier.apply_batch(batch_df, f"s{batch_id}")
+        if lineage is not None:
+            applied.append(lineage)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+    if q.exception() is not None:
+        raise q.exception()
+    return applied

@@ -1,0 +1,552 @@
+"""The engine's query/operator suite + ANSI-SQL oracles (driver contract).
+
+Every operator from SURVEY.md §2 that the engine implements is exposed here
+as a named (spark_callable, oracle_sql) pair.  The Spark side runs the
+engine's real code paths (transformers, dedup-by-LSN, MERGE apply, sketch
+dedup, ANN); the oracle is an independent ANSI-SQL formulation DuckDB runs
+over the same parquet — row-count + schema + value-hash equality is the
+correctness gate (CORRECTNESS_r{N}.json).
+
+Cross-engine determinism rules used throughout:
+- money/metrics sums use the cents trick: ``sum(CAST(round(x*100) AS
+  BIGINT))`` — per-row IEEE-deterministic rounding, then exact integer
+  sums (no float accumulation-order hazards);
+- hashes are md5/sha256 (bit-identical in Spark and DuckDB); hash→int64 is
+  a 15-hex-char md5 prefix (60-bit positive);
+- doubles that must be emitted (cosine, jaccard) are single-division
+  results rounded to 6dp, ordered with explicit tiebreaks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark import transforms as tx
+from datax_spark.cdc.apply import CdcApplier
+from datax_spark.cdc.runner import run_incremental
+from datax_spark.functions import dedup as DD
+from datax_spark.functions import similarity as SIM
+from datax_spark.functions import text as TXT
+from datax_spark.lake.merge import dedup_last_per_key
+from datax_spark.lake.table import LakeTable
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cents(col) -> F.Column:
+    return F.round((F.col(col) if isinstance(col, str) else col) * 100, 0).cast("long")
+
+
+# =============================================================== CDC core ops
+def _events_feed(ev: DataFrame) -> DataFrame:
+    """Normalize the events table into the CDC envelope (lsn, shard, ts, op)
+    + payload — the reader-side normalization of SURVEY.md §7.1 source.py.
+    op mapping: 'error' events are deletes, the rest upserts."""
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),
+        F.col("ts"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        _cents("value").alias("value_cents"),
+        F.col("props"),
+    )
+
+
+def q_cdc_merge_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ENGINE RUN: events→envelope→4 incremental MERGE batches
+    into a fresh LakeTable; returns the final table state.  The oracle is
+    the pure-SQL fold (last-event-wins, deletes applied) — validating the
+    whole reader→channel→writer pipeline, not just one operator."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_e2e_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 4) // 4))
+    return table.read().select("user_id", "event_type", "value_cents", "props")
+
+
+def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fold through Structured Streaming (readStream → foreachBatch
+    MERGE, Trigger.AvailableNow) — the north_star execution shape."""
+    from datax_spark.streaming.runner import run_available_now, write_feed_ordered
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    work = tempfile.mkdtemp(prefix="dx_stream_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed_ordered(feed, feed_dir, n_files=8)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(work, "table"), schema=schema,
+        key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+    )
+    run_available_now(spark, feed_dir, table, max_files_per_trigger=2)
+    return table.read().select("user_id", "event_type", "value_cents", "props")
+
+
+_CDC_FOLD_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value_cents, props
+FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
+def q_cdc_dedup_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-batch dedup operator alone: last event per key by max LSN
+    (lake.merge.dedup_last_per_key — hash-agg max_by, no window sort)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("event_id").alias("lsn"), "event_type", _cents("value").alias("value_cents")
+    )
+    out = dedup_last_per_key(ev, ["user_id"], "lsn")
+    return out.select(
+        "user_id",
+        F.col("lsn").alias("last_lsn"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value_cents").alias("last_value_cents"),
+    )
+
+
+def q_cdc_shard_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard consumption metrics — the lineage/metrics aggregate the
+    applier commits with every batch (≈ DataX Communication counters)."""
+    ev = _events_feed(_t(spark, sf_dir, "events"))
+    byte_expr = (
+        F.lit(48)
+        + F.coalesce(F.octet_length("event_type"), F.lit(0))
+        + F.coalesce(F.octet_length("props"), F.lit(0))
+    )
+    return ev.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max("lsn").alias("last_lsn"),
+        F.sum(byte_expr).alias("bytes"),
+    )
+
+
+def q_cdc_op_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope op-mix accounting (read/write success counters analogue)."""
+    ev = _events_feed(_t(spark, sf_dir, "events"))
+    return ev.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+    )
+
+
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the hot-key skew defense (SURVEY.md
+    §2.6 JobAssignUtil analogue).  Salt = lsn % 8 splits a hot user across
+    8 reducers for the partial agg; final agg re-combines.  Result is
+    identical to the direct group-by (the oracle proves it)."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(8))).groupBy(
+        "user_id", "__salt"
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_cents("value")).alias("pv"),
+    )
+    return salted.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").alias("sum_value_cents"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via lag-gap (>3600s starts a new session)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    gap = (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    flagged = ev.select("user_id", gap)
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.lit(1)
+            + F.sum(F.when(F.col("gap") > 3600, 1).otherwise(0))
+        ).cast("long").alias("n_sessions"),
+    )
+
+
+# ========================================================== transformer chain
+def q_tx_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataX transformer chain (substr→pad→digest→filter) as one Catalyst
+    plan (TransformerRegistry.java:34-39 built-ins)."""
+    docs = _t(spark, sf_dir, "documents")
+    reg = tx.TransformerRegistry()
+    chain = [
+        {"name": "dx_substr", "column": "text", "parameters": [0, 16], "as": "head"},
+        {"name": "dx_pad", "column": "lang", "parameters": ["l", 8, "*"], "as": "lang_pad"},
+        {"name": "dx_digest", "column": "text", "parameters": ["md5", "toLower"], "as": "digest"},
+        {"name": "dx_filter", "column": "n_chars", "parameters": ["<", 200]},
+    ]
+    return reg.apply_chain(docs, chain).select("doc_id", "head", "lang_pad", "digest")
+
+
+def q_tx_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dx_filter like = anchored Java-regex full match
+    (FilterTransformer.java:294-310): drop sources matching 'src1.*'."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.dx_filter(docs, "source", "like", "src1.*").select("doc_id", "source")
+
+
+# =========================================================== split planning
+def q_split_minmax_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK-range split planning (SingleTableSplitUtil.java:34-130 rebuild):
+    min/max scan + 8 even integer ranges, computed distributed (no driver
+    loop; the tiny agg row is cross-joined to the split ids)."""
+    bounds = _t(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    splits = spark.range(8).select(F.col("id").alias("split_id"))
+    j = splits.crossJoin(F.broadcast(bounds))
+    return j.select(
+        "split_id",
+        "n_rows",
+        F.expr("lo + (hi - lo + 1) * split_id div 8").cast("long").alias("lo_bound"),
+        F.expr("lo + (hi - lo + 1) * (split_id + 1) div 8 - 1").cast("long").alias("hi_bound"),
+    )
+
+
+# ================================================================== TPC-H-ish
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("count_order"),
+        F.sum(F.col("l_quantity")).cast("long").alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+        F.sum(_cents(disc_price)).alias("sum_disc_price_cents"),
+        F.sum(_cents("l_discount")).alias("sum_discount_cents"),
+    )
+
+
+def q_q3_top_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy shipping-priority query; the small filtered customer dim
+    is broadcast (DataX outsources joins to the source DB — SURVEY.md §2.4;
+    here they're first-class)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    rev = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+    return rev.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey")).limit(10)
+
+
+# ========================================================== dedup / text ops
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.12
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=8, bands=4
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    feats = TXT.quality_features("text")
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TXT.lang_id("text").alias("pred_lang"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(TXT.token_count("text") >= 4)
+    return docs.select("doc_id", TXT.doc_fingerprint("text", 4).alias("fingerprint"))
+
+
+# ======================================================== similarity search
+def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, nbits=8)
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.cosine_pairs(emb, threshold=0.4, nbits=4)
+
+
+# ================================================================= registry
+_DOC_SHINGLES_3 = r"""
+w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM w, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t)
+"""
+
+_ORACLES: dict[str, str] = {
+    "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
+    "cdc_stream_available_now": _CDC_FOLD_ORACLE,
+    "cdc_dedup_last_per_key": """
+WITH ranked AS (
+  SELECT user_id, event_id AS last_lsn, event_type AS last_event_type,
+         CAST(round(value*100) AS BIGINT) AS last_value_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, last_lsn, last_event_type, last_value_cents FROM ranked WHERE rn = 1
+""",
+    "cdc_shard_lineage": """
+SELECT user_id % 8 AS shard, count(*) AS rows,
+       max(event_id) AS last_lsn,
+       sum(48 + strlen(event_type) + coalesce(strlen(props), 0)) AS bytes
+FROM events GROUP BY user_id % 8
+""",
+    "cdc_op_mix": """
+SELECT CASE WHEN event_type='error' THEN 'delete' ELSE 'insert' END AS op,
+       count(*) AS n_events, min(event_id) AS min_lsn, max(event_id) AS max_lsn
+FROM events GROUP BY 1
+""",
+    "skew_salted_agg": """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY user_id
+""",
+    "events_sessionize": """
+WITH t AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+l AS (SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id ORDER BY event_id) AS gap FROM t)
+SELECT user_id, count(*) AS n_events,
+       CAST(1 + sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM l GROUP BY user_id
+""",
+    "tx_chain_docs": """
+SELECT doc_id, substr(text, 1, 16) AS head, lpad(lang, 8, '*') AS lang_pad,
+       lower(md5(text)) AS digest
+FROM documents WHERE NOT (n_chars < 200)
+""",
+    "tx_filter_like": """
+SELECT doc_id, source FROM documents
+WHERE NOT regexp_full_match(source, 'src1.*')
+""",
+    "split_minmax_pk": """
+WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n_rows FROM orders)
+SELECT r.range AS split_id, n_rows,
+       lo + ((hi - lo + 1) * r.range) // 8 AS lo_bound,
+       lo + ((hi - lo + 1) * (r.range + 1)) // 8 - 1 AS hi_bound
+FROM range(8) r, b
+""",
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
+       sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_discount_cents
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_shipping": """
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+""",
+    "dedup_exact": """
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {_DOC_SHINGLES_3},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, n_common,
+       round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12
+""",
+    "dedup_minhash_lsh": f"""
+WITH {_DOC_SHINGLES_3},
+sig AS (SELECT doc_id,
+  {", ".join(f"min(('0x'||substr(md5(shingle||'#{i}'),1,15))::BIGINT) AS mh{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS sig FROM sig"
+      for b in range(4))}
+),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared_bands
+         FROM banded a JOIN banded b USING (band_idx, sig)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, n_shared_bands,
+       round(({" + ".join(f"CASE WHEN sa.mh{i}=sb.mh{i} THEN 1 ELSE 0 END" for i in range(8))}) / 8.0, 6) AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+""",
+    "dedup_simhash": r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM toks),
+bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+         FROM h, LATERAL (SELECT unnest(range(0, 48)) AS j) t GROUP BY doc_id, j),
+fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS simhash
+       FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a, fp b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    "text_quality": r"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+       x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) AS n_stop,
+  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS sum_token_len
+FROM documents
+""",
+    "text_langid": r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+hits AS (SELECT doc_id,
+  len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it'))) AS h_en,
+  len(list_filter(w, x -> x IN ('der','die','das','und','nicht'))) AS h_de,
+  len(list_filter(w, x -> x IN ('le','la','les','et','une'))) AS h_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(h_en, h_de, h_fr) < 1 THEN 'unknown'
+       WHEN h_en = greatest(h_en, h_de, h_fr) THEN 'en'
+       WHEN h_de = greatest(h_en, h_de, h_fr) THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM hits
+""",
+    "text_fingerprint": r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+sh AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS s
+       FROM w, LATERAL (SELECT unnest(range(1, len(w)-2)) AS i) t
+       WHERE len(w) >= 4)
+SELECT doc_id, min(('0x'||substr(md5(s),1,15))::BIGINT) AS fingerprint
+FROM sh GROUP BY doc_id
+""",
+    "embed_cosine_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM v),
+q AS (SELECT * FROM n WHERE vec_id < 5),
+sim AS (SELECT q.vec_id AS q, c.vec_id AS neighbor,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM q, n c WHERE c.vec_id <> q.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS rank FROM sim)
+SELECT q, neighbor, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine FROM r WHERE rank <= 3
+""",
+    "ann_bucketed_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+      {" + ".join(f"CASE WHEN v[{j+1}] > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END" for j in range(8))} AS bucket
+      FROM v),
+q AS (SELECT * FROM n WHERE vec_id < 20),
+sim AS (SELECT q.vec_id AS q, q.bucket AS bucket, c.vec_id AS neighbor,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cosine
+        FROM q JOIN n c USING (bucket) WHERE c.vec_id <> q.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS rank FROM sim)
+SELECT q, bucket, neighbor, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine FROM r WHERE rank <= 3
+""",
+    "embed_near_dup": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+      {" + ".join(f"CASE WHEN v[{j+1}] > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END" for j in range(4))} AS bucket
+      FROM v)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b USING (bucket)
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+""",
+}
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
+    "cdc_stream_available_now": q_cdc_stream_available_now,
+    "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
+    "cdc_shard_lineage": q_cdc_shard_lineage,
+    "cdc_op_mix": q_cdc_op_mix,
+    "skew_salted_agg": q_skew_salted_agg,
+    "events_sessionize": q_events_sessionize,
+    "tx_chain_docs": q_tx_chain_docs,
+    "tx_filter_like": q_tx_filter_like,
+    "split_minmax_pk": q_split_minmax_pk,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_shipping": q_q3_top_shipping,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "ann_bucketed_topk": q_ann_bucketed_topk,
+    "embed_near_dup": q_embed_near_dup,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,71 @@
+"""Mirror of the driver's correctness gate: run every suite query on Spark
+at sf0.001 and its oracle SQL in DuckDB over the same parquet; compare
+row-count, column names, and order-insensitive values (SURVEY.md §5.6)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from datax_spark import suite
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6f}"
+    return v
+
+
+def _rows(rows, cols):
+    return sorted(
+        tuple(_norm(r[c] if isinstance(r, dict) else r[i]) for i, c in enumerate(cols))
+        for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(suite.oracle_sql().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = suite.queries()[name]
+    df = q(spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = _rows([tuple(r) for r in df.collect()], spark_cols)
+
+    cur = ddb.execute(suite.oracle_sql()[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_rows = _rows(cur.fetchall(), duck_cols)
+
+    assert sorted(spark_cols) == sorted(duck_cols), (spark_cols, duck_cols)
+    # reorder spark tuples to duckdb column order for value compare
+    if spark_cols != duck_cols:
+        idx = [spark_cols.index(c) for c in duck_cols]
+        spark_rows = sorted(tuple(t[i] for i in idx) for t in spark_rows)
+    assert len(spark_rows) == len(duck_rows), (
+        name, len(spark_rows), len(duck_rows)
+    )
+    assert spark_rows == duck_rows, name
+
+
+def test_every_query_has_oracle_or_is_documented():
+    missing = set(suite.queries()) - set(suite.oracle_sql())
+    # non-SQL-expressible ops may omit oracles; keep the list explicit
+    assert missing == set(), missing
