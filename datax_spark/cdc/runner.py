@@ -59,6 +59,9 @@ def run_incremental(
     start_batch_id: int = 0,
     max_batches: int | None = None,
     on_batch=None,
+    mode: str = "mor",
+    auto_compact: int | None = 8,
+    dedup_batch: bool = True,
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -68,7 +71,9 @@ def run_incremental(
     lsn // batch_lsns, so a resumed run regenerates identical batch
     boundaries — replayed ids no-op via the lineage guard.
     """
-    applier = CdcApplier(table)
+    applier = CdcApplier(
+        table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch
+    )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")

@@ -30,7 +30,13 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datax_spark.lake.table import LakeTable, Manifest, merge_schemas
+from datax_spark.lake.table import (
+    DELETED_COL,
+    LSN_COL,
+    LakeTable,
+    Manifest,
+    merge_schemas,
+)
 
 OP_COL_DEFAULT = "op"
 DELETE_OP = "delete"
@@ -63,6 +69,9 @@ def merge_into(
     lineage: dict | None = None,
     evolve_schema: bool = True,
     files_per_bucket: int = 1,
+    mode: str = "cow",
+    auto_compact: int | None = None,
+    dedup_batch: bool = True,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -73,18 +82,48 @@ def merge_into(
     shard/ts must be excluded by the caller or via this list).
     If ``lineage`` has a ``batch_id`` already recorded in the table, the call
     is a no-op returning None — the exactly-once replay guard.
+
+    ``mode``:
+    - ``"cow"`` (copy-on-write): rewrite touched buckets with the merged
+      state.  Read-optimal; write cost O(touched buckets of the table) per
+      batch — right for low-rate feeds or small tables.
+    - ``"mor"`` (merge-on-read): append the deduped batch as delta files
+      (upserts + tombstones carrying ``__lsn``/``__deleted``); the scan
+      reconstructs last-writer-wins.  Write cost O(batch) per batch — the
+      only asymptotic that survives 10^10 events; ``auto_compact`` bounds
+      read amplification by compacting buckets whose delta-file count
+      exceeds it (Iceberg rewrite_data_files analogue).
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r}")
+    if mode == "mor" and order_col is None:
+        raise ValueError("mor mode requires order_col (the LSN) for "
+                         "last-writer-wins reconstruction")
     t0 = time.monotonic()
     base = table.manifest()
     if lineage and str(lineage.get("batch_id")) in base.applied_batches:
         return None  # replayed batch — already atomically applied
 
     key_cols = base.key_cols
-    if order_col is not None:
+    if order_col is not None and (dedup_batch or mode == "cow"):
+        # COW requires the dedup (whole-row replace has no LSN at read);
+        # MOR may skip it — reconstruction collapses duplicates by __lsn.
         batch = dedup_last_per_key(batch, key_cols, order_col)
     keep = (payload_cols if payload_cols is not None
             else [c for c in batch.columns if c not in (op_col, order_col)])
-    batch = batch.select(*([op_col] if op_col in batch.columns else []), *keep)
+    lsn_col = (
+        [F.col(order_col).cast("long").alias(LSN_COL)]
+        if mode == "mor" else []
+    )
+    batch = batch.select(
+        *([op_col] if op_col in batch.columns else []), *lsn_col, *keep
+    )
+
+    if mode == "mor":
+        return _merge_mor(
+            table, batch, base, op_col, lineage, evolve_schema,
+            files_per_bucket, auto_compact, t0,
+        )
     batch = batch.persist()  # reused for bucket pruning, keys, and survivors
 
     data_cols = [c for c in batch.columns if c != op_col]
@@ -146,3 +185,62 @@ def merge_into(
     return table._commit(
         base, frag, replaced_buckets=replaced, lineage=lineage, schema=new_schema
     )
+
+
+def _merge_mor(
+    table: LakeTable,
+    batch: DataFrame,
+    base: Manifest,
+    op_col: str | None,
+    lineage: dict | None,
+    evolve_schema: bool,
+    files_per_bucket: int,
+    auto_compact: int | None,
+    t0: float,
+) -> Manifest:
+    """Merge-on-read apply: append the deduped batch as delta files.
+
+    One Spark job (dedup shuffle + bucketed write) per batch — no scan of
+    existing state, no key anti-join, no bucket collect.  Tombstones are
+    written for deletes so reconstruction drops the key; later re-inserts
+    win by LSN."""
+    data_cols = [c for c in batch.columns if c not in (op_col, LSN_COL)]
+    batch_schema = batch.select(*data_cols).schema
+    new_schema = (
+        merge_schemas(base.schema, batch_schema) if evolve_schema else base.schema
+    )
+    delta = batch.select(
+        *[
+            (F.col(f.name).cast(f.dataType) if f.name in batch.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in new_schema.fields
+        ],
+        F.col(LSN_COL),
+        (
+            (F.col(op_col) == F.lit(DELETE_OP))
+            if op_col is not None and op_col in batch.columns
+            else F.lit(False)
+        ).alias(DELETED_COL),
+    )
+    staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
+    if new_schema.jsonValue() != base.schema.jsonValue():
+        staged_base.current_schema_id = base.current_schema_id + 1
+        staged_base.schemas = {
+            **base.schemas,
+            str(staged_base.current_schema_id): new_schema.jsonValue(),
+        }
+    frag = table._stage_write(
+        delta, staged_base, files_per_bucket,
+        kind="delta", extra_cols=[LSN_COL, DELETED_COL],
+    )
+    if lineage is not None:
+        lineage = dict(lineage)
+        lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
+    m = table._commit(
+        base, frag, replaced_buckets=set(), lineage=lineage, schema=new_schema
+    )
+    if auto_compact is not None:
+        heavy = table.delta_heavy_buckets(auto_compact)
+        if heavy:
+            m = table.compact(heavy)
+    return m

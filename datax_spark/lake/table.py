@@ -53,6 +53,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BUCKET_COL = "__dx_bucket"
+# Hidden merge-on-read columns carried in delta files only: the event's LSN
+# (ordering authority) and the tombstone flag.  Base files never carry them.
+LSN_COL = "__lsn"
+DELETED_COL = "__deleted"
 
 # Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
 # DoubleColumn keeps the string form until cast — common/src/main/java/com/
@@ -125,7 +129,10 @@ class Manifest:
     num_buckets: int
     bucket_col: str
     key_cols: list[str]
-    # bucket id (str) -> list of data-file relpaths; each entry (path, schema_id)
+    # bucket id (str) -> list of data files; each entry is
+    # [relpath, schema_id] (base, back-compat) or [relpath, schema_id, kind]
+    # with kind ∈ {"base", "delta"} — delta = merge-on-read upsert/tombstone
+    # file carrying the hidden (__lsn, __deleted) columns.
     files: dict[str, list[list[Any]]]
     # schema_id -> schema json (history for reading old files)
     schemas: dict[str, dict]
@@ -249,27 +256,38 @@ class LakeTable:
         """Spark-side bucket id — identical everywhere (write & merge prune)."""
         return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
 
-    def read(
-        self, version: int | None = None, buckets: list[int] | None = None
-    ) -> DataFrame:
-        """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
-        fast path — Iceberg partition pruning analogue)."""
-        m = self.manifest(version)
+    def _scan_raw(
+        self, m: Manifest, buckets: list[int] | None
+    ) -> tuple[DataFrame | None, bool]:
+        """Union all snapshot files projected to (current schema + hidden
+        MOR columns).  Base files get (__lsn=-1, __deleted=false); delta
+        files carry their own.  Returns (frame | None, any_delta)."""
         want = None if buckets is None else {str(b) for b in buckets}
-        by_schema: dict[str, list[str]] = {}
+        groups: dict[tuple[str, str], list[str]] = {}
         for b, entries in m.files.items():
             if want is not None and b not in want:
                 continue
-            for rel, schema_id in entries:
-                by_schema.setdefault(str(schema_id), []).append(
+            for entry in entries:
+                rel, schema_id = entry[0], entry[1]
+                kind = entry[2] if len(entry) > 2 else "base"
+                groups.setdefault((str(schema_id), kind), []).append(
                     os.path.join(self.location, rel)
                 )
+        if not groups:
+            return None, False
         target = m.schema
-        if not by_schema:
-            return self.spark.createDataFrame([], target)
+        any_delta = any(kind == "delta" for _, kind in groups)
         parts: list[DataFrame] = []
-        for schema_id, paths in by_schema.items():
+        for (schema_id, kind), paths in groups.items():
             file_schema = T.StructType.fromJson(m.schemas[schema_id])
+            if kind == "delta":
+                file_schema = T.StructType(
+                    file_schema.fields
+                    + [
+                        T.StructField(LSN_COL, T.LongType()),
+                        T.StructField(DELETED_COL, T.BooleanType()),
+                    ]
+                )
             df = self.spark.read.schema(file_schema).parquet(*paths)
             # project/cast up to the current schema: missing columns → null,
             # widened columns → cast (reads stay JVM-side, no Python).
@@ -279,15 +297,57 @@ class LakeTable:
                  else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in target.fields
             ]
+            if kind == "delta":
+                cols += [F.col(LSN_COL), F.col(DELETED_COL)]
+            else:
+                cols += [
+                    F.lit(-1).cast("long").alias(LSN_COL),
+                    F.lit(False).alias(DELETED_COL),
+                ]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out, any_delta
+
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
+        fast path — Iceberg partition pruning analogue).
+
+        Merge-on-read: if the selected buckets contain delta files, the scan
+        reconstructs last-writer-wins state — one hash-aggregate
+        (``max_by(row, __lsn)`` per key, map-side partial) then tombstone
+        filter.  Pure-base snapshots skip reconstruction entirely (the
+        post-compaction fast path)."""
+        m = self.manifest(version)
+        raw, any_delta = self._scan_raw(m, buckets)
+        if raw is None:
+            return self.spark.createDataFrame([], m.schema)
+        data_cols = [f.name for f in m.schema.fields]
+        if not any_delta:
+            return raw.select(*data_cols)
+        payload = F.struct(
+            *[F.col(c) for c in data_cols], F.col(DELETED_COL).alias(DELETED_COL)
+        )
+        last = raw.groupBy(*[F.col(c) for c in m.key_cols]).agg(
+            F.max_by(payload, F.col(LSN_COL)).alias("__row")
+        )
+        return (
+            last.select("__row.*")
+            .filter(~F.col(DELETED_COL))
+            .drop(DELETED_COL)
+        )
 
     # ---------------------------------------------------------------- writes
     def _stage_write(
-        self, df: DataFrame, m: Manifest, files_per_bucket: int = 1
+        self,
+        df: DataFrame,
+        m: Manifest,
+        files_per_bucket: int = 1,
+        kind: str = "base",
+        extra_cols: list[str] | None = None,
     ) -> dict[str, list[list[Any]]]:
         """Write df into per-bucket parquet files; returns files map fragment.
 
@@ -298,9 +358,10 @@ class LakeTable:
         """
         staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
         bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
-        staged = df.select(*[F.col(f.name) for f in m.schema.fields]).withColumn(
-            _BUCKET_COL, bexpr
-        )
+        staged = df.select(
+            *[F.col(f.name) for f in m.schema.fields],
+            *[F.col(c) for c in (extra_cols or [])],
+        ).withColumn(_BUCKET_COL, bexpr)
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
         if files_per_bucket == 1:
             staged = staged.repartition(m.num_buckets, F.col(_BUCKET_COL))
@@ -329,7 +390,7 @@ class LakeTable:
                     os.path.join(staging, entry, fn), os.path.join(bdir, new_name)
                 )
                 frag.setdefault(bucket, []).append(
-                    [os.path.join("data", f"b={bucket}", new_name), schema_id]
+                    [os.path.join("data", f"b={bucket}", new_name), schema_id, kind]
                 )
         shutil.rmtree(staging, ignore_errors=True)
         return frag
@@ -444,20 +505,57 @@ class LakeTable:
     # ------------------------------------------------------------ maintenance
     def file_stats(self) -> dict:
         m = self.manifest()
-        n_files, n_bytes, n_rows = 0, 0, 0
+        n_files, n_bytes, n_rows, n_delta = 0, 0, 0, 0
         for entries in m.files.values():
-            for rel, _ in entries:
-                p = os.path.join(self.location, rel)
+            for entry in entries:
+                p = os.path.join(self.location, entry[0])
                 n_files += 1
                 n_bytes += os.path.getsize(p)
                 n_rows += pq.read_metadata(p).num_rows
+                if len(entry) > 2 and entry[2] == "delta":
+                    n_delta += 1
         return {
             "version": m.version,
             "files": n_files,
+            "delta_files": n_delta,
             "bytes": n_bytes,
             "rows": n_rows,
             "buckets": len(m.files),
         }
+
+    def delta_heavy_buckets(self, max_delta_files: int) -> list[int]:
+        """Buckets whose delta-file count exceeds the read-amplification
+        budget — the compaction candidates."""
+        m = self.manifest()
+        out = []
+        for b, entries in m.files.items():
+            n = sum(1 for e in entries if len(e) > 2 and e[2] == "delta")
+            if n > max_delta_files:
+                out.append(int(b))
+        return sorted(out)
+
+    def compact(self, buckets: list[int] | None = None) -> "Manifest | None":
+        """Collapse delta files into base for the given buckets (default:
+        every bucket holding deltas).  Reconstructed last-writer-wins state
+        is rewritten as pure base files; tombstones vanish.  One atomic
+        commit; read amplification returns to 1 for those buckets.
+
+        The Iceberg analogue is rewrite_data_files / minor compaction; at
+        scale this runs out-of-band (separate job), amortized across many
+        micro-batches."""
+        m = self.manifest()
+        if buckets is None:
+            buckets = [
+                int(b)
+                for b, entries in m.files.items()
+                if any(len(e) > 2 and e[2] == "delta" for e in entries)
+            ]
+        if not buckets:
+            return None
+        state = self.read(buckets=buckets)
+        frag = self._stage_write(state, m, kind="base")
+        # a compacted-to-empty bucket must still drop its old files
+        return self._commit(m, frag, replaced_buckets={str(b) for b in buckets})
 
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the latest ``keep_versions``
@@ -467,7 +565,7 @@ class LakeTable:
         live: set[str] = set()
         for v in keep:
             for entries in self.manifest(v).files.values():
-                live.update(rel for rel, _ in entries)
+                live.update(entry[0] for entry in entries)
         removed = 0
         for bdir in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, bdir)

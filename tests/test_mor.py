@@ -1,0 +1,97 @@
+"""Merge-on-read specifics: delta accumulation, reconstruction parity with
+COW, compaction, auto-compaction bounds, and dedup_batch=False parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark import fixtures
+from datax_spark.cdc.runner import create_repo_table, run_incremental
+
+N_EVENTS = 3000
+
+
+def _feed(spark, tmp_path):
+    path = str(tmp_path / "feed")
+    fixtures.change_events(spark, N_EVENTS, n_keys=600, seed=42) \
+        .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
+
+
+def _state(table):
+    return {
+        (r.repo, r.path, r.commit): r.sha
+        for r in table.read()
+        .select("repo", "path", "commit",
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("sha"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("dedup_batch", [True, False])
+def test_mor_matches_fold_and_cow(spark, tmp_path, dedup_batch):
+    feed, feed_path = _feed(spark, tmp_path)
+    t_mor = create_repo_table(spark, str(tmp_path / "mor"), num_buckets=8)
+    run_incremental(t_mor, feed, batch_lsns=1000, mode="mor",
+                    auto_compact=None, dedup_batch=dedup_batch)
+    t_cow = create_repo_table(spark, str(tmp_path / "cow"), num_buckets=8)
+    run_incremental(t_cow, feed, batch_lsns=1000, mode="cow")
+
+    expected = fixtures.expected_state(feed_path)
+    got = _state(t_mor)
+    assert set(got) == set(expected)
+    for k, sha in got.items():
+        assert sha == expected[k]["sha256"]
+    assert got == _state(t_cow)
+
+    # MOR wrote only delta files; COW only base
+    assert t_mor.file_stats()["delta_files"] > 0
+    assert t_cow.file_stats()["delta_files"] == 0
+
+
+def test_compact_collapses_deltas_preserving_state(spark, tmp_path):
+    feed, feed_path = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    run_incremental(t, feed, batch_lsns=500, mode="mor", auto_compact=None)
+    before = _state(t)
+    stats = t.file_stats()
+    assert stats["delta_files"] > 0
+    t.compact()
+    after_stats = t.file_stats()
+    assert after_stats["delta_files"] == 0
+    assert _state(t) == before
+    # tombstones physically gone: row count == live keys
+    assert after_stats["rows"] == len(before)
+    # lineage survived compaction (exactly-once guard intact)
+    assert t.last_lsn() == N_EVENTS - 1
+    lineages = run_incremental(t, feed, batch_lsns=500, mode="mor")
+    assert lineages == []  # full replay still a no-op
+
+
+def test_auto_compact_bounds_delta_files(spark, tmp_path):
+    feed, _ = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=4)
+    # 6 batches with a budget of 3 delta files per bucket
+    run_incremental(t, feed, batch_lsns=500, mode="mor", auto_compact=3)
+    assert not t.delta_heavy_buckets(3)
+    # state still correct after interleaved compactions
+    expected = fixtures.expected_state(str(tmp_path / "feed"))
+    assert set(_state(t)) == set(expected)
+
+
+def test_mor_schema_evolution_in_deltas(spark, tmp_path):
+    feed, _ = _feed(spark, tmp_path)
+    v2 = fixtures.change_events(
+        spark, N_EVENTS * 2, n_keys=600, seed=42, schema_v2_from_lsn=N_EVENTS
+    )
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    run_incremental(t, feed, batch_lsns=1500, mode="mor", auto_compact=None)
+    run_incremental(t, v2, batch_lsns=1500, mode="mor", auto_compact=None)
+    sch = {f.name: f.dataType.typeName() for f in t.schema().fields}
+    assert sch["stars"] == "integer" and sch["size"] == "long"
+    # old delta rows surface with null stars; new ones carry values
+    rows = t.read().select("stars").collect()
+    assert any(r.stars is not None for r in rows)
+    # compaction preserves the evolved schema
+    t.compact()
+    sch2 = {f.name: f.dataType.typeName() for f in t.schema().fields}
+    assert sch2 == sch
