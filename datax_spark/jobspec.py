@@ -1,0 +1,206 @@
+"""Typed job spec — the rebuild of DataX's JSON job configuration.
+
+DataX drives everything from a JSON tree navigated by path expressions
+(common/.../util/Configuration.java:53-219; job layout
+core/src/main/java/com/alibaba/datax/core/util/container/CoreConstant.java:79-98).
+Here the spec is a small dataclass tree with JSON (de)serialization; the
+"engine" it configures is the DataFrame/Structured-Streaming pipeline:
+
+    {"source":  {"path": "/feed", "format": "parquet"},
+     "target":  {"location": "/lake/repo_files",
+                 "key_cols": ["repo","path","commit"],
+                 "bucket_col": "repo", "num_buckets": 64},
+     "merge":   {"mode": "mor", "auto_compact": 8, "dedup_batch": true},
+     "run":     {"kind": "incremental", "batch_lsns": 100000},
+     "error_limit": {"record": 0, "percentage": 0.02},
+     "transforms": [{"name": "dx_digest", "column": "content",
+                     "parameters": ["sha256", "toLower"], "as": "sha"}]}
+
+preCheck (--dry-run) mirrors JobContainer's dry-run mode
+(core/.../job/JobContainer.java:103-106,182-192): validate paths, schema,
+key columns, op values — no data written.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from datax_spark.cdc.apply import ENVELOPE_COLS
+
+
+@dataclass
+class SourceSpec:
+    path: str
+    format: str = "parquet"
+
+
+@dataclass
+class TargetSpec:
+    location: str
+    key_cols: list[str] = field(default_factory=lambda: ["repo", "path", "commit"])
+    bucket_col: str | None = None
+    num_buckets: int = 16
+
+
+@dataclass
+class MergeSpec:
+    mode: str = "mor"
+    auto_compact: int | None = 8
+    dedup_batch: bool = True
+    files_per_bucket: int = 1
+
+
+@dataclass
+class RunSpec:
+    kind: str = "incremental"  # full | incremental | stream
+    batch_lsns: int = 100_000
+    max_files_per_trigger: int | None = None
+
+
+@dataclass
+class ErrorLimitSpec:
+    record: int | None = None
+    percentage: float | None = None
+
+
+@dataclass
+class JobSpec:
+    source: SourceSpec
+    target: TargetSpec
+    merge: MergeSpec = field(default_factory=MergeSpec)
+    run: RunSpec = field(default_factory=RunSpec)
+    error_limit: ErrorLimitSpec = field(default_factory=ErrorLimitSpec)
+    transforms: list[dict] = field(default_factory=list)
+    quarantine_path: str | None = None
+
+    # ------------------------------------------------------------------ io
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "JobSpec":
+        return JobSpec(
+            source=SourceSpec(**d["source"]),
+            target=TargetSpec(**d["target"]),
+            merge=MergeSpec(**d.get("merge", {})),
+            run=RunSpec(**d.get("run", {})),
+            error_limit=ErrorLimitSpec(**d.get("error_limit", {})),
+            transforms=list(d.get("transforms", [])),
+            quarantine_path=d.get("quarantine_path"),
+        )
+
+    @staticmethod
+    def from_json(path: str) -> "JobSpec":
+        with open(path, encoding="utf-8") as f:
+            return JobSpec.from_dict(json.load(f))
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    # ------------------------------------------------------------ pre-check
+    def pre_check(self, spark: SparkSession) -> list[str]:
+        """Dry-run validation; returns a list of problems (empty = OK)."""
+        problems: list[str] = []
+        if not os.path.exists(self.source.path):
+            problems.append(f"source path missing: {self.source.path}")
+            return problems
+        try:
+            df = spark.read.format(self.source.format).load(self.source.path)
+        except Exception as e:  # unreadable source
+            return problems + [f"source unreadable: {e}"]
+        cols = set(df.columns)
+        if self.run.kind in ("incremental", "stream"):
+            for c in ENVELOPE_COLS:
+                if c not in cols:
+                    problems.append(f"feed missing envelope column: {c}")
+        for k in self.target.key_cols:
+            if k not in cols:
+                problems.append(f"feed missing key column: {k}")
+        if self.merge.mode not in ("mor", "cow"):
+            problems.append(f"unknown merge mode: {self.merge.mode}")
+        if self.run.kind not in ("full", "incremental", "stream"):
+            problems.append(f"unknown run kind: {self.run.kind}")
+        bucket = self.target.bucket_col or self.target.key_cols[0]
+        if bucket not in cols:
+            problems.append(f"bucket column missing from feed: {bucket}")
+        return problems
+
+
+def run_job(spark: SparkSession, spec: JobSpec) -> dict:
+    """Execute a job spec; returns a summary dict (≈ DataX's end-of-job
+    statistics, JobContainer.java:538-592)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.cdc import quarantine as Q
+    from datax_spark.cdc.runner import run_incremental
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.transforms import TransformerRegistry
+
+    t0 = time.monotonic()
+    feed = spark.read.format(spec.source.format).load(spec.source.path)
+    if spec.transforms:
+        feed = TransformerRegistry().apply_chain(feed, spec.transforms)
+
+    target_loc = spec.target.location
+    if LakeTable.exists(target_loc):
+        table = LakeTable(spark, target_loc)
+    else:
+        if spec.run.kind == "full":
+            payload_schema = feed.drop(*[c for c in ENVELOPE_COLS]).schema
+        else:
+            payload_schema = feed.drop(*[c for c in ENVELOPE_COLS
+                                         if c in feed.columns]).schema
+        table = LakeTable.create(
+            spark, target_loc,
+            schema=payload_schema,
+            key_cols=spec.target.key_cols,
+            bucket_col=spec.target.bucket_col,
+            num_buckets=spec.target.num_buckets,
+        )
+
+    limits = Q.ErrorLimits(spec.error_limit.record, spec.error_limit.percentage)
+    summary: dict[str, Any] = {"kind": spec.run.kind}
+
+    if spec.run.kind == "full":
+        table.overwrite(feed, files_per_bucket=spec.merge.files_per_bucket)
+        summary["rows"] = table.file_stats()["rows"]
+    elif spec.run.kind == "incremental":
+        if spec.error_limit.record is not None or spec.error_limit.percentage is not None \
+                or spec.quarantine_path:
+            feed = Q.quarantine(
+                feed,
+                Q.envelope_rules(spec.target.key_cols),
+                quarantine_path=spec.quarantine_path,
+                limits=limits,
+            )
+        lineages = run_incremental(
+            table, feed, batch_lsns=spec.run.batch_lsns,
+            mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
+            dedup_batch=spec.merge.dedup_batch,
+        )
+        summary["batches"] = len(lineages)
+        summary["rows"] = int(sum(l["rows"] for l in lineages))
+        summary["bytes"] = int(sum(l["bytes"] for l in lineages))
+    elif spec.run.kind == "stream":
+        from datax_spark.streaming.runner import run_available_now
+
+        lineages = run_available_now(
+            spark, spec.source.path, table,
+            max_files_per_trigger=spec.run.max_files_per_trigger,
+        )
+        summary["batches"] = len(lineages)
+        summary["rows"] = int(sum(l["rows"] for l in lineages))
+    else:
+        raise ValueError(f"unknown run kind {spec.run.kind}")
+
+    wall = time.monotonic() - t0
+    summary["wall_sec"] = round(wall, 3)
+    if summary.get("rows"):
+        summary["rows_per_sec"] = round(summary["rows"] / wall, 1)
+    summary["table_version"] = table.current_version()
+    _ = F  # keep import local-explicit
+    return summary

@@ -1,0 +1,89 @@
+"""Job-spec driven runs + preCheck dry-run (≈ DataX job.json lifecycle)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from datax_spark import fixtures
+from datax_spark.jobspec import JobSpec, run_job
+
+
+def _spec_dict(tmp_path, kind="incremental"):
+    return {
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": 4},
+        "run": {"kind": kind, "batch_lsns": 1000},
+        "error_limit": {"record": 0, "percentage": None},
+    }
+
+
+def test_precheck_catches_problems(spark, tmp_path):
+    spec = JobSpec.from_dict(_spec_dict(tmp_path))
+    assert any("missing" in p for p in spec.pre_check(spark))  # no source yet
+
+    fixtures.change_events(spark, 500, n_keys=100, seed=42).drop("op") \
+        .write.parquet(str(tmp_path / "feed"))
+    probs = spec.pre_check(spark)
+    assert probs == ["feed missing envelope column: op"]
+
+
+def test_run_incremental_from_spec(spark, tmp_path):
+    fixtures.change_events(spark, 2000, n_keys=400, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    spec = JobSpec.from_dict(_spec_dict(tmp_path))
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 2000
+    assert summary["batches"] == 2
+    expected = fixtures.expected_state(str(tmp_path / "feed"))
+    from datax_spark.lake.table import LakeTable
+    t = LakeTable(spark, spec.target.location)
+    got = {
+        (r.repo, r.path, r.commit)
+        for r in t.read().select("repo", "path", "commit").collect()
+    }
+    assert got == set(expected)
+    # idempotent rerun: replayed batches are no-ops
+    summary2 = run_job(spark, spec)
+    assert summary2["batches"] == 0
+
+
+def test_spec_json_roundtrip(tmp_path):
+    d = _spec_dict(tmp_path)
+    p = tmp_path / "job.json"
+    p.write_text(json.dumps(d))
+    spec = JobSpec.from_json(str(p))
+    assert spec.to_dict()["target"]["num_buckets"] == 8
+    assert spec.merge.auto_compact == 4
+
+
+def test_stream_kind_from_spec(spark, tmp_path):
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1500, n_keys=300, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    d = _spec_dict(tmp_path, kind="stream")
+    d["run"]["max_files_per_trigger"] = 2
+    spec = JobSpec.from_dict(d)
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1500
+    expected = fixtures.expected_state(str(tmp_path / "feed"))
+    from pyspark.sql import functions as FF
+    from datax_spark.lake.table import LakeTable
+    t = LakeTable(spark, spec.target.location)
+    got = {
+        (r.repo, r.path, r.commit): r.sha
+        for r in t.read().select(
+            "repo", "path", "commit",
+            FF.sha2(FF.coalesce("content", F.lit("")), 256).alias("sha"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        assert got[k] == e["sha256"]
