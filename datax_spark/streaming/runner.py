@@ -40,12 +40,23 @@ from datax_spark.lake.table import LakeTable
 def write_feed_ordered(feed: DataFrame, path: str, n_files: int = 8) -> None:
     """Materialize a feed as lsn-range-ordered parquet files.
 
-    ``repartitionByRange(lsn)`` makes part-file ordinals follow LSN order,
-    so the streaming file source (which processes files in listing order)
-    replays the log in sequence — the WAL contract."""
+    ``repartitionByRange(lsn)`` makes part-file ordinals follow LSN order;
+    the mtime stamping below makes the streaming file source (which orders
+    candidate files by MODIFICATION TIME, not name) replay the log in
+    sequence — parallel writers finish out of order, and an out-of-order
+    file advancing the per-shard watermark would silently drop the
+    not-yet-applied older-LSN events behind it (the WAL delivery
+    contract this enforces)."""
     feed.repartitionByRange(n_files, F.col("lsn")).sortWithinPartitions(
         "lsn"
     ).write.mode("overwrite").parquet(path)
+    parts = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    base = int(os.path.getmtime(os.path.join(path, parts[0]))) if parts else 0
+    for i, fn in enumerate(parts):
+        # strictly increasing mtimes in part-ordinal (= LSN-range) order
+        os.utime(os.path.join(path, fn), (base + i, base + i))
 
 
 def run_available_now(
@@ -56,11 +67,20 @@ def run_available_now(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 600,
+    filter_watermark: bool = True,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
 
     Returns the lineage dicts of batches applied in this run (replays and
-    already-applied events are skipped, not re-applied)."""
+    already-applied events are skipped, not re-applied).
+
+    ``filter_watermark=True`` (default) drops events at-or-below each
+    shard's last-applied LSN — protects against checkpoint loss / source
+    rewind, but REQUIRES in-order (per shard) delivery across micro-batches
+    (write_feed_ordered's contract).  For sources that cannot guarantee
+    order, pass False: MOR reconstruction is LSN-order-insensitive, so
+    unordered batches still converge (exactly-once then rests on the
+    streaming checkpoint's stable batch ids alone)."""
     if feed_schema is None:
         feed_schema = spark.read.parquet(feed_dir).schema
     if checkpoint_dir is None:
@@ -75,7 +95,8 @@ def run_available_now(
     applied: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = applier.filter_already_applied(batch_df)
+        if filter_watermark:
+            batch_df = applier.filter_already_applied(batch_df)
         lineage = applier.apply_batch(batch_df, f"s{batch_id}")
         if lineage is not None:
             applied.append(lineage)
