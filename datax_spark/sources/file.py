@@ -1,0 +1,128 @@
+"""File sources/sinks with the reference's reader/writer config semantics.
+
+Rebuilds the shared unstructured-storage contract DataX's txt/hdfs/oss/ftp
+plugins delegate to (plugin-unstructured-storage-util/.../reader/
+UnstructuredStorageReaderUtil.java:230-470) on top of ``spark.read``:
+
+reader config per column: ``{"index": i, "type": t, "format": fmt}`` or
+``{"value": const, "type": t}`` — positional projection, type cast, date
+formats, constant columns; file-level: delimiter, encoding, skipHeader,
+nullFormat, compression (compression/encoding are handled natively by
+Spark's csv/text readers).
+
+writer side (hdfswriter/.../HdfsWriter.java:84-92,159-185): writeMode
+``append`` / ``nonConflict`` (fail if target has files) / ``truncate``
+(overwrite) with the two-phase temp-dir publish Spark's committer already
+provides.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TYPE_MAP = {
+    "long": "long",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "bool": "boolean",
+    "date": "timestamp",
+    "bytes": "binary",
+}
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict[str, Any]] | None = None,
+    field_delimiter: str = ",",
+    skip_header: bool = False,
+    null_format: str | None = "\\N",
+    compression: str | None = None,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """DataX delimited-file reader semantics on spark.read.csv.
+
+    ``columns`` follows the reference's column spec exactly: a list of
+    ``{"index": i, "type": t[, "format": f]}`` (projection+cast of source
+    field i) or ``{"value": v, "type": t}`` (constant column, DataX's
+    ``value`` — UnstructuredStorageReaderUtil.java:391-443).  None means
+    all columns as strings (DataX ``column: ["*"]``)."""
+    reader = (
+        spark.read.option("sep", field_delimiter)
+        .option("header", str(skip_header).lower())
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+    )
+    if null_format is not None:
+        reader = reader.option("nullValue", null_format)
+    if compression:
+        reader = reader.option("compression", compression)
+    df = reader.csv(path)
+    if columns is None:
+        return df
+    src = df.columns
+    out = []
+    for i, spec in enumerate(columns):
+        t = _TYPE_MAP.get(str(spec.get("type", "string")).lower(), "string")
+        name = spec.get("name", f"c{i}")
+        if "value" in spec:  # constant column
+            col = F.lit(spec["value"]).cast(t)
+        else:
+            idx = int(spec["index"])
+            if idx >= len(src):
+                raise IndexError(
+                    f"column index {idx} out of range ({len(src)} fields)"
+                )
+            col = F.col(src[idx])
+            if t == "timestamp" and spec.get("format"):
+                col = F.to_timestamp(col, _java_to_spark_fmt(spec["format"]))
+            else:
+                col = col.cast(t)
+        out.append(col.alias(name))
+    return df.select(*out)
+
+
+def _java_to_spark_fmt(fmt: str) -> str:
+    # DataX uses Java SimpleDateFormat; Spark uses DateTimeFormatter —
+    # identical for the common yyyy/MM/dd/HH/mm/ss tokens.
+    return fmt
+
+
+def write_delimited(
+    df: DataFrame,
+    path: str,
+    write_mode: str = "append",
+    field_delimiter: str = ",",
+    compression: str | None = None,
+    header: bool = False,
+) -> None:
+    """DataX writer writeMode semantics (HdfsWriter.java:84-92):
+    append | nonConflict (error if files exist) | truncate (overwrite)."""
+    modes = {"append": "append", "nonConflict": "error", "truncate": "overwrite"}
+    if write_mode not in modes:
+        raise ValueError(f"unknown writeMode {write_mode!r}")
+    if write_mode == "nonConflict" and os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    ):
+        raise FileExistsError(
+            f"writeMode=nonConflict and target {path} is not empty"
+        )
+    w = (
+        df.write.mode(modes[write_mode])
+        .option("sep", field_delimiter)
+        .option("header", str(header).lower())
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)
+
+
+def write_orc(df: DataFrame, path: str, write_mode: str = "append") -> None:
+    """ORC emit (hdfswriter fileType=orc, HdfsWriter.java:54-57)."""
+    modes = {"append": "append", "nonConflict": "error", "truncate": "overwrite"}
+    df.write.mode(modes[write_mode]).orc(path)

@@ -1,0 +1,111 @@
+"""Split planning properties (hypothesis) + file source/sink config
+semantics vs the reference's reader/writer contracts."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datax_spark.sources import file as FS
+from datax_spark.sources import split as SP
+
+
+# ------------------------------------------------------------ split planning
+@given(
+    lo=st.integers(-(10**12), 10**12),
+    width=st.integers(0, 10**12),
+    n=st.integers(1, 64),
+)
+@settings(max_examples=200, deadline=None)
+def test_long_split_partitions_exactly(lo, width, n):
+    hi = lo + width
+    ranges = SP.split_long_range(lo, hi, n)
+    # complete, adjacent, non-overlapping, ordered
+    assert ranges[0][0] == lo and ranges[-1][1] == hi
+    for (a, b), (c, _) in zip(ranges, ranges[1:]):
+        assert b + 1 == c
+    for a, b in ranges:
+        assert a <= b
+    # balanced: widths differ by at most 1
+    widths = [b - a + 1 for a, b in ranges]
+    assert max(widths) - min(widths) <= 1
+
+
+def test_big_split_handles_beyond_int64():
+    ranges = SP.split_big_range(0, 2**80, 7)
+    assert ranges[0][0] == 0 and ranges[-1][1] == 2**80
+    assert len(ranges) == 7
+
+
+@given(
+    s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=6),
+    t=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=6),
+    n=st.integers(2, 10),
+)
+@settings(max_examples=100, deadline=None)
+def test_string_split_bounds_are_ordered(s, t, n):
+    bounds = SP.split_string_range(s, t, n)
+    assert bounds[0] == min(s, t, key=SP._str_to_num)
+    assert bounds[-1] == max(s, t, key=SP._str_to_num)
+    nums = [SP._str_to_num(b) for b in bounds]
+    assert nums == sorted(nums)
+
+
+def test_pk_predicates_shape():
+    preds = SP.pk_predicates("id", 0, 99, 4)
+    assert len(preds) == 5  # 4 ranges + NULL tail
+    assert preds[-1] == "id IS NULL"
+    assert preds[0] == "id >= 0 AND id < 25"
+    assert preds[3] == "id >= 75 AND id <= 99"
+
+
+def test_split_factor():
+    assert SP.split_factor_advice(8) == 40  # 5x oversplit, ReaderSplitUtil
+
+
+# ---------------------------------------------------------------- file source
+@pytest.fixture(scope="module")
+def csv_dir(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv")
+    (p / "a.csv").write_text(
+        "1;alice;2020-01-02 03:04:05;9.5\n"
+        "2;\\N;2021-06-07 08:09:10;1.25\n"
+    )
+    return str(p)
+
+
+def test_read_delimited_projection_cast_const(spark, csv_dir):
+    df = FS.read_delimited(
+        spark,
+        csv_dir,
+        columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "string", "name": "who"},
+            {"index": 2, "type": "date", "format": "yyyy-MM-dd HH:mm:ss", "name": "ts"},
+            {"index": 3, "type": "double", "name": "score"},
+            {"value": "fixed", "type": "string", "name": "tag"},
+        ],
+        field_delimiter=";",
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].who == "alice" and rows[2].who is None  # nullFormat \N
+    assert rows[1].ts.year == 2020 and rows[2].score == 1.25
+    assert rows[1].tag == "fixed"
+
+
+def test_read_delimited_bad_index(spark, csv_dir):
+    with pytest.raises(IndexError):
+        FS.read_delimited(
+            spark, csv_dir, columns=[{"index": 9, "type": "string"}],
+            field_delimiter=";",
+        )
+
+
+def test_write_modes(spark, tmp_path, csv_dir):
+    df = FS.read_delimited(spark, csv_dir, field_delimiter=";")
+    out = str(tmp_path / "out")
+    FS.write_delimited(df, out, write_mode="append", field_delimiter="|")
+    with pytest.raises(FileExistsError):
+        FS.write_delimited(df, out, write_mode="nonConflict")
+    FS.write_delimited(df, out, write_mode="truncate", field_delimiter="|")
+    back = spark.read.option("sep", "|").csv(out)
+    assert back.count() == 2
