@@ -27,7 +27,7 @@ from pyspark.sql import functions as F  # noqa: F401 (bench queries may use)
 
 def bench_cdc_ingest(
     spark, n_events: int, n_batches: int = 4, mode: str = "mor",
-    dedup_batch: bool = True,
+    dedup_batch: bool = True, lineage_detail: str = "shards",
 ) -> dict:
     """Full-sync + incremental MERGE replay of a synthetic feed; returns
     events/sec over the incremental (steady-state) phase, plus compaction
@@ -55,7 +55,7 @@ def bench_cdc_ingest(
         t1 = time.monotonic()
         lineages = run_incremental(
             t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches,
-            mode=mode, dedup_batch=dedup_batch,
+            mode=mode, dedup_batch=dedup_batch, lineage_detail=lineage_detail,
         )
         inc_s = time.monotonic() - t1
         rows = sum(l["rows"] for l in lineages)
@@ -73,6 +73,7 @@ def bench_cdc_ingest(
         return {
             "mode": mode,
             "dedup_batch": dedup_batch,
+            "lineage_detail": lineage_detail,
             "events": rows,
             "full_sync_sec": round(full_sync_s, 3),
             "incremental_sec": round(inc_s, 3),
@@ -134,7 +135,10 @@ def main() -> None:
     # headline: sustained MOR ingest with dedup deferred to compaction —
     # the 10^10-event configuration; the dedup-per-batch variant is
     # reported alongside for the update-heavy-feed trade-off.
-    ingest = bench_cdc_ingest(spark, n_events, mode="mor", dedup_batch=False)
+    ingest = bench_cdc_ingest(
+        spark, n_events, mode="mor", dedup_batch=False,
+        lineage_detail="global",
+    )
     print(f"# cdc_ingest(mor): {ingest}", file=sys.stderr)
     ingest_dedup = bench_cdc_ingest(
         spark, min(n_events, 200_000), mode="mor", dedup_batch=True

@@ -39,6 +39,7 @@ class CdcApplier:
         mode: str = "mor",
         auto_compact: int | None = 8,
         dedup_batch: bool = True,
+        lineage_detail: str = "shards",
     ):
         """``mode="mor"`` (default) appends delta files per batch — O(batch)
         writes, the 10^10-event path; ``mode="cow"`` rewrites touched
@@ -46,12 +47,19 @@ class CdcApplier:
         bounds MOR read amplification (max delta files per bucket).
         ``dedup_batch=False`` (MOR only) skips the in-batch key dedup
         shuffle — reconstruction collapses duplicates by LSN anyway; worth
-        it for insert-heavy feeds where dedup saves little."""
+        it for insert-heavy feeds where dedup saves little.
+        ``lineage_detail``: "shards" records per-shard rows/bytes/last-LSN
+        (one extra aggregation job per batch); "global" fuses the metrics
+        into the write job via DataFrame.observe — half the jobs, a single
+        global LSN watermark (valid for feeds consumed in LSN order)."""
+        if lineage_detail not in ("shards", "global"):
+            raise ValueError(f"unknown lineage_detail {lineage_detail!r}")
         self.table = table
         self.files_per_bucket = files_per_bucket
         self.mode = mode
         self.auto_compact = auto_compact
         self.dedup_batch = dedup_batch
+        self.lineage_detail = lineage_detail
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -61,7 +69,14 @@ class CdcApplier:
         state (at-least-once source → exactly-once effect).  The shard→LSN
         map is tiny (one row per source shard) and broadcast.
         """
-        shard_lsns = self.table.manifest().shard_lsns
+        shard_lsns = dict(self.table.manifest().shard_lsns)
+        if not shard_lsns:
+            return feed
+        # -1 = global watermark (lineage_detail="global"): applies to all
+        # shards — valid because that mode requires LSN-ordered consumption
+        global_wm = shard_lsns.pop("-1", None)
+        if global_wm is not None:
+            feed = feed.filter(F.col("lsn") > F.lit(int(global_wm)))
         if not shard_lsns:
             return feed
         wm = self.table.spark.createDataFrame(
@@ -87,9 +102,6 @@ class CdcApplier:
         # passes (stats agg, merge write), and re-scanning pushdown-pruned
         # columnar input is cheaper than materializing a row cache of wide
         # content strings (measured ~8x on 250k-event batches).
-        # one aggregate pass for lineage: per-shard consumption metrics
-        # (≈ DataX Communication counters, core/.../statistics/communication/
-        # CommunicationTool.java:17-53, merged task→job)
         str_cols = [
             f.name
             for f in batch.schema.fields
@@ -98,6 +110,13 @@ class CdcApplier:
         byte_expr = F.lit(48)  # fixed envelope overhead per event
         for c in str_cols:
             byte_expr = byte_expr + F.coalesce(F.octet_length(c), F.lit(0))
+
+        if self.lineage_detail == "global":
+            return self._apply_global(batch, batch_id, byte_expr)
+
+        # one aggregate pass for lineage: per-shard consumption metrics
+        # (≈ DataX Communication counters, core/.../statistics/communication/
+        # CommunicationTool.java:17-53, merged task→job)
         stats = (
             batch.groupBy("shard")
             .agg(
@@ -139,3 +158,56 @@ class CdcApplier:
             dedup_batch=self.dedup_batch,
         )
         return lineage
+
+    def _apply_global(self, batch: DataFrame, batch_id, byte_expr) -> dict | None:
+        """Single-job apply: lineage metrics ride the write job via
+        DataFrame.observe (no separate aggregation pass).  The watermark is
+        a single global last-LSN under shard id -1 — correct for feeds
+        consumed in LSN order (write_feed_ordered / run_incremental)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = batch.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.max("lsn").alias("last_lsn"),
+            F.sum(byte_expr).alias("bytes"),
+        )
+
+        def resolve() -> dict:
+            m = obs.get
+            rows = int(m["rows"] or 0)
+            last = -1 if m["last_lsn"] is None else int(m["last_lsn"])
+            nbytes = int(m["bytes"] or 0)
+            return {
+                "rows": rows,
+                "bytes": nbytes,
+                "shard_lsns": {-1: last} if rows else {},
+                "partitions": [
+                    {"partition_id": -1, "last_lsn": last,
+                     "rows": rows, "bytes": nbytes}
+                ] if rows else [],
+            }
+
+        lineage = {
+            "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
+            "_resolve": resolve,
+        }
+        payload = [c for c in batch.columns if c not in ENVELOPE_COLS]
+        merge_into(
+            self.table,
+            batch,
+            op_col="op",
+            order_col="lsn",
+            payload_cols=payload,
+            lineage=lineage,
+            evolve_schema=True,
+            files_per_bucket=self.files_per_bucket,
+            mode=self.mode,
+            auto_compact=self.auto_compact,
+            dedup_batch=self.dedup_batch,
+        )
+        resolved = resolve()
+        if resolved["rows"] == 0:
+            return None
+        return {"batch_id": lineage["batch_id"], **resolved}

@@ -62,6 +62,7 @@ def run_incremental(
     mode: str = "mor",
     auto_compact: int | None = 8,
     dedup_batch: bool = True,
+    lineage_detail: str = "shards",
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -72,7 +73,8 @@ def run_incremental(
     boundaries — replayed ids no-op via the lineage guard.
     """
     applier = CdcApplier(
-        table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch
+        table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
+        lineage_detail=lineage_detail,
     )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(

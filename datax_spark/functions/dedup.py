@@ -41,12 +41,25 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) exploded distinct n-word shingles + per-doc set size."""
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
+) -> DataFrame:
+    """(id, shingle) exploded distinct n-word shingles + per-doc set size.
+
+    ``hashed=True`` replaces the shingle string with its xxhash64 — the
+    join/shuffle key becomes a fixed-width long instead of a variable
+    string (cheaper exchange; collision odds ~n²/2^64, immaterial for
+    candidate generation)."""
     sh = df.select(
         F.col(id_col), TX.word_shingles(text_col, n).alias("__sh")
     ).withColumn("n_shingles", F.size("__sh"))
-    return sh.select(id_col, "n_shingles", F.explode("__sh").alias("shingle"))
+    shingle = F.explode("__sh").alias("shingle")
+    out = sh.select(id_col, "n_shingles", shingle)
+    if hashed:
+        out = out.select(
+            id_col, "n_shingles", F.xxhash64("shingle").alias("shingle")
+        )
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -64,7 +77,7 @@ def ngram_jaccard_pairs(
     boilerplate shingle can appear in millions of docs; its join group is
     quadratic).  Dropped shingles only lower the estimate, mirroring
     standard LSH-join practice."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    sh = shingle_sets(df, id_col, text_col, n, hashed=True)
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_df), "shingle", "inner").drop(

@@ -177,6 +177,7 @@ def merge_into(
     finally:
         batch.unpersist()
 
+    lineage = _resolve_lineage(lineage)
     if lineage is not None:
         lineage = dict(lineage)
         lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
@@ -185,6 +186,19 @@ def merge_into(
     return table._commit(
         base, frag, replaced_buckets=replaced, lineage=lineage, schema=new_schema
     )
+
+
+def _resolve_lineage(lineage: dict | None) -> dict | None:
+    """Lineage may carry a deferred ``_resolve`` callable (Observation-based
+    metrics fused into the write job) — evaluate it after the stage write,
+    before the commit, so metrics and data publish atomically without a
+    separate aggregation job."""
+    if lineage is None or "_resolve" not in lineage:
+        return lineage
+    lineage = dict(lineage)
+    resolve = lineage.pop("_resolve")
+    lineage.update(resolve())
+    return lineage
 
 
 def _merge_mor(
@@ -233,6 +247,9 @@ def _merge_mor(
         delta, staged_base, files_per_bucket,
         kind="delta", extra_cols=[LSN_COL, DELETED_COL],
     )
+    lineage = _resolve_lineage(lineage)
+    if lineage is not None and lineage.get("rows") == 0 and not frag:
+        return base  # empty batch — nothing to commit or record
     if lineage is not None:
         lineage = dict(lineage)
         lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)

@@ -281,7 +281,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.12
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.12, max_df=100,
     )
 
 
@@ -414,8 +415,12 @@ FROM documents GROUP BY md5(text)
     "dedup_ngram_jaccard": f"""
 WITH {_DOC_SHINGLES_3},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+-- hub-shingle cap (max_df=100): per-doc sizes from the FULL set, pair
+-- intersections from the capped set — mirrors the engine exactly
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
 pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
-          FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+          FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT a, b, n_common,
        round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
