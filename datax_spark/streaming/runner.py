@@ -68,6 +68,7 @@ def run_available_now(
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 600,
     filter_watermark: bool = True,
+    **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
 
@@ -91,7 +92,7 @@ def run_available_now(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(feed_dir)
 
-    applier = CdcApplier(table)
+    applier = CdcApplier(table, **applier_opts)
     applied: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

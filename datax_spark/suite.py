@@ -23,6 +23,8 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -255,6 +257,92 @@ def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy filter + agg: the predicate-pushdown showcase (filters
+    reach the parquet scan; assert via plans.checks in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-way star join (region→nation→customer/supplier→orders→lineitem)
+    with broadcast dims — the join-reordering/broadcast showcase."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    j = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(
+            supplier,
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (F.window) — the batch twin
+    of the Structured-Streaming windowed agg; oracle uses date_trunc."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+    )
+    return w.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+def q_tx_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dx_groovy escape hatch (GroovyTransformer.java:25-88) as an
+    Arrow-vectorized pandas UDF: user text normalization.  The oracle
+    reproduces it in SQL — proving the vectorized path, not just native
+    exprs, matches cross-engine."""
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.fillna("").str.strip().str.lower().str.replace(
+            r"\s+", " ", regex=True
+        )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", norm(F.col("text")).alias("norm_text"),
+        F.md5(norm(F.col("text"))).alias("norm_md5"),
+    )
+
+
 def q_q3_top_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy shipping-priority query; the small filtered customer dim
     is broadcast (DataX outsources joins to the source DB — SURVEY.md §2.4;
@@ -330,6 +418,22 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_pairs(emb, threshold=0.4, nbits=4)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: attach payload+metadata → Arrow mapInPandas
+    feature kernel (deterministic byte histogram).  No SQL oracle — the
+    mapInPandas path is not ANSI-expressible; the driver records the
+    rows-only check, and tests/test_multimodal.py asserts the values."""
+    from datax_spark.functions import multimodal as MM
+
+    docs = MM.attach_fake_binary(_t(spark, sf_dir, "documents"), "text")
+    feats = MM.fake_feature_extract(docs, dims=8)
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
 # ================================================================= registry
 _DOC_SHINGLES_3 = r"""
 w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -395,6 +499,39 @@ SELECT l_returnflag, l_linestatus, count(*) AS count_order,
        sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_discount_cents
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "q6_forecast_revenue": """
+SELECT sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_cents,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+    "q5_local_supplier_volume": """
+SELECT n_name,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""",
+    "events_tumbling_window": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+    "tx_pandas_udf_norm": r"""
+WITH n AS (SELECT doc_id,
+    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text, md5(norm_text) AS norm_md5 FROM n
 """,
     "q3_top_shipping": """
 SELECT l_orderkey, o_orderdate,
@@ -536,6 +673,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_minmax_pk": q_split_minmax_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "events_tumbling_window": q_events_tumbling_window,
+    "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -546,6 +687,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
     "embed_near_dup": q_embed_near_dup,
+    "multimodal_features": q_multimodal_features,  # no oracle: mapInPandas
 }
 
 

@@ -65,7 +65,19 @@ def test_query_matches_oracle(spark, ddb, name):
     assert spark_rows == duck_rows, name
 
 
+NO_ORACLE_ALLOWED = {
+    "multimodal_features",  # mapInPandas kernel — not ANSI-expressible;
+    # values asserted in tests/test_multimodal.py instead
+}
+
+
 def test_every_query_has_oracle_or_is_documented():
     missing = set(suite.queries()) - set(suite.oracle_sql())
     # non-SQL-expressible ops may omit oracles; keep the list explicit
-    assert missing == set(), missing
+    assert missing == NO_ORACLE_ALLOWED, missing
+
+
+def test_no_oracle_queries_still_run(spark):
+    for name in NO_ORACLE_ALLOWED:
+        df = suite.queries()[name](spark, SF_DIR)
+        assert df.count() > 0
