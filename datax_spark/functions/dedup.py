@@ -29,6 +29,17 @@ from pyspark.sql import functions as F
 from datax_spark.functions import text as TX
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism when
+    the input has fewer partitions — per-row-heavy sketch computation must
+    not be serialized by a small file count (one 5k-row parquet file is one
+    partition is one core)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Canonical row per identical text: (doc_id=min id, text_hash, n_copies)."""
     return (
@@ -50,6 +61,9 @@ def shingle_sets(
     join/shuffle key becomes a fixed-width long instead of a variable
     string (cheaper exchange; collision odds ~n²/2^64, immaterial for
     candidate generation)."""
+    # shingling is per-row heavy (array exprs over every token); a small
+    # single-file input would otherwise run it on ONE core — spread it
+    df = _parallelize(df)
     sh = df.select(
         F.col(id_col), TX.word_shingles(text_col, n).alias("__sh")
     ).withColumn("n_shingles", F.size("__sh"))
@@ -77,7 +91,9 @@ def ngram_jaccard_pairs(
     boilerplate shingle can appear in millions of docs; its join group is
     quadratic).  Dropped shingles only lower the estimate, mirroring
     standard LSH-join practice."""
-    sh = shingle_sets(df, id_col, text_col, n, hashed=True)
+    # shingle extraction is the expensive pass (array exprs over every doc);
+    # cache it — it feeds the df-frequency pass and BOTH join sides
+    sh = shingle_sets(df, id_col, text_col, n, hashed=True).persist()
     if max_df is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(freq.filter(F.col("__df") <= max_df), "shingle", "inner").drop(
@@ -197,7 +213,10 @@ def simhash_pairs(
     join, survives corpus scale."""
     nblocks = max_hamming + 1
     width = bits // nblocks
-    fp = df.select(F.col(id_col), TX.simhash(text_col, bits).alias("simhash"))
+    # fingerprints feed both join sides — compute once, in parallel
+    fp = _parallelize(df).select(
+        F.col(id_col), TX.simhash(text_col, bits).alias("simhash")
+    ).persist()
     blocks = fp.select(
         id_col,
         "simhash",
