@@ -68,6 +68,9 @@ def run_available_now(
     max_files_per_trigger: int | None = None,
     timeout_sec: int = 600,
     filter_watermark: bool = True,
+    quarantine_rules: list | None = None,
+    quarantine_path: str | None = None,
+    error_limits=None,
     **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
@@ -96,6 +99,13 @@ def run_available_now(
     applied: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if quarantine_rules is not None:
+            from datax_spark.cdc.quarantine import quarantine
+
+            batch_df = quarantine(
+                batch_df, quarantine_rules,
+                quarantine_path=quarantine_path, limits=error_limits,
+            )
         if filter_watermark:
             batch_df = applier.filter_already_applied(batch_df)
         lineage = applier.apply_batch(batch_df, f"s{batch_id}")

@@ -343,6 +343,28 @@ def q_tx_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): order-priority mix of orders with at least
+    one line shipped after the cutoff."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01")
+    )
+    sel = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return sel.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders, by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_cents("c_acctbal")).alias("sum_acctbal_cents"),
+    )
+
+
 def q_q3_top_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-heavy shipping-priority query; the small filtered customer dim
     is broadcast (DataX outsources joins to the source DB — SURVEY.md §2.4;
@@ -499,6 +521,21 @@ SELECT l_returnflag, l_linestatus, count(*) AS count_order,
        sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_discount_cents
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "semi_join_shipped_orders": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > TIMESTAMP '1997-01-01')
+GROUP BY o_orderpriority
+""",
+    "anti_join_idle_customers": """
+SELECT c_mktsegment, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
 """,
     "q6_forecast_revenue": """
 SELECT sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_cents,
@@ -673,6 +710,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_minmax_pk": q_split_minmax_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
+    "semi_join_shipped_orders": q_semi_join_shipped_orders,
+    "anti_join_idle_customers": q_anti_join_idle_customers,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "events_tumbling_window": q_events_tumbling_window,
