@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from datax_spark.lake.table import (
     DELETED_COL,
     LSN_COL,
+    CommitConflict,
     LakeTable,
     Manifest,
     merge_schemas,
@@ -120,10 +121,26 @@ def merge_into(
     )
 
     if mode == "mor":
-        return _merge_mor(
-            table, batch, base, op_col, lineage, evolve_schema,
-            files_per_bucket, auto_compact, t0,
-        )
+        # optimistic concurrency: a concurrent writer winning the manifest
+        # race raises CommitConflict — rebase on the new snapshot and
+        # restage (conflicts are rare; orphaned first-attempt files are
+        # vacuum()ed).  MOR appends commute, so the retry is always safe;
+        # the replay guard re-checks in case the OTHER writer applied this
+        # very batch id.
+        last_err: Exception | None = None
+        for _ in range(5):
+            base = table.manifest()
+            if lineage and str(lineage.get("batch_id")) in base.applied_batches:
+                return None
+            try:
+                return _merge_mor(
+                    table, batch, base, op_col, lineage, evolve_schema,
+                    files_per_bucket, auto_compact, t0,
+                )
+            except CommitConflict as e:
+                last_err = e
+                continue
+        raise last_err  # type: ignore[misc]
     batch = batch.persist()  # reused for bucket pruning, keys, and survivors
 
     data_cols = [c for c in batch.columns if c != op_col]
