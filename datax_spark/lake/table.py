@@ -502,6 +502,12 @@ class LakeTable:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def create_view(self, name: str, version: int | None = None) -> None:
+        """Register the (reconstructed) snapshot as a temp view so users
+        query the lake table with plain ``spark.sql`` — the SQL surface of
+        the engine (filters/projections still push down to the scan)."""
+        self.read(version=version).createOrReplaceTempView(name)
+
     # ------------------------------------------------------------ maintenance
     def file_stats(self) -> dict:
         m = self.manifest()

@@ -154,3 +154,20 @@ def test_dedup_last_per_key_unit(spark):
     )
     out = {(r.key, r.v) for r in dedup_last_per_key(df, ["key"], "lsn").collect()}
     assert out == {("k", "c"), ("j", "z")}
+
+
+def test_sql_view_over_lake_table(spark, tmp_path):
+    from datax_spark import fixtures
+    from datax_spark.cdc.runner import create_repo_table, run_incremental
+
+    feed = fixtures.change_events(spark, 1000, n_keys=200, seed=42)
+    fp = str(tmp_path / "feed")
+    feed.write.parquet(fp)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=4)
+    run_incremental(t, spark.read.parquet(fp), batch_lsns=1000)
+    t.create_view("repo_files_v")
+    n_sql = spark.sql(
+        "SELECT count(*) AS n FROM repo_files_v WHERE lang = 'python'"
+    ).collect()[0]["n"]
+    n_df = t.read().filter("lang = 'python'").count()
+    assert n_sql == n_df and n_sql > 0
