@@ -343,6 +343,36 @@ def q_tx_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (event_type → value band → grand total)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_band", (F.floor(F.col("value") / 25) * 25).cast("long")
+    )
+    return ev.rollup("event_type", "value_band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first signup precedes their first view
+    precedes their first purchase (conditional min aggregation + ordering
+    predicate — the sequential-pattern primitive)."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("event_id"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("event_id"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("event_id"))).alias("first_purchase"),
+    )
+    return firsts.filter(
+        F.col("first_signup").isNotNull()
+        & F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_signup") < F.col("first_view"))
+        & (F.col("first_view") < F.col("first_purchase"))
+    ).select("user_id", "first_signup", "first_view", "first_purchase")
+
+
 def q_semi_join_shipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): order-priority mix of orders with at least
     one line shipped after the cutoff."""
@@ -521,6 +551,25 @@ SELECT l_returnflag, l_linestatus, count(*) AS count_order,
        sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_discount_cents
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
+""",
+    "events_rollup": """
+SELECT event_type, CAST(floor(value/25)*25 AS BIGINT) AS value_band,
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY ROLLUP (event_type, CAST(floor(value/25)*25 AS BIGINT))
+""",
+    "events_funnel": """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type='signup' THEN event_id END) AS first_signup,
+         min(CASE WHEN event_type='view' THEN event_id END) AS first_view,
+         min(CASE WHEN event_type='purchase' THEN event_id END) AS first_purchase
+  FROM events GROUP BY user_id)
+SELECT user_id, first_signup, first_view, first_purchase
+FROM firsts
+WHERE first_signup IS NOT NULL AND first_view IS NOT NULL
+  AND first_purchase IS NOT NULL
+  AND first_signup < first_view AND first_view < first_purchase
 """,
     "semi_join_shipped_orders": """
 SELECT o_orderpriority, count(*) AS n_orders
@@ -710,6 +759,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_minmax_pk": q_split_minmax_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
+    "events_rollup": q_events_rollup,
+    "events_funnel": q_events_funnel,
     "semi_join_shipped_orders": q_semi_join_shipped_orders,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,

@@ -36,10 +36,21 @@ def _norm(v):
     return v
 
 
+def _sort_key(t):
+    # None-safe total order (rollup/cube rows carry NULL group keys)
+    return tuple((v is None, str(v)) for v in t)
+
+
 def _rows(rows, cols):
     return sorted(
-        tuple(_norm(r[c] if isinstance(r, dict) else r[i]) for i, c in enumerate(cols))
-        for r in rows
+        (
+            tuple(
+                _norm(r[c] if isinstance(r, dict) else r[i])
+                for i, c in enumerate(cols)
+            )
+            for r in rows
+        ),
+        key=_sort_key,
     )
 
 
@@ -58,7 +69,9 @@ def test_query_matches_oracle(spark, ddb, name):
     # reorder spark tuples to duckdb column order for value compare
     if spark_cols != duck_cols:
         idx = [spark_cols.index(c) for c in duck_cols]
-        spark_rows = sorted(tuple(t[i] for i in idx) for t in spark_rows)
+        spark_rows = sorted(
+            (tuple(t[i] for i in idx) for t in spark_rows), key=_sort_key
+        )
     assert len(spark_rows) == len(duck_rows), (
         name, len(spark_rows), len(duck_rows)
     )
