@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: F401 (bench queries may use)
 def bench_cdc_ingest(
     spark, n_events: int, n_batches: int = 4, mode: str = "mor",
     dedup_batch: bool = True, lineage_detail: str = "shards",
+    bucket_deltas: bool = True,
 ) -> dict:
     """Full-sync + incremental MERGE replay of a synthetic feed; returns
     events/sec over the incremental (steady-state) phase, plus compaction
@@ -56,6 +57,7 @@ def bench_cdc_ingest(
         lineages = run_incremental(
             t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches,
             mode=mode, dedup_batch=dedup_batch, lineage_detail=lineage_detail,
+            bucket_deltas=bucket_deltas,
         )
         inc_s = time.monotonic() - t1
         rows = sum(l["rows"] for l in lineages)
@@ -74,6 +76,7 @@ def bench_cdc_ingest(
             "mode": mode,
             "dedup_batch": dedup_batch,
             "lineage_detail": lineage_detail,
+            "bucket_deltas": bucket_deltas,
             "events": rows,
             "full_sync_sec": round(full_sync_s, 3),
             "incremental_sec": round(inc_s, 3),
@@ -137,7 +140,7 @@ def main() -> None:
     # reported alongside for the update-heavy-feed trade-off.
     ingest = bench_cdc_ingest(
         spark, n_events, mode="mor", dedup_batch=False,
-        lineage_detail="global",
+        lineage_detail="global", bucket_deltas=False,
     )
     print(f"# cdc_ingest(mor): {ingest}", file=sys.stderr)
     ingest_dedup = bench_cdc_ingest(

@@ -40,6 +40,7 @@ class CdcApplier:
         auto_compact: int | None = 8,
         dedup_batch: bool = True,
         lineage_detail: str = "shards",
+        bucket_deltas: bool = True,
     ):
         """``mode="mor"`` (default) appends delta files per batch — O(batch)
         writes, the 10^10-event path; ``mode="cow"`` rewrites touched
@@ -51,7 +52,10 @@ class CdcApplier:
         ``lineage_detail``: "shards" records per-shard rows/bytes/last-LSN
         (one extra aggregation job per batch); "global" fuses the metrics
         into the write job via DataFrame.observe — half the jobs, a single
-        global LSN watermark (valid for feeds consumed in LSN order)."""
+        global LSN watermark (valid for feeds consumed in LSN order).
+        ``bucket_deltas=False`` writes unbucketed L0 delta files with NO
+        shuffle at all (LSM level-0 append; compaction re-buckets) — the
+        maximum-throughput ingest shape."""
         if lineage_detail not in ("shards", "global"):
             raise ValueError(f"unknown lineage_detail {lineage_detail!r}")
         self.table = table
@@ -60,6 +64,7 @@ class CdcApplier:
         self.auto_compact = auto_compact
         self.dedup_batch = dedup_batch
         self.lineage_detail = lineage_detail
+        self.bucket_deltas = bucket_deltas
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -156,6 +161,7 @@ class CdcApplier:
             mode=self.mode,
             auto_compact=self.auto_compact,
             dedup_batch=self.dedup_batch,
+            bucket_deltas=self.bucket_deltas,
         )
         return lineage
 
@@ -206,6 +212,7 @@ class CdcApplier:
             mode=self.mode,
             auto_compact=self.auto_compact,
             dedup_batch=self.dedup_batch,
+            bucket_deltas=self.bucket_deltas,
         )
         resolved = resolve()
         if resolved["rows"] == 0:

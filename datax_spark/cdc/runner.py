@@ -63,6 +63,7 @@ def run_incremental(
     auto_compact: int | None = 8,
     dedup_batch: bool = True,
     lineage_detail: str = "shards",
+    bucket_deltas: bool = True,
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -74,7 +75,7 @@ def run_incremental(
     """
     applier = CdcApplier(
         table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
-        lineage_detail=lineage_detail,
+        lineage_detail=lineage_detail, bucket_deltas=bucket_deltas,
     )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(

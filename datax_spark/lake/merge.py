@@ -73,6 +73,7 @@ def merge_into(
     mode: str = "cow",
     auto_compact: int | None = None,
     dedup_batch: bool = True,
+    bucket_deltas: bool = True,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -136,11 +137,19 @@ def merge_into(
                 return _merge_mor(
                     table, batch, base, op_col, lineage, evolve_schema,
                     files_per_bucket, auto_compact, t0,
+                    bucket_deltas=bucket_deltas,
                 )
             except CommitConflict as e:
                 last_err = e
                 continue
         raise last_err  # type: ignore[misc]
+    from datax_spark.lake.table import L0_BUCKET
+
+    if L0_BUCKET in base.files:
+        raise ValueError(
+            "copy-on-write MERGE on a table holding unbucketed L0 deltas "
+            "would duplicate or drop L0 rows — run table.compact() first"
+        )
     batch = batch.persist()  # reused for bucket pruning, keys, and survivors
 
     data_cols = [c for c in batch.columns if c != op_col]
@@ -228,6 +237,7 @@ def _merge_mor(
     files_per_bucket: int,
     auto_compact: int | None,
     t0: float,
+    bucket_deltas: bool = True,
 ) -> Manifest:
     """Merge-on-read apply: append the deduped batch as delta files.
 
@@ -263,6 +273,7 @@ def _merge_mor(
     frag = table._stage_write(
         delta, staged_base, files_per_bucket,
         kind="delta", extra_cols=[LSN_COL, DELETED_COL],
+        bucketed=bucket_deltas,
     )
     lineage = _resolve_lineage(lineage)
     if lineage is not None and lineage.get("rows") == 0 and not frag:

@@ -57,6 +57,10 @@ _BUCKET_COL = "__dx_bucket"
 # (ordering authority) and the tombstone flag.  Base files never carry them.
 LSN_COL = "__lsn"
 DELETED_COL = "__deleted"
+# Pseudo-bucket for unbucketed L0 delta files (LSM level-0): written with
+# NO shuffle (map-side append), holding rows of any bucket; every bucket
+# selection must include them until compaction re-buckets.
+L0_BUCKET = "L0"
 
 # Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
 # DoubleColumn keeps the string form until cast — common/src/main/java/com/
@@ -265,7 +269,8 @@ class LakeTable:
         want = None if buckets is None else {str(b) for b in buckets}
         groups: dict[tuple[str, str], list[str]] = {}
         for b, entries in m.files.items():
-            if want is not None and b not in want:
+            # L0 deltas are bucket-agnostic: included in every selection
+            if want is not None and b not in want and b != L0_BUCKET:
                 continue
             for entry in entries:
                 rel, schema_id = entry[0], entry[1]
@@ -325,6 +330,10 @@ class LakeTable:
         raw, any_delta = self._scan_raw(m, buckets)
         if raw is None:
             return self.spark.createDataFrame([], m.schema)
+        if buckets is not None and L0_BUCKET in m.files:
+            # L0 files hold rows of any bucket — restrict to the selection
+            bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
+            raw = raw.filter(bexpr.isin([int(b) for b in buckets]))
         data_cols = [f.name for f in m.schema.fields]
         if not any_delta:
             return raw.select(*data_cols)
@@ -348,6 +357,7 @@ class LakeTable:
         files_per_bucket: int = 1,
         kind: str = "base",
         extra_cols: list[str] | None = None,
+        bucketed: bool = True,
     ) -> dict[str, list[list[Any]]]:
         """Write df into per-bucket parquet files; returns files map fragment.
 
@@ -357,11 +367,30 @@ class LakeTable:
         parquet footers (no extra Spark job).
         """
         staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
-        bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
-        staged = df.select(
+        selected = df.select(
             *[F.col(f.name) for f in m.schema.fields],
             *[F.col(c) for c in (extra_cols or [])],
-        ).withColumn(_BUCKET_COL, bexpr)
+        )
+        if not bucketed:
+            # L0 append: NO shuffle — each input partition writes straight
+            # out (LSM level-0).  Bucketing happens at compaction.
+            selected.write.mode("overwrite").parquet(staging)
+            frag: dict[str, list[list[Any]]] = {}
+            bdir = os.path.join(self.data_dir, f"b={L0_BUCKET}")
+            os.makedirs(bdir, exist_ok=True)
+            for fn in sorted(os.listdir(staging)):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"{uuid.uuid4().hex}.parquet"
+                os.rename(os.path.join(staging, fn), os.path.join(bdir, new_name))
+                frag.setdefault(L0_BUCKET, []).append(
+                    [os.path.join("data", f"b={L0_BUCKET}", new_name),
+                     m.current_schema_id, kind]
+                )
+            shutil.rmtree(staging, ignore_errors=True)
+            return frag
+        bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
+        staged = selected.withColumn(_BUCKET_COL, bexpr)
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
         if files_per_bucket == 1:
             staged = staged.repartition(m.num_buckets, F.col(_BUCKET_COL))
@@ -529,16 +558,26 @@ class LakeTable:
             "buckets": len(m.files),
         }
 
-    def delta_heavy_buckets(self, max_delta_files: int) -> list[int]:
+    def delta_heavy_buckets(self, max_delta_files: int) -> list:
         """Buckets whose delta-file count exceeds the read-amplification
-        budget — the compaction candidates."""
+        budget — the compaction candidates.  L0 files amplify EVERY read,
+        so the L0 pseudo-bucket appears (as the string "L0") once its own
+        count exceeds the budget; passing it to compact() triggers a full
+        rewrite."""
         m = self.manifest()
-        out = []
+        out: list = []
+        n_l0 = sum(
+            1 for e in m.files.get(L0_BUCKET, []) if len(e) > 2 and e[2] == "delta"
+        )
+        if n_l0 > max_delta_files:
+            out.append(L0_BUCKET)
         for b, entries in m.files.items():
+            if b == L0_BUCKET:
+                continue
             n = sum(1 for e in entries if len(e) > 2 and e[2] == "delta")
-            if n > max_delta_files:
+            if n + n_l0 > max_delta_files:
                 out.append(int(b))
-        return sorted(out)
+        return out
 
     def compact(self, buckets: list[int] | None = None) -> "Manifest | None":
         """Collapse delta files into base for the given buckets (default:
@@ -550,6 +589,14 @@ class LakeTable:
         scale this runs out-of-band (separate job), amortized across many
         micro-batches."""
         m = self.manifest()
+        if L0_BUCKET in m.files or (buckets and L0_BUCKET in {str(b) for b in buckets}):
+            # L0 rows span every bucket: partial compaction would either
+            # drop or duplicate them — compact the whole table
+            if not m.files:
+                return None
+            state = self.read()
+            frag = self._stage_write(state, m, kind="base")
+            return self._commit(m, frag, replaced_buckets=set(m.files.keys()))
         if buckets is None:
             buckets = [
                 int(b)

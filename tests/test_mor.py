@@ -95,3 +95,49 @@ def test_mor_schema_evolution_in_deltas(spark, tmp_path):
     t.compact()
     sch2 = {f.name: f.dataType.typeName() for f in t.schema().fields}
     assert sch2 == sch
+
+def test_l0_unbucketed_deltas_parity_and_compact(spark, tmp_path):
+    """LSM L0 path: shuffle-free delta appends; reads include L0 with
+    bucket filtering; compaction re-buckets the whole table."""
+    feed, feed_path = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / "l0"), num_buckets=8)
+    run_incremental(t, feed, batch_lsns=1000, mode="mor",
+                    auto_compact=None, dedup_batch=False, bucket_deltas=False)
+    m = t.manifest()
+    from datax_spark.lake.table import L0_BUCKET
+    assert L0_BUCKET in m.files and len(m.files) == 1  # only L0 so far
+    expected = fixtures.expected_state(feed_path)
+    got = _state(t)
+    assert set(got) == set(expected)
+    for k, sha in got.items():
+        assert sha == expected[k]["sha256"]
+    # bucket-pruned read over L0 filters to the right rows
+    some_bucket = 3
+    sub = t.read(buckets=[some_bucket]).select("repo").distinct().collect()
+    bexpr_hits = {
+        r.repo
+        for r in t.read()
+        .select("repo", t.bucket_expr("repo", 8).alias("b"))
+        .filter("b = 3").distinct().collect()
+    }
+    assert {r.repo for r in sub} == bexpr_hits
+    # full compact removes L0, preserves state + lineage
+    t.compact()
+    m2 = t.manifest()
+    assert L0_BUCKET not in m2.files
+    assert m2.files and all(
+        e[2] == "base" for es in m2.files.values() for e in es
+    )
+    assert _state(t) == got
+    assert run_incremental(t, feed, batch_lsns=1000, mode="mor") == []
+
+
+def test_cow_refuses_l0_table(spark, tmp_path):
+    feed, _ = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / "l0cow"), num_buckets=8)
+    run_incremental(t, feed, batch_lsns=4000, mode="mor",
+                    auto_compact=None, bucket_deltas=False)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="L0"):
+        run_incremental(t, feed.withColumn("lsn", feed.lsn + 10000),
+                        batch_lsns=20000, mode="cow", start_batch_id=99)
