@@ -58,6 +58,10 @@ def bench_cdc_ingest(
             t, feed, batch_lsns=(n_events + n_batches - 1) // n_batches,
             mode=mode, dedup_batch=dedup_batch, lineage_detail=lineage_detail,
             bucket_deltas=bucket_deltas,
+            # compaction is timed separately below; leaving the default
+            # auto_compact on would full-rewrite after every L0 batch
+            # (32 files/batch >> the 8-file budget) and time THAT instead
+            auto_compact=None,
         )
         inc_s = time.monotonic() - t1
         rows = sum(l["rows"] for l in lineages)

@@ -61,6 +61,13 @@ class CdcApplier:
         self.table = table
         self.files_per_bucket = files_per_bucket
         self.mode = mode
+        if not bucket_deltas and auto_compact is not None:
+            # L0 appends produce ~input-partition-count files per batch and
+            # every L0 file counts against every bucket's budget — a
+            # per-bucket threshold sized for bucketed deltas (8) would
+            # trigger a FULL rewrite after almost every batch.  Floor the
+            # budget so compaction amortizes over many batches.
+            auto_compact = max(auto_compact, 128)
         self.auto_compact = auto_compact
         self.dedup_batch = dedup_batch
         self.lineage_detail = lineage_detail
