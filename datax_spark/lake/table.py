@@ -337,16 +337,22 @@ class LakeTable:
         data_cols = [f.name for f in m.schema.fields]
         if not any_delta:
             return raw.select(*data_cols)
-        payload = F.struct(
-            *[F.col(c) for c in data_cols], F.col(DELETED_COL).alias(DELETED_COL)
+        # Last-writer-wins via hash-agg + join rather than
+        # max_by(struct(...)): a struct-valued aggregate buffer forces
+        # SortAggregate (no codegen, sorts whole wide rows); max(long) is a
+        # primitive-buffer HashAggregate and the equi-join stays in
+        # WholeStageCodegen — measurably faster on wide content rows.
+        # Assumes at most one row per (key, lsn) — guaranteed by the
+        # exactly-once lineage guard (an event is applied once).
+        wins = raw.groupBy(*[F.col(c) for c in m.key_cols]).agg(
+            F.max(F.col(LSN_COL)).alias("__max_lsn")
         )
-        last = raw.groupBy(*[F.col(c) for c in m.key_cols]).agg(
-            F.max_by(payload, F.col(LSN_COL)).alias("__row")
+        last = raw.join(wins, on=m.key_cols, how="inner").filter(
+            F.col(LSN_COL) == F.col("__max_lsn")
         )
         return (
-            last.select("__row.*")
-            .filter(~F.col(DELETED_COL))
-            .drop(DELETED_COL)
+            last.filter(~F.col(DELETED_COL))
+            .select(*data_cols)
         )
 
     # ---------------------------------------------------------------- writes

@@ -42,7 +42,14 @@ def assert_no_python_row_udf(df: DataFrame) -> None:
 def assert_whole_stage_codegen(df: DataFrame) -> None:
     # executedPlan().toString() marks codegen stages with "*(n)"; the
     # formatted explain spells out "WholeStageCodegen" — accept either.
+    # Under AQE the final plan (with codegen annotations) only exists after
+    # execution, so materialize adaptive plans first.
     plan = physical_plan(df)
+    if "AdaptiveSparkPlan" in plan and "*(" not in plan:
+        # count()/write would build a NEW query execution; collect() runs
+        # THIS one, flipping the adaptive plan to its final (annotated) form
+        df.collect()
+        plan = physical_plan(df)
     assert "*(" in plan or "WholeStageCodegen" in formatted_plan(df), (
         "no WholeStageCodegen span:\n" + plan
     )
