@@ -15,16 +15,7 @@ from datax_spark.jobspec import JobSpec, run_job
 from datax_spark.session import get_session
 
 
-def main(argv: list[str] | None = None) -> int:
-    p = argparse.ArgumentParser(prog="datax-spark")
-    p.add_argument("job", help="path to job spec JSON")
-    p.add_argument("--dry-run", action="store_true",
-                   help="validate only (preCheck), write nothing")
-    p.add_argument("--cores", default=None,
-                   help="local[N] cores (default: env/all); ignored under "
-                        "spark-submit with a real master")
-    args = p.parse_args(argv)
-
+def _run_cmd(args) -> int:
     spec = JobSpec.from_json(args.job)
     spark = get_session("datax-spark-job", cores=args.cores)
     problems = spec.pre_check(spark)
@@ -37,6 +28,57 @@ def main(argv: list[str] | None = None) -> int:
     summary = run_job(spark, spec)
     print(json.dumps({"ok": True, **summary}))
     return 0
+
+
+def _maintain_cmd(args) -> int:
+    """Out-of-band table maintenance (the analogue of the reference's
+    post-job hooks + our compaction scheduling, ROADMAP)."""
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.metrics import job_report
+
+    spark = get_session("datax-spark-maintain", cores=args.cores)
+    t = LakeTable(spark, args.table)
+    out = {"ok": True, "table": args.table, "version": t.current_version()}
+    if args.compact:
+        m = t.compact()
+        out["compacted"] = m is not None
+        if m is not None:
+            out["version"] = m.version
+    if args.vacuum is not None:
+        out["vacuumed_files"] = t.vacuum(keep_versions=args.vacuum)
+    if args.report:
+        out["report"] = job_report(t)
+        out["files"] = t.file_stats()
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="datax-spark")
+    sub = p.add_subparsers(dest="cmd")
+
+    runp = sub.add_parser("run", help="execute a job spec (default command)")
+    runp.add_argument("job", help="path to job spec JSON")
+    runp.add_argument("--dry-run", action="store_true",
+                      help="validate only (preCheck), write nothing")
+    runp.add_argument("--cores", default=None)
+
+    mnt = sub.add_parser("maintain", help="compact / vacuum / report a table")
+    mnt.add_argument("table", help="lake table location")
+    mnt.add_argument("--compact", action="store_true")
+    mnt.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
+                     help="delete files unreferenced by the last KEEP versions")
+    mnt.add_argument("--report", action="store_true")
+    mnt.add_argument("--cores", default=None)
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # back-compat: bare `cli.py job.json [flags]` == the run subcommand
+    if argv and argv[0] not in ("run", "maintain", "-h", "--help"):
+        argv = ["run", *argv]
+    args = p.parse_args(argv)
+    if args.cmd == "maintain":
+        return _maintain_cmd(args)
+    return _run_cmd(args)
 
 
 if __name__ == "__main__":
