@@ -10,20 +10,31 @@ Spark DataFrame / Structured Streaming stack:
 - ``datax_spark.cdc``        — the CDC core: change-feed normalization,
                                per-key dedup by max LSN, idempotent MERGE apply,
                                per-partition lineage + exactly-once replay.
-- ``datax_spark.sources``    — readers (files, JDBC split planning, synthetic
-                               generator, change-feed) ≈ DataX Reader plugins.
-- ``datax_spark.sinks``      — writers (files, JDBC batching, quarantine)
-                               ≈ DataX Writer plugins.
-- ``datax_spark.functions``  — the transformer registry (dx_substr, dx_pad,
+- ``datax_spark.sources``    — readers/writers ≈ DataX Reader/Writer plugins:
+                               file.py (delimited/ORC with the reference's
+                               column-spec + writeMode semantics), split.py
+                               (PK-range/ASCII split planning → JDBC
+                               predicates), debezium.py (CDC envelope
+                               normalization), plus fixtures.py (synthetic
+                               generator ≈ streamreader).
+- ``datax_spark.transforms`` — the transformer registry (dx_substr, dx_pad,
                                dx_replace, dx_filter, dx_digest, pandas-UDF
                                escape hatch) ≈ DataX Transformers.
-- ``datax_spark.operators``  — large-scale pipeline operators beyond the
-                               reference: dedup (exact/minhash/simhash/jaccard),
-                               similarity search, text analysis, multimodal.
+- ``datax_spark.functions``  — large-scale pipeline operators beyond the
+                               reference: dedup (exact/minhash/simhash/
+                               jaccard), similarity search, text analysis,
+                               multimodal plumbing.
 - ``datax_spark.streaming``  — Structured Streaming runners (AvailableNow
-                               bounded replay, foreachBatch apply).
+                               bounded replay, foreachBatch apply, stateful
+                               applyInPandasWithState operators).
 - ``datax_spark.plans``      — physical-plan assertions (no per-row Python,
                                pushdown/pruning checks).
+- ``datax_spark.cdc.quarantine`` — dirty-record routing + error limits.
+- ``datax_spark.jobspec`` / ``datax_spark.cli`` — DataX-job.json-style
+                               config-driven runs, preCheck dry-run, and
+                               table maintenance (compact/vacuum/report).
+- ``datax_spark.metrics``    — streaming progress listener + lineage-derived
+                               job report ≈ Communication counters.
 
 Design rule (BASELINE.json): DataFrame + native Column expressions everywhere;
 vectorized pandas/Arrow UDFs are the only per-row escape hatch.
