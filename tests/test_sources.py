@@ -109,3 +109,40 @@ def test_write_modes(spark, tmp_path, csv_dir):
     FS.write_delimited(df, out, write_mode="truncate", field_delimiter="|")
     back = spark.read.option("sep", "|").csv(out)
     assert back.count() == 2
+
+# ---------------------------------------------------------------- jdbc specs
+def test_jdbc_read_spec_options_and_predicates():
+    from datax_spark.sources.jdbc import JdbcReadSpec
+
+    spec = JdbcReadSpec(
+        url="jdbc:mysql://db:3306/x",
+        table="orders",
+        columns=["o_orderkey", "o_totalprice"],
+        where="o_totalprice > 0",
+        split_pk="o_orderkey",
+        num_splits=4,
+        fetch_size=5000,
+        session=["set session sql_mode=ANSI"],
+    )
+    opts = spec.options()
+    assert opts["dbtable"] == (
+        "(SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 0) AS __dx_src"
+    )
+    assert opts["fetchsize"] == "5000"
+    assert opts["sessionInitStatement"] == "set session sql_mode=ANSI"
+    preds = spec.predicates(0, 99)
+    assert len(preds) == 5 and preds[-1] == "o_orderkey IS NULL"
+    # no split pk → no predicates (querySql passthrough mode)
+    assert JdbcReadSpec(url="u", table="t").predicates(0, 9) == []
+
+
+def test_jdbc_write_spec_options():
+    from datax_spark.sources.jdbc import JdbcWriteSpec
+
+    w = JdbcWriteSpec(url="jdbc:postgresql://db/x", table="t",
+                      batch_size=4096, write_mode="truncate")
+    opts = w.options()
+    assert opts["batchsize"] == "4096"
+    assert opts["truncate"] == "true"
+    assert JdbcWriteSpec(url="u", table="t").options()["truncate"] == "false"
