@@ -98,7 +98,6 @@ def bench_cdc_ingest(
 # Suite queries that represent the operator surface; heavy all-pairs ops are
 # included — they are the training-data path and must stay fast at sf0.1.
 BENCH_QUERIES = [
-    # cheap scans first (JVM/codegen warmup), then shuffles, then engine e2e
     "cdc_shard_lineage",
     "cdc_dedup_last_per_key",
     "skew_salted_agg",
@@ -110,6 +109,7 @@ BENCH_QUERIES = [
     "q3_top_shipping",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embed_cosine_topk",
@@ -132,12 +132,23 @@ def main() -> None:
 
     qtimes: dict[str, float] = {}
     qs = suite.queries()
+    # one untimed warmup pass: JVM + codegen + parquet-footer warmup would
+    # otherwise be absorbed by whichever query runs first (~9s misattributed
+    # to an 8-row groupBy in round 1)
+    t0 = time.monotonic()
+    qs["cdc_shard_lineage"](spark, sf_dir).count()
+    qs["q6_forecast_revenue"](spark, sf_dir).count()
+    print(f"# warmup: {round(time.monotonic() - t0, 3)}s (untimed)",
+          file=sys.stderr)
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
         n = df.count()
         qtimes[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+        # dedup/similarity ops cache their (small) result frames; drop them
+        # so later timings never ride an earlier query's cache
+        spark.catalog.clearCache()
 
     # headline: sustained MOR ingest with dedup deferred to compaction —
     # the 10^10-event configuration; the dedup-per-batch variant is

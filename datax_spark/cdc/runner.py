@@ -72,6 +72,14 @@ def run_incremental(
     apply path); used by tests for kill/resume and by bench.  Batch id =
     lsn // batch_lsns, so a resumed run regenerates identical batch
     boundaries — replayed ids no-op via the lineage guard.
+
+    Batch-id safety: because ids derive from ``lsn // batch_lsns``, a rerun
+    with a DIFFERENT ``batch_lsns`` would map genuinely new events onto
+    already-applied ids and the replay guard would silently drop them.  The
+    granularity is therefore recorded in table properties on first use and
+    a run that (a) still has unapplied events after the watermark filter
+    and (b) uses a different ``batch_lsns`` is refused.  Watermark-only
+    no-op replays (any granularity) remain allowed.
     """
     applier = CdcApplier(
         table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
@@ -83,6 +91,16 @@ def run_incremental(
     ).collect()[0]
     if bounds["lo"] is None:
         return []
+    recorded = table.manifest().properties.get("incremental_batch_lsns")
+    if recorded is None:
+        table.set_properties(incremental_batch_lsns=int(batch_lsns))
+    elif int(recorded) != int(batch_lsns):
+        raise ValueError(
+            f"batch_lsns={batch_lsns} conflicts with this table's recorded "
+            f"granularity {recorded}: lsn//batch_lsns batch ids would "
+            f"collide with already-applied ids and silently drop new "
+            f"events. Re-run with batch_lsns={recorded}."
+        )
     first = int(bounds["lo"]) // batch_lsns
     last = int(bounds["hi"]) // batch_lsns
     out = []

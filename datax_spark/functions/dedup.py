@@ -29,6 +29,20 @@ from pyspark.sql import functions as F
 from datax_spark.functions import text as TX
 
 
+def _finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize the (small) result frame, then release the cached sketch
+    intermediates.  Without this, repeated invocations in a long-lived
+    session (bench loops, driver correctness rounds) accumulate cached
+    blocks until executor storage evicts under pressure.  The result itself
+    stays cached — it is a pair list, orders of magnitude smaller than the
+    exploded sketch frames it replaces."""
+    result = result.persist()
+    result.count()
+    for c in cached:
+        c.unpersist()
+    return result
+
+
 def _parallelize(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism when
     the input has fewer partitions — per-row-heavy sketch computation must
@@ -83,6 +97,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | None = None,
+    prefilter_k: int | None = None,
+    prefilter_bands: int | None = None,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
@@ -90,7 +106,20 @@ def ngram_jaccard_pairs(
     the self-join — the skew guard for hub shingles (at corpus scale a
     boilerplate shingle can appear in millions of docs; its join group is
     quadratic).  Dropped shingles only lower the estimate, mirroring
-    standard LSH-join practice."""
+    standard LSH-join practice.
+
+    ``prefilter_k``/``prefilter_bands`` enable MinHash-band candidate
+    pruning ("LSH then verify"): candidate pairs come from the banded
+    signature self-join, and the exact shingle-intersection join runs only
+    over docs appearing in some candidate pair — the scale path that
+    replaces the quadratic shingle join mass with O(candidates).  Recall
+    follows the usual 1-(1-j^r)^b curve (deterministic md5 hashing: the
+    DuckDB oracle reproduces the identical candidate set)."""
+    if prefilter_k is not None:
+        return _ngram_jaccard_prefiltered(
+            df, id_col, text_col, n, threshold, max_df,
+            prefilter_k, prefilter_bands or 4,
+        )
     # shingle extraction is the expensive pass (array exprs over every doc);
     # cache it — it feeds the df-frequency pass and BOTH join sides
     sh = shingle_sets(df, id_col, text_col, n, hashed=True).persist()
@@ -116,18 +145,16 @@ def ngram_jaccard_pairs(
         F.col("n_common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_common")),
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
+    out = jac.filter(F.col("jaccard") >= threshold).select(
         "a", "b", "n_common", F.round("jaccard", 6).alias("jaccard")
     )
+    return _finalize(out, sh)
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
-) -> DataFrame:
-    """k MinHash values per doc: mh_i = min over shingles of
-    hash60(shingle || '#' || i).  One explode + one hash-aggregate."""
-    sh = shingle_sets(df, id_col, text_col, n)
-    aggs = [
+def _minhash_aggs(k: int) -> list:
+    """mh_i = min over shingles of hash60(md5(shingle || '#i')) — identical
+    formulation in the DuckDB oracles (15-hex md5 prefix → 60-bit long)."""
+    return [
         F.min(
             F.conv(
                 F.substring(
@@ -139,7 +166,106 @@ def minhash_signatures(
         ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+
+
+def _banded_pairs(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing ≥1 MinHash band signature."""
+    r = k // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    melted = sig.select(F.col(id_col), *band_cols).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("sig")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band_idx", "bs.sig")
+    pa = melted.select(F.col(id_col).alias("a"), "band_idx", "sig")
+    pb = melted.select(F.col(id_col).alias("b"), "band_idx", "sig")
+    return (
+        pa.join(pb, ["band_idx", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _ngram_jaccard_prefiltered(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+    k: int,
+    bands: int,
+) -> DataFrame:
+    """LSH-then-verify: banded MinHash candidates → exact Jaccard verify
+    restricted to candidate docs.  Shingles are computed once (cached) and
+    feed both the signatures and the verify join."""
+    assert k % bands == 0, "prefilter_k must divide into equal bands"
+    sh_str = shingle_sets(df, id_col, text_col, n).persist()
+    sig = sh_str.groupBy(id_col).agg(*_minhash_aggs(k))
+    cand = _banded_pairs(sig, id_col, k, bands).persist()
+    sh = sh_str.select(
+        id_col, "n_shingles", F.xxhash64("shingle").alias("shingle")
+    )
+    if max_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(
+            freq.filter(F.col("__df") <= max_df), "shingle", "inner"
+        ).drop("__df")
+    # verify join only over docs that appear in some candidate pair — the
+    # quadratic shingle-join mass shrinks to the candidate neighborhood
+    ids = (
+        cand.select(F.col("a").alias(id_col))
+        .unionByName(cand.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    shc = sh.join(ids, id_col, "left_semi")
+    a = shc.select(
+        F.col(id_col).alias("a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = shc.select(
+        F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["a", "b"], "left_semi")
+    )
+    jac = common.withColumn(
+        "jaccard",
+        F.col("n_common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_common")),
+    )
+    out = jac.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+    return _finalize(out, sh_str, cand)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """k MinHash values per doc: mh_i = min over shingles of
+    hash60(shingle || '#' || i).  One explode + one hash-aggregate."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(*_minhash_aggs(k))
 
 
 def minhash_lsh_pairs(
@@ -194,7 +320,7 @@ def minhash_lsh_pairs(
         .join(sb, "b")
         .select("a", "b", "n_shared_bands", F.round(est, 6).alias("est_jaccard"))
     )
-    return out
+    return _finalize(out, sig)
 
 
 def simhash_pairs(
@@ -246,8 +372,9 @@ def simhash_pairs(
         .select("a", "b", "sh_a", "sh_b")
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn("hamming", TX.hamming64("sh_a", "sh_b"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    return _finalize(out, fp)

@@ -114,7 +114,11 @@ def fake_decode_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-FEATURE_SCHEMA = "doc_id long, feature array<float>"
+# double, not float: the kernel computes in Python float64 and the DuckDB
+# value oracle compares 6-dp rounded doubles — a float32 round trip can flip
+# the 6th decimal (real encoders emitting float32 would use a wider-tolerance
+# comparison instead)
+FEATURE_SCHEMA = "doc_id long, feature array<double>"
 
 
 def fake_feature_extract(

@@ -188,12 +188,34 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     elif spec.run.kind == "stream":
         from datax_spark.streaming.runner import run_available_now
 
+        # forward the full spec exactly like the incremental branch does:
+        # merge options via applier_opts, error limits + quarantine rules —
+        # a stream job.json must enforce the same contract as a batch one
+        want_quarantine = (
+            spec.error_limit.record is not None
+            or spec.error_limit.percentage is not None
+            or spec.quarantine_path
+        )
         lineages = run_available_now(
             spark, spec.source.path, table,
             max_files_per_trigger=spec.run.max_files_per_trigger,
+            transform=(
+                (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))
+                if spec.transforms else None
+            ),
+            quarantine_rules=(
+                Q.envelope_rules(spec.target.key_cols) if want_quarantine else None
+            ),
+            quarantine_path=spec.quarantine_path,
+            error_limits=limits if want_quarantine else None,
+            mode=spec.merge.mode,
+            auto_compact=spec.merge.auto_compact,
+            dedup_batch=spec.merge.dedup_batch,
+            files_per_bucket=spec.merge.files_per_bucket,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
+        summary["bytes"] = int(sum(l["bytes"] for l in lineages))
     else:
         raise ValueError(f"unknown run kind {spec.run.kind}")
 

@@ -74,6 +74,7 @@ def merge_into(
     auto_compact: int | None = None,
     dedup_batch: bool = True,
     bucket_deltas: bool = True,
+    broadcast_key_limit: int = 1_000_000,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -103,7 +104,7 @@ def merge_into(
                          "last-writer-wins reconstruction")
     t0 = time.monotonic()
     base = table.manifest()
-    if lineage and str(lineage.get("batch_id")) in base.applied_batches:
+    if lineage and base.is_applied(lineage.get("batch_id")):
         return None  # replayed batch — already atomically applied
 
     key_cols = base.key_cols
@@ -131,7 +132,7 @@ def merge_into(
         last_err: Exception | None = None
         for _ in range(5):
             base = table.manifest()
-            if lineage and str(lineage.get("batch_id")) in base.applied_batches:
+            if lineage and base.is_applied(lineage.get("batch_id")):
                 return None
             try:
                 return _merge_mor(
@@ -185,10 +186,24 @@ def merge_into(
             for f in new_schema.fields
         ]
     )
-    batch_keys = batch.select(*key_cols).distinct()
-    # whole-row upsert: drop every batched key from current, re-insert survivors
+    # whole-row upsert: drop every batched key from current, re-insert
+    # survivors.  Null-safe (<=>) key match so a NULL key column behaves as
+    # a real key value — identical to MOR reconstruction's groupBy grouping.
+    batch_keys = batch.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+    ).distinct()
+    # Broadcast only bounded batches: a 10^8-key backfill batch would OOM
+    # the driver (ref: a DataX channel never materializes its batch either).
+    # `batch` is persisted above, so count() is a cached scan, and
+    # rows >= distinct keys makes it a safe broadcast bound.
+    if batch.count() <= broadcast_key_limit:
+        batch_keys = F.broadcast(batch_keys)
+    anti_cond = None
+    for c in key_cols:
+        e = current[c].eqNullSafe(F.col(f"__k_{c}"))
+        anti_cond = e if anti_cond is None else (anti_cond & e)
     new_state = current.join(
-        F.broadcast(batch_keys), on=key_cols, how="left_anti"
+        batch_keys, on=anti_cond, how="left_anti"
     ).unionByName(survivors)
 
     staged_base = Manifest(**{**base.__dict__, "schema": new_schema})

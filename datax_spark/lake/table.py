@@ -126,6 +126,24 @@ def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType
     return T.StructType(out)
 
 
+def _split_batch_id(batch_id: str) -> tuple[str, int | None]:
+    """Split a batch id into (namespace prefix, numeric tail) — e.g.
+    "s12" → ("s", 12), "7" → ("", 7).  Non-numeric-tailed ids → (id, None)."""
+    i = len(batch_id)
+    while i > 0 and batch_id[i - 1].isdigit():
+        i -= 1
+    if i == len(batch_id):
+        return batch_id, None
+    return batch_id[:i], int(batch_id[i:])
+
+
+# Default number of applied-batch lineage entries retained verbatim in the
+# manifest.  Older entries are pruned to a per-namespace retired-id frontier
+# + aggregate totals, so a 10^5-batch stream keeps commits O(K), not
+# O(history) — the round-1 scale-killer (manifest grew with every batch).
+LINEAGE_RETENTION_DEFAULT = 512
+
+
 @dataclass
 class Manifest:
     version: int
@@ -145,6 +163,18 @@ class Manifest:
     # shard/partition id (str) -> last applied LSN
     shard_lsns: dict[str, int] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
+
+    def is_applied(self, batch_id: int | str) -> bool:
+        """Replay guard: retained lineage entry, or at/below the pruned
+        (retired) id frontier of its namespace.  Valid because batch ids are
+        assigned monotonically per namespace (lsn//batch_lsns in
+        run_incremental; streaming epoch ids) and pruning is oldest-first."""
+        sid = str(batch_id)
+        if sid in self.applied_batches:
+            return True
+        retired = self.properties.get("lineage_retired") or {}
+        ns, num = _split_batch_id(sid)
+        return num is not None and ns in retired and num <= int(retired[ns])
 
     def to_json(self) -> str:
         return json.dumps(
@@ -344,10 +374,20 @@ class LakeTable:
         # WholeStageCodegen — measurably faster on wide content rows.
         # Assumes at most one row per (key, lsn) — guaranteed by the
         # exactly-once lineage guard (an event is applied once).
+        # NULL key columns: groupBy puts them in one group, so the join back
+        # must be null-safe (<=>) or those rows silently vanish from every
+        # delta-bearing read while surviving pure-base snapshots.
         wins = raw.groupBy(*[F.col(c) for c in m.key_cols]).agg(
             F.max(F.col(LSN_COL)).alias("__max_lsn")
         )
-        last = raw.join(wins, on=m.key_cols, how="inner").filter(
+        wins = wins.select(
+            *[F.col(c).alias(f"__k_{c}") for c in m.key_cols], "__max_lsn"
+        )
+        cond = None
+        for c in m.key_cols:
+            e = raw[c].eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else (cond & e)
+        last = raw.join(wins, on=cond, how="inner").filter(
             F.col(LSN_COL) == F.col("__max_lsn")
         )
         return (
@@ -449,10 +489,33 @@ class LakeTable:
             schemas[str(schema_id)] = schema.jsonValue()
         applied = dict(base.applied_batches)
         shard_lsns = dict(base.shard_lsns)
+        properties = dict(base.properties)
         if lineage:
             applied[str(lineage["batch_id"])] = lineage
             for shard, lsn in lineage.get("shard_lsns", {}).items():
                 shard_lsns[str(shard)] = max(int(lsn), shard_lsns.get(str(shard), -1))
+        # bound lineage growth: retain only the newest K full entries; fold
+        # older ones into a per-namespace retired-id frontier + totals (the
+        # per-shard LSN watermark already subsumes their replay protection)
+        retention = int(properties.get("lineage_retention",
+                                       LINEAGE_RETENTION_DEFAULT))
+        if len(applied) > retention:
+            retired = dict(properties.get("lineage_retired") or {})
+            totals = dict(properties.get("lineage_totals")
+                          or {"batches": 0, "rows": 0, "bytes": 0})
+            excess = len(applied) - retention
+            for bid in list(applied.keys())[:excess]:
+                info = applied.pop(bid)
+                ns, num = _split_batch_id(bid)
+                if num is None:
+                    applied[bid] = info  # unparsable id: keep forever
+                    continue
+                retired[ns] = max(int(retired.get(ns, num)), num)
+                totals["batches"] += 1
+                totals["rows"] += int(info.get("rows", 0))
+                totals["bytes"] += int(info.get("bytes", 0))
+            properties["lineage_retired"] = retired
+            properties["lineage_totals"] = totals
         m = Manifest(
             version=base.version + 1,
             schema=new_schema,
@@ -464,7 +527,7 @@ class LakeTable:
             current_schema_id=schema_id,
             applied_batches=applied,
             shard_lsns=shard_lsns,
-            properties=base.properties,
+            properties=properties,
         )
         self._write_manifest(m)
         return m
@@ -497,9 +560,22 @@ class LakeTable:
         frag = self._stage_write(df, base, files_per_bucket)
         return self._commit(base, frag, replaced_buckets=set())
 
+    def set_properties(self, **props: Any) -> Manifest:
+        """Commit a properties-only manifest update (no data change)."""
+        base = self.manifest()
+        m = Manifest(
+            **{
+                **base.__dict__,
+                "version": base.version + 1,
+                "properties": {**base.properties, **props},
+            }
+        )
+        self._write_manifest(m)
+        return m
+
     # --------------------------------------------------------------- lineage
     def is_batch_applied(self, batch_id: int | str) -> bool:
-        return str(batch_id) in self.manifest().applied_batches
+        return self.manifest().is_applied(batch_id)
 
     def last_lsn(self, shard: int | str | None = None) -> int:
         m = self.manifest()
@@ -508,16 +584,23 @@ class LakeTable:
         return max(m.shard_lsns.values(), default=-1)
 
     def lineage_df(self) -> DataFrame:
-        """Per-batch, per-partition lineage as a DataFrame (FIXTURES.md §4)."""
+        """Per-batch, per-partition lineage as a DataFrame (FIXTURES.md §4).
+
+        ``batch_id`` is the verbatim (possibly namespaced, e.g. streaming
+        "s3") id as a string — digit-stripping it to a long would collide
+        batch-mode id 3 with streaming id "s3" on the same table.  ``source``
+        disambiguates; ``seq`` is the manifest commit order (monotone), the
+        sort key for per-partition watermark-monotonicity checks."""
         m = self.manifest()
         rows = []
-        for bid, info in m.applied_batches.items():
-            # batch ids may be namespaced (e.g. streaming "s3") — keep digits
-            num = "".join(ch for ch in str(bid) if ch.isdigit())
+        for seq, (bid, info) in enumerate(m.applied_batches.items()):
+            sid = str(bid)
             for p in info.get("partitions", []):
                 rows.append(
                     (
-                        int(num) if num else -1,
+                        sid,
+                        "stream" if sid.startswith("s") else "batch",
+                        seq,
                         int(p["partition_id"]),
                         int(p["last_lsn"]),
                         int(p["rows"]),
@@ -527,7 +610,9 @@ class LakeTable:
                 )
         schema = T.StructType(
             [
-                T.StructField("batch_epoch", T.LongType()),
+                T.StructField("batch_id", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("seq", T.LongType()),
                 T.StructField("partition_id", T.IntegerType()),
                 T.StructField("last_lsn", T.LongType()),
                 T.StructField("rows", T.LongType()),
@@ -615,6 +700,25 @@ class LakeTable:
         frag = self._stage_write(state, m, kind="base")
         # a compacted-to-empty bucket must still drop its old files
         return self._commit(m, frag, replaced_buckets={str(b) for b in buckets})
+
+    def expire_snapshots(self, keep_versions: int = 2) -> int:
+        """Delete manifest files older than the newest ``keep_versions``
+        (Iceberg expire_snapshots analogue).  Time travel to expired
+        versions stops working; pair with ``vacuum`` to reclaim their data
+        files.  Without this, a long-running stream accumulates one manifest
+        JSON per commit forever."""
+        cutoff = self.current_version() - keep_versions + 1
+        removed = 0
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v < cutoff:
+                    os.remove(os.path.join(self.meta_dir, fn))
+                    removed += 1
+        return removed
 
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the latest ``keep_versions``

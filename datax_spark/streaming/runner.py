@@ -71,6 +71,7 @@ def run_available_now(
     quarantine_rules: list | None = None,
     quarantine_path: str | None = None,
     error_limits=None,
+    transform=None,
     **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
@@ -99,6 +100,10 @@ def run_available_now(
     applied: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            # per-batch transformer chain (dx_* Column exprs) — same hook
+            # point as the incremental runner's pre-apply transforms
+            batch_df = transform(batch_df)
         if quarantine_rules is not None:
             from datax_spark.cdc.quarantine import quarantine
 

@@ -54,7 +54,7 @@ def _events_feed(ev: DataFrame) -> DataFrame:
     op mapping: 'error' events are deletes, the rest upserts."""
     return ev.select(
         F.col("event_id").alias("lsn"),
-        F.pmod(F.col("user_id"), F.lit(8)).cast("int").alias("shard"),
+        F.pmod(F.col("user_id"), F.lit(8)).cast("long").alias("shard"),
         F.col("ts"),
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("insert"))
@@ -216,6 +216,15 @@ def q_tx_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"name": "dx_filter", "column": "n_chars", "parameters": ["<", 200]},
     ]
     return reg.apply_chain(docs, chain).select("doc_id", "head", "lang_pad", "digest")
+
+
+def q_tx_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dx_replace splice (ReplaceTransformer.java:21-65): mask the 0-based
+    char range [4, 8) of the source tag."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tx.dx_replace("source", 4, 4, "####").alias("masked")
+    )
 
 
 def q_tx_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +420,17 @@ def q_q3_top_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         )
     )
-    return rev.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey")).limit(10)
+    return (
+        rev.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            # emit as a formatted string: DuckDB types raw dates/timestamps
+            # differently than Spark and the driver hash compares typed values
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue_cents",
+        )
+    )
 
 
 # ========================================================== dedup / text ops
@@ -423,6 +442,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.12, max_df=100,
+    )
+
+
+def q_dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify Jaccard: MinHash-band candidate pruning before the
+    exact shingle-intersection join — the 100-TB path (the exact variant's
+    quadratic shingle-join mass shrinks to the candidate neighborhood)."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.12, max_df=100, prefilter_k=8, prefilter_bands=4,
     )
 
 
@@ -472,9 +501,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload pipeline: attach payload+metadata → Arrow mapInPandas
-    feature kernel (deterministic byte histogram).  No SQL oracle — the
-    mapInPandas path is not ANSI-expressible; the driver records the
-    rows-only check, and tests/test_multimodal.py asserts the values."""
+    feature kernel (deterministic byte histogram over the utf-8 payload).
+    The DuckDB oracle reproduces the kernel over the blob's hex expansion —
+    the mapInPandas path gets a full value gate, not a rows-only check."""
     from datax_spark.functions import multimodal as MM
 
     docs = MM.attach_fake_binary(_t(spark, sf_dir, "documents"), "text")
@@ -484,6 +513,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 2), 6).alias("f1"),
     )
+
+
+def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stand-in decode kernel (mapInPandas: payload → mime/n_bytes/
+    byte-sum checksum) — the second Arrow-kernel path under a value oracle."""
+    from datax_spark.functions import multimodal as MM
+
+    docs = MM.attach_fake_binary(_t(spark, sf_dir, "documents"), "text")
+    return MM.fake_decode_meta(docs)
 
 
 # ================================================================= registry
@@ -507,7 +545,7 @@ SELECT user_id, last_lsn, last_event_type, last_value_cents FROM ranked WHERE rn
     "cdc_shard_lineage": """
 SELECT user_id % 8 AS shard, count(*) AS rows,
        max(event_id) AS last_lsn,
-       sum(48 + strlen(event_type) + coalesce(strlen(props), 0)) AS bytes
+       CAST(sum(48 + strlen(event_type) + coalesce(strlen(props), 0)) AS BIGINT) AS bytes
 FROM events GROUP BY user_id % 8
 """,
     "cdc_op_mix": """
@@ -517,7 +555,7 @@ FROM events GROUP BY 1
 """,
     "skew_salted_agg": """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id
 """,
     "events_sessionize": """
@@ -536,6 +574,10 @@ FROM documents WHERE NOT (n_chars < 200)
 SELECT doc_id, source FROM documents
 WHERE NOT regexp_full_match(source, 'src1.*')
 """,
+    "tx_replace": """
+SELECT doc_id, substr(source, 1, 4) || '####' || substr(source, 9) AS masked
+FROM documents
+""",
     "split_minmax_pk": """
 WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi, count(*) AS n_rows FROM orders)
 SELECT r.range AS split_id, n_rows,
@@ -546,16 +588,16 @@ FROM range(8) r, b
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus, count(*) AS count_order,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_price_cents,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_price_cents,
-       sum(CAST(round(l_discount*100) AS BIGINT)) AS sum_discount_cents
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_discount_cents
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
     "events_rollup": """
 SELECT event_type, CAST(floor(value/25)*25 AS BIGINT) AS value_band,
        count(*) AS n_events,
-       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY ROLLUP (event_type, CAST(floor(value/25)*25 AS BIGINT))
 """,
     "events_funnel": """
@@ -581,13 +623,13 @@ GROUP BY o_orderpriority
 """,
     "anti_join_idle_customers": """
 SELECT c_mktsegment, count(*) AS n_customers,
-       sum(CAST(round(c_acctbal*100) AS BIGINT)) AS sum_acctbal_cents
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 GROUP BY c_mktsegment
 """,
     "q6_forecast_revenue": """
-SELECT sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS revenue_cents,
+SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -595,7 +637,7 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 """,
     "q5_local_supplier_volume": """
 SELECT n_name,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -610,7 +652,7 @@ GROUP BY n_name
     "events_tumbling_window": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type, count(*) AS n_events,
-       sum(CAST(round(value*100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1, 2
 """,
     "tx_pandas_udf_norm": r"""
@@ -620,8 +662,8 @@ WITH n AS (SELECT doc_id,
 SELECT doc_id, norm_text, md5(norm_text) AS norm_md5 FROM n
 """,
     "q3_top_shipping": """
-SELECT l_orderkey, o_orderdate,
-       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -648,6 +690,31 @@ pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
 SELECT a, b, n_common,
        round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
 FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12
+""",
+    "dedup_ngram_jaccard_lsh": f"""
+WITH {_DOC_SHINGLES_3},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id,
+  {", ".join(f"min(('0x'||substr(md5(shingle||'#{i}'),1,15))::BIGINT) AS mh{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id),
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b}::VARCHAR || ',' || mh{2*b+1}::VARCHAR) AS sig FROM sig"
+      for b in range(4))}
+),
+cand AS (SELECT a.doc_id AS a, b.doc_id AS b
+         FROM banded a JOIN banded b USING (band_idx, sig)
+         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+          FROM shc x JOIN shc y USING (shingle) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+p2 AS (SELECT pairs.* FROM pairs JOIN cand USING (a, b))
+SELECT a, b, n_common,
+       round(n_common * 1.0 / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM p2 JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
 WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12
 """,
     "dedup_minhash_lsh": f"""
@@ -744,6 +811,35 @@ FROM n a JOIN n b USING (bucket)
 WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
 """,
+    "multimodal_features": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+bytes AS (SELECT doc_id, ('0x' || substr(hx, 2*i - 1, 2))::INT % 8 AS m
+          FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t),
+hist AS (SELECT doc_id,
+                sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS c0,
+                sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS c1,
+                count(*) AS total
+         FROM bytes GROUP BY doc_id)
+SELECT b.doc_id,
+       round(coalesce(c0 * 1.0 / total, 0.0), 6) AS f0,
+       round(coalesce(c1 * 1.0 / total, 0.0), 6) AS f1
+FROM b LEFT JOIN hist ON hist.doc_id = b.doc_id
+""",
+    "multimodal_decode_meta": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+bytes AS (SELECT doc_id, ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
+          FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t),
+s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS checksum
+      FROM bytes GROUP BY doc_id)
+SELECT b.doc_id, 'application/x-fake' AS mime,
+       CAST(n AS BIGINT) AS n_bytes,
+       coalesce(s.checksum, 0) AS checksum
+FROM b LEFT JOIN s ON s.doc_id = b.doc_id
+""",
 }
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -755,6 +851,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     "events_sessionize": q_events_sessionize,
     "tx_chain_docs": q_tx_chain_docs,
+    "tx_replace": q_tx_replace,
     "tx_filter_like": q_tx_filter_like,
     "split_minmax_pk": q_split_minmax_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -769,6 +866,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
@@ -777,7 +875,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
     "embed_near_dup": q_embed_near_dup,
-    "multimodal_features": q_multimodal_features,  # no oracle: mapInPandas
+    "multimodal_features": q_multimodal_features,
+    "multimodal_decode_meta": q_multimodal_decode_meta,
 }
 
 

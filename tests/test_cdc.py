@@ -126,12 +126,16 @@ def test_lineage_df_shape(spark, tmp_path):
     t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
     run_incremental(t, feed, batch_lsns=2000)
     ldf = t.lineage_df()
-    assert ldf.columns == ["batch_epoch", "partition_id", "last_lsn", "rows", "bytes", "wall_ms"]
+    assert ldf.columns == [
+        "batch_id", "source", "seq", "partition_id",
+        "last_lsn", "rows", "bytes", "wall_ms",
+    ]
+    assert {r.source for r in ldf.select("source").distinct().collect()} == {"batch"}
     agg = ldf.groupBy("partition_id").agg(F.sum("rows").alias("n")).collect()
     assert sum(r.n for r in agg) == N_EVENTS
-    # last_lsn monotone per partition across epochs
+    # last_lsn monotone per partition across commit order
     import itertools
-    rows = sorted(ldf.collect(), key=lambda r: (r.partition_id, r.batch_epoch))
+    rows = sorted(ldf.collect(), key=lambda r: (r.partition_id, r.seq))
     for _, grp in itertools.groupby(rows, key=lambda r: r.partition_id):
         lsns = [r.last_lsn for r in grp]
         assert lsns == sorted(lsns)

@@ -58,9 +58,10 @@ def test_time_travel_versions(spark, tmp_path):
     run_incremental(t, spark.read.parquet(fp), batch_lsns=1000,
                     auto_compact=None)
     v_final = t.current_version()
-    assert v_final == 2
+    # v0 create, v1 batch_lsns property record, v2 first batch, v3 second
+    assert v_final == 3
 
-    # version 1 = only the first batch applied
+    # version 2 = only the first batch applied
     import pyarrow.parquet as pq
     first_half = [
         r for r in pq.read_table(fp).to_pylist() if r["lsn"] < 1000
@@ -74,10 +75,10 @@ def test_time_travel_versions(spark, tmp_path):
             state_v1[k] = r["content"]
     got_v1 = {
         (r.repo, r.path, r.commit): r.content
-        for r in t.read(version=1).collect()
+        for r in t.read(version=2).collect()
     }
     assert got_v1 == state_v1
-    # version 0 = empty table; current ≠ v1
+    # version 0 = empty table; current ≠ v2
     assert t.read(version=0).count() == 0
     assert t.read().count() != len(state_v1) or True
     full = fixtures.expected_state(fp)

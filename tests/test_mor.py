@@ -140,4 +140,9 @@ def test_cow_refuses_l0_table(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="L0"):
         run_incremental(t, feed.withColumn("lsn", feed.lsn + 10000),
-                        batch_lsns=20000, mode="cow", start_batch_id=99)
+                        batch_lsns=4000, mode="cow")
+    # and a rerun that changes batch_lsns while new events remain is refused
+    # outright (lsn//batch_lsns ids would collide with applied ids)
+    with _pytest.raises(ValueError, match="batch_lsns"):
+        run_incremental(t, feed.withColumn("lsn", feed.lsn + 10000),
+                        batch_lsns=20000, mode="mor")
