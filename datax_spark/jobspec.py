@@ -68,6 +68,25 @@ class ErrorLimitSpec:
     percentage: float | None = None
 
 
+# Hook SPI — the rebuild of DataX's pluggable job hooks
+# (common/src/main/java/com/alibaba/datax/common/spi/Hook.java:10-25,
+# core/.../util/HookInvoker.java:42-89: hooks are discovered by name and
+# invoked with the job configuration + final metrics).  Here hooks register
+# by name in-process; a job.json references them via "hooks": ["name", ...].
+HOOK_REGISTRY: dict[str, Any] = {}
+
+
+def register_hook(name: str):
+    """Decorator: ``@register_hook("audit")`` registers
+    ``fn(spec: JobSpec, summary: dict) -> None`` under that name."""
+
+    def deco(fn):
+        HOOK_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
 @dataclass
 class JobSpec:
     source: SourceSpec
@@ -77,6 +96,14 @@ class JobSpec:
     error_limit: ErrorLimitSpec = field(default_factory=ErrorLimitSpec)
     transforms: list[dict] = field(default_factory=list)
     quarantine_path: str | None = None
+    # pre/post SQL around the job (WriterUtil.java:78-108 / job-level
+    # CommonRdbmsWriter.java:86-161): run via spark.sql with the feed
+    # registered as view `source` and the lake table as view `target`.
+    pre_sql: list[str] = field(default_factory=list)
+    post_sql: list[str] = field(default_factory=list)
+    # names resolved against HOOK_REGISTRY, invoked post-job with
+    # (spec, summary) — HookInvoker.java:42-89
+    hooks: list[str] = field(default_factory=list)
 
     # ------------------------------------------------------------------ io
     @staticmethod
@@ -89,6 +116,9 @@ class JobSpec:
             error_limit=ErrorLimitSpec(**d.get("error_limit", {})),
             transforms=list(d.get("transforms", [])),
             quarantine_path=d.get("quarantine_path"),
+            pre_sql=list(d.get("pre_sql", [])),
+            post_sql=list(d.get("post_sql", [])),
+            hooks=list(d.get("hooks", [])),
         )
 
     @staticmethod
@@ -125,6 +155,9 @@ class JobSpec:
         bucket = self.target.bucket_col or self.target.key_cols[0]
         if bucket not in cols:
             problems.append(f"bucket column missing from feed: {bucket}")
+        for h in self.hooks:
+            if h not in HOOK_REGISTRY:
+                problems.append(f"unknown hook: {h}")
         return problems
 
 
@@ -144,6 +177,16 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     feed = spark.read.format(spec.source.format).load(spec.source.path)
     if spec.transforms:
         feed = TransformerRegistry().apply_chain(feed, spec.transforms)
+
+    # preSql: runs BEFORE any write; a failure aborts the job with nothing
+    # landed (WriterUtil.java:78-108 contract).  The feed is visible as
+    # view `source`; an existing target table as view `target`.
+    if spec.pre_sql:
+        feed.createOrReplaceTempView("source")
+        if LakeTable.exists(spec.target.location):
+            LakeTable(spark, spec.target.location).create_view("target")
+        for s in spec.pre_sql:
+            spark.sql(s).collect()  # eager: SELECT-shaped checks must fire
 
     target_loc = spec.target.location
     if LakeTable.exists(target_loc):
@@ -219,10 +262,35 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     else:
         raise ValueError(f"unknown run kind {spec.run.kind}")
 
+    # postSql: target view reflects the post-run state; failure raises so
+    # the caller can clean up (the data IS committed — same as reference).
+    if spec.post_sql:
+        feed.createOrReplaceTempView("source")
+        table.create_view("target")
+        for s in spec.post_sql:
+            spark.sql(s).collect()
+
     wall = time.monotonic() - t0
     summary["wall_sec"] = round(wall, 3)
     if summary.get("rows"):
         summary["rows_per_sec"] = round(summary["rows"] / wall, 1)
     summary["table_version"] = table.current_version()
+
+    # post-job hooks: each gets (spec, summary); a hook exception never
+    # fails a job that already committed — it is recorded in the summary
+    # (HookInvoker.java:62-67 catches Throwable per hook and logs on).
+    if spec.hooks:
+        errors: dict[str, str] = {}
+        for name in spec.hooks:
+            fn = HOOK_REGISTRY.get(name)
+            if fn is None:
+                errors[name] = "unknown hook"
+                continue
+            try:
+                fn(spec, summary)
+            except Exception as e:  # noqa: BLE001 — mirror HookInvoker
+                errors[name] = str(e)
+        if errors:
+            summary["hook_errors"] = errors
     _ = F  # keep import local-explicit
     return summary

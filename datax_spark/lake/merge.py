@@ -61,6 +61,33 @@ def dedup_last_per_key(
     return agg.select("__row.*")
 
 
+def anti_join_batch_keys(
+    current: DataFrame,
+    batch: DataFrame,
+    key_cols: list[str],
+    broadcast: bool,
+) -> DataFrame:
+    """``current`` minus rows whose key appears in ``batch`` — the COW
+    "drop every batched key" half of the whole-row upsert.
+
+    Null-safe (<=>) key match so a NULL key column behaves as a real key
+    value — identical to MOR reconstruction's groupBy grouping (state must
+    not diverge by merge mode).  ``broadcast=True`` hints the (deduped)
+    key side — right for micro-batches; a 10^8-key backfill batch would
+    OOM the driver, so merge_into guards on batch size and lets AQE plan
+    the shuffle join instead (see ``broadcast_key_limit``)."""
+    batch_keys = batch.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+    ).distinct()
+    if broadcast:
+        batch_keys = F.broadcast(batch_keys)
+    anti_cond = None
+    for c in key_cols:
+        e = current[c].eqNullSafe(F.col(f"__k_{c}"))
+        anti_cond = e if anti_cond is None else (anti_cond & e)
+    return current.join(batch_keys, on=anti_cond, how="left_anti")
+
+
 def merge_into(
     table: LakeTable,
     batch: DataFrame,
@@ -187,23 +214,11 @@ def merge_into(
         ]
     )
     # whole-row upsert: drop every batched key from current, re-insert
-    # survivors.  Null-safe (<=>) key match so a NULL key column behaves as
-    # a real key value — identical to MOR reconstruction's groupBy grouping.
-    batch_keys = batch.select(
-        *[F.col(c).alias(f"__k_{c}") for c in key_cols]
-    ).distinct()
-    # Broadcast only bounded batches: a 10^8-key backfill batch would OOM
-    # the driver (ref: a DataX channel never materializes its batch either).
-    # `batch` is persisted above, so count() is a cached scan, and
-    # rows >= distinct keys makes it a safe broadcast bound.
-    if batch.count() <= broadcast_key_limit:
-        batch_keys = F.broadcast(batch_keys)
-    anti_cond = None
-    for c in key_cols:
-        e = current[c].eqNullSafe(F.col(f"__k_{c}"))
-        anti_cond = e if anti_cond is None else (anti_cond & e)
-    new_state = current.join(
-        batch_keys, on=anti_cond, how="left_anti"
+    # survivors.  `batch` is persisted above, so count() is a cached scan,
+    # and rows >= distinct keys makes it a safe broadcast bound.
+    new_state = anti_join_batch_keys(
+        current, batch, key_cols,
+        broadcast=batch.count() <= broadcast_key_limit,
     ).unionByName(survivors)
 
     staged_base = Manifest(**{**base.__dict__, "schema": new_schema})

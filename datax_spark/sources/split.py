@@ -101,6 +101,52 @@ def pk_predicates(
     return preds
 
 
+def quantile_split_bounds(
+    df, pk: str, n: int, relative_error: float = 0.001
+) -> list[int]:
+    """Quantile-based split boundaries for a skewed/sparse PK — the rebuild
+    of DataX's sampling split (SingleTableSplitUtil.java:305-398: Oracle
+    ``SAMPLE(0.1)`` → sorted sample → evenly spaced elements).  Spark-native:
+    ``approxQuantile`` (Greenwald-Khanna, one pass, no global sort) replaces
+    the sample query.  Returns n-1 interior boundaries (ascending, deduped);
+    feed to ``bounded_predicates``.
+
+    Even bisection (``split_long_range``) degrades badly when the PK is
+    sparse or skewed (most ranges empty, one range holds everything);
+    quantile splits put ~equal ROWS in each range regardless of key
+    distribution — the property that matters for balanced scan partitions.
+    """
+    if n <= 1:
+        return []
+    probs = [i / n for i in range(1, n)]
+    bounds = df.stat.approxQuantile(pk, probs, relative_error)
+    out: list[int] = []
+    for b in bounds:
+        v = int(b)
+        if not out or v > out[-1]:
+            out.append(v)
+    return out
+
+
+def bounded_predicates(
+    pk: str, lo: int, hi: int, interior: list[int], null_tail: bool = True
+) -> list[str]:
+    """WHERE fragments from explicit interior boundaries (quantile split):
+    [lo, b1), [b1, b2), ..., [bk, hi] + optional ``pk IS NULL`` tail —
+    same shape as ``pk_predicates`` but with data-driven boundaries."""
+    edges = [lo] + [b for b in interior if lo < b <= hi] + [hi + 1]
+    preds = []
+    for i in range(len(edges) - 1):
+        a, b = edges[i], edges[i + 1]
+        if i == len(edges) - 2:
+            preds.append(f"{pk} >= {a} AND {pk} <= {hi}")
+        else:
+            preds.append(f"{pk} >= {a} AND {pk} < {b}")
+    if null_tail:
+        preds.append(f"{pk} IS NULL")
+    return preds
+
+
 def split_factor_advice(channels: int, split_factor: int = 5) -> int:
     """Tasks to request from a reader for a given parallelism — DataX
     oversplits single tables by splitFactor (default 5) so slow splits

@@ -28,6 +28,7 @@ files in path order, so writers must emit lsn-range-named files
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +60,39 @@ def write_feed_ordered(feed: DataFrame, path: str, n_files: int = 8) -> None:
         os.utime(os.path.join(path, fn), (base + i, base + i))
 
 
+def files_per_trigger_for_bytes(feed_dir: str, max_bytes: int) -> int:
+    """Byte-rate admission for the file feed — the rebuild of DataX's
+    byte-based channel throttling (core/.../transport/channel/
+    Channel.java:148-204; JobContainer.adjustChannelNumber:394-449 derives
+    channel count from the byte budget).
+
+    Spark's file source only caps *files* per trigger, and it takes files
+    in modification-time order — so batches are deterministic prefixes of
+    the mtime-sorted listing.  Pre-scan the sizes and return the largest N
+    such that EVERY chunk of N consecutive files stays within ``max_bytes``
+    (≥1: a single oversized file is admitted alone — the cap bounds batch
+    size, it cannot split a file)."""
+    entries = [
+        (os.path.getmtime(os.path.join(feed_dir, f)), f,
+         os.path.getsize(os.path.join(feed_dir, f)))
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    ]
+    sizes = [s for _, _, s in sorted(entries)]
+    if not sizes:
+        return 1
+    best = 1
+    for n in range(2, len(sizes) + 1):
+        if all(
+            sum(sizes[i : i + n]) <= max_bytes
+            for i in range(0, len(sizes), n)
+        ):
+            best = n
+        else:
+            break
+    return best
+
+
 def run_available_now(
     spark: SparkSession,
     feed_dir: str,
@@ -66,7 +100,9 @@ def run_available_now(
     feed_schema: T.StructType | None = None,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
     timeout_sec: int = 600,
+    stall_timeout_sec: float | None = None,
     filter_watermark: bool = True,
     quarantine_rules: list | None = None,
     quarantine_path: str | None = None,
@@ -85,11 +121,22 @@ def run_available_now(
     (write_feed_ordered's contract).  For sources that cannot guarantee
     order, pass False: MOR reconstruction is LSN-order-insensitive, so
     unordered batches still converge (exactly-once then rests on the
-    streaming checkpoint's stable batch ids alone)."""
+    streaming checkpoint's stable batch ids alone).
+
+    ``max_bytes_per_trigger`` caps each micro-batch by cumulative file
+    bytes (pre-scanned; see files_per_trigger_for_bytes) — the knob that
+    matters when a 100-TB backfill shares a cluster.  ``stall_timeout_sec``
+    fails the drain when no batch completes for that long while the query
+    is active (≈ the reference's hung-task expiry, TaskMonitor.java:80-97)
+    — distinct from ``timeout_sec``, the bound on TOTAL drain time."""
     if feed_schema is None:
         feed_schema = spark.read.parquet(feed_dir).schema
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(table.location, "_stream_checkpoint")
+    if max_bytes_per_trigger is not None and max_files_per_trigger is None:
+        max_files_per_trigger = files_per_trigger_for_bytes(
+            feed_dir, max_bytes_per_trigger
+        )
 
     reader = spark.readStream.schema(feed_schema)
     if max_files_per_trigger is not None:
@@ -98,6 +145,7 @@ def run_available_now(
 
     applier = CdcApplier(table, **applier_opts)
     applied: list[dict] = []
+    activity = {"t": time.monotonic()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -116,6 +164,7 @@ def run_available_now(
         lineage = applier.apply_batch(batch_df, f"s{batch_id}")
         if lineage is not None:
             applied.append(lineage)
+        activity["t"] = time.monotonic()  # a batch completed = progress
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -123,10 +172,22 @@ def run_available_now(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+    deadline = time.monotonic() + timeout_sec
+    poll = 1.0 if stall_timeout_sec is None else min(1.0, stall_timeout_sec / 4)
+    while not q.awaitTermination(poll):
+        now = time.monotonic()
+        if now > deadline:
+            q.stop()
+            raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+        if (
+            stall_timeout_sec is not None
+            and now - activity["t"] > stall_timeout_sec
+        ):
+            q.stop()
+            raise TimeoutError(
+                f"stream made no progress for {stall_timeout_sec}s "
+                f"(hung-task watchdog; {len(applied)} batches applied)"
+            )
     if q.exception() is not None:
         raise q.exception()
     return applied

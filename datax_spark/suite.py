@@ -253,6 +253,25 @@ def q_split_minmax_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_quantile_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height (quantile) split planning — the rebuild of DataX's
+    sampling-based split for skewed/sparse PKs (SingleTableSplitUtil.java:
+    305-398: Oracle SAMPLE → sorted sample → evenly spaced split points).
+    ntile(8) over the PK is the exact spec; the production scale path
+    (sources.split.quantile_split_bounds, approxQuantile — no global sort)
+    is property-tested against it in tests/test_sources.py."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    t = o.select(
+        "o_orderkey", F.ntile(8).over(w).cast("long").alias("split_id")
+    )
+    return t.groupBy("split_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("lo_bound"),
+        F.max("o_orderkey").alias("hi_bound"),
+    )
+
+
 # ================================================================== TPC-H-ish
 def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -585,6 +604,14 @@ SELECT r.range AS split_id, n_rows,
        lo + ((hi - lo + 1) * (r.range + 1)) // 8 - 1 AS hi_bound
 FROM range(8) r, b
 """,
+    "split_quantile_pk": """
+WITH t AS (SELECT o_orderkey,
+                  ntile(8) OVER (ORDER BY o_orderkey) AS split_id
+           FROM orders)
+SELECT split_id, count(*) AS n_rows,
+       min(o_orderkey) AS lo_bound, max(o_orderkey) AS hi_bound
+FROM t GROUP BY split_id
+""",
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus, count(*) AS count_order,
        CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
@@ -854,6 +881,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_replace": q_tx_replace,
     "tx_filter_like": q_tx_filter_like,
     "split_minmax_pk": q_split_minmax_pk,
+    "split_quantile_pk": q_split_quantile_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
     "events_rollup": q_events_rollup,

@@ -32,3 +32,31 @@ def test_feed_normalization_plan_is_jvm_only(spark, tmp_path):
     checks.assert_no_python_row_udf(
         dedup_last_per_key(feed, ["repo", "path", "commit"], "lsn")
     )
+
+def test_cow_anti_join_broadcast_guard(spark):
+    """merge_into broadcasts the batch-key side only under the size
+    threshold; above it the join is AQE-planned (no broadcast hint) — a
+    10^8-key backfill batch must never be collected to the driver."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.merge import anti_join_batch_keys
+
+    current = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("v").alias("v")
+    )
+    batch = spark.range(100).select(F.col("id").alias("k"))
+    small = anti_join_batch_keys(current, batch, ["k"], broadcast=True)
+    assert "BroadcastHashJoin" in checks.physical_plan(small)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable size-based auto-broadcast so the hint is the only way
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        large = anti_join_batch_keys(current, batch, ["k"], broadcast=False)
+        plan = checks.physical_plan(large)
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # both shapes produce the identical anti-join result
+    assert small.count() == 900
+    assert large.count() == 900

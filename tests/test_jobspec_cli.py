@@ -87,3 +87,71 @@ def test_stream_kind_from_spec(spark, tmp_path):
     assert set(got) == set(expected)
     for k, e in expected.items():
         assert got[k] == e["sha256"]
+
+# ----------------------------------------------- pre/post SQL + hook SPI
+def test_job_pre_post_sql_views(spark, tmp_path):
+    fixtures.change_events(spark, 1000, n_keys=200, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    d = _spec_dict(tmp_path)
+    # preSql validates the feed; postSql asserts over the committed target
+    d["pre_sql"] = ["SELECT assert_true(count(*) > 0) FROM source"]
+    d["post_sql"] = ["SELECT assert_true(count(*) > 0) FROM target"]
+    spec = JobSpec.from_dict(d)
+    out = run_job(spark, spec)
+    assert out["rows"] == 1000
+
+    # failing preSql aborts before any write
+    d2 = _spec_dict(tmp_path)
+    d2["target"]["location"] = str(tmp_path / "lake2")
+    d2["pre_sql"] = ["SELECT assert_true(count(*) = 0) FROM source"]
+    import pytest as _pytest
+
+    from datax_spark.lake.table import LakeTable
+    with _pytest.raises(Exception):
+        run_job(spark, JobSpec.from_dict(d2))
+    assert not LakeTable.exists(str(tmp_path / "lake2"))
+
+
+def test_job_hooks_invoked_and_errors_recorded(spark, tmp_path):
+    from datax_spark import jobspec as J
+
+    fixtures.change_events(spark, 500, n_keys=100, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    calls = []
+
+    @J.register_hook("t_audit")
+    def _audit(spec, summary):
+        calls.append(("audit", summary["rows"]))
+
+    @J.register_hook("t_boom")
+    def _boom(spec, summary):
+        raise RuntimeError("pager down")
+
+    d = _spec_dict(tmp_path)
+    d["hooks"] = ["t_audit", "t_boom"]
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []  # both hooks known
+    out = run_job(spark, spec)
+    # job succeeded; audit ran with final metrics; failure recorded not raised
+    assert calls == [("audit", 500)]
+    assert out["hook_errors"] == {"t_boom": "pager down"}
+
+    d["hooks"] = ["nope"]
+    assert JobSpec.from_dict(d).pre_check(spark) == ["unknown hook: nope"]
+
+
+def test_stream_spec_forwards_merge_and_error_limits(spark, tmp_path):
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1000, n_keys=200, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    d = _spec_dict(tmp_path, kind="stream")
+    d["run"] = {"kind": "stream", "max_files_per_trigger": 2}
+    d["merge"] = {"mode": "mor", "auto_compact": None, "dedup_batch": False}
+    out = run_job(spark, JobSpec.from_dict(d))
+    assert out["rows"] == 1000 and out["batches"] == 2
+    from datax_spark.lake.table import LakeTable
+    t = LakeTable(spark, d["target"]["location"])
+    # dedup_batch=False + auto_compact=None leaves every delta in place:
+    # proof the merge spec actually reached the streaming applier
+    assert t.file_stats()["delta_files"] > 0

@@ -146,3 +146,139 @@ def test_jdbc_write_spec_options():
     assert opts["batchsize"] == "4096"
     assert opts["truncate"] == "true"
     assert JdbcWriteSpec(url="u", table="t").options()["truncate"] == "false"
+
+
+# ------------------------------------------- multi-table / multi-URL fan-out
+def test_expand_table_pattern():
+    from datax_spark.sources.jdbc import expand_table_pattern
+
+    assert expand_table_pattern("tbl") == ["tbl"]
+    assert expand_table_pattern("tbl_[0-3]") == [
+        "tbl_0", "tbl_1", "tbl_2", "tbl_3"
+    ]
+    # zero-padding preserved (TableExpandUtil semantics)
+    assert expand_table_pattern("t_[00-02]_x") == ["t_00_x", "t_01_x", "t_02_x"]
+    with pytest.raises(ValueError):
+        expand_table_pattern("t_[9-3]")
+
+
+def test_multi_read_spec_fanout():
+    from datax_spark.sources.jdbc import JdbcMultiReadSpec
+
+    multi = JdbcMultiReadSpec(
+        urls=["jdbc:mysql://h1/db", "jdbc:mysql://h2/db"],
+        tables=["orders_[0-2]", "orders_extra"],
+        columns=["id", "v"],
+        where="v > 0",
+        split_pk="id",
+        num_splits=4,
+    )
+    specs = multi.expand()
+    # 2 urls x (3 expanded + 1 literal) tables = 8 per-shard read specs
+    assert len(specs) == 8
+    assert {s.table for s in specs} == {
+        "orders_0", "orders_1", "orders_2", "orders_extra"
+    }
+    assert {s.url for s in specs} == {"jdbc:mysql://h1/db", "jdbc:mysql://h2/db"}
+    # shared config propagates to every shard
+    for s in specs:
+        assert s.query() == "SELECT id, v FROM " + s.table + " WHERE v > 0"
+        assert len(s.predicates(0, 100)) == 5  # 4 ranges + NULL tail
+
+
+# --------------------------------------------------- preSql / postSql writer
+class _LogWriter:
+    """Stands in for df.write: records the write event in the shared log."""
+
+    def __init__(self, log):
+        self.log = log
+
+    def format(self, _):
+        return self
+
+    def mode(self, m):
+        return self
+
+    def option(self, k, v):
+        return self
+
+    def save(self):
+        self.log.append("WRITE")
+
+
+class _LogDF:
+    def __init__(self, log):
+        self.log = log
+
+    @property
+    def write(self):
+        return _LogWriter(self.log)
+
+
+def test_write_spec_pre_post_sql_order_and_placeholder():
+    from datax_spark.sources.jdbc import JdbcWriteSpec
+
+    log = []
+    spec = JdbcWriteSpec(
+        url="jdbc:mysql://h/db", table="tgt",
+        pre_sql=["TRUNCATE TABLE @table_stage", "DELETE FROM @table WHERE 1=0"],
+        post_sql=["ANALYZE TABLE @table"],
+    )
+    spec.save(_LogDF(log), sql_executor=log.append)
+    assert log == [
+        "TRUNCATE TABLE tgt_stage",
+        "DELETE FROM tgt WHERE 1=0",
+        "WRITE",
+        "ANALYZE TABLE tgt",
+    ]
+
+
+def test_write_spec_pre_sql_failure_aborts_before_write():
+    from datax_spark.sources.jdbc import JdbcWriteSpec
+
+    log = []
+
+    def boom(sql):
+        raise RuntimeError("no grants")
+
+    spec = JdbcWriteSpec(url="u", table="t", pre_sql=["TRUNCATE @table"])
+    with pytest.raises(RuntimeError, match="no grants"):
+        spec.save(_LogDF(log), sql_executor=boom)
+    assert log == []  # nothing written
+
+    # configured pre/post sql without an executor refuses up front
+    with pytest.raises(ValueError, match="sql_executor"):
+        spec.save(_LogDF(log))
+    assert log == []
+
+
+# ------------------------------------------------------------ quantile split
+def test_quantile_split_balances_skewed_pk(spark):
+    from pyspark.sql import functions as F
+
+    # quadratically skewed PK: even bisection would put ~97% of rows in the
+    # first range; quantile split must keep ranges within ~25% of each other
+    df = spark.range(4000).select((F.col("id") * F.col("id")).alias("pk"))
+    bounds = SP.quantile_split_bounds(df, "pk", 8, relative_error=0.0)
+    preds = SP.bounded_predicates("pk", 0, 3999 * 3999, bounds)
+    assert preds[-1] == "pk IS NULL"
+    counts = [df.filter(F.expr(p)).count() for p in preds[:-1]]
+    assert sum(counts) == 4000  # complete, non-overlapping coverage
+    assert max(counts) <= 1.25 * (4000 / len(counts))
+    # contrast: even bisection on the same key is pathologically skewed
+    even = SP.pk_predicates("pk", 0, 3999 * 3999, 8)
+    even_counts = [df.filter(F.expr(p)).count() for p in even[:-1]]
+    assert max(even_counts) > 0.3 * 4000
+
+
+def test_bounded_predicates_edges():
+    preds = SP.bounded_predicates("id", 10, 99, [30, 60], null_tail=False)
+    assert preds == [
+        "id >= 10 AND id < 30",
+        "id >= 30 AND id < 60",
+        "id >= 60 AND id <= 99",
+    ]
+    # out-of-range interior bounds are dropped, never produce empty ranges
+    assert SP.bounded_predicates("id", 10, 99, [5, 200], null_tail=False) == [
+        "id >= 10 AND id <= 99"
+    ]

@@ -86,3 +86,68 @@ def test_stream_unordered_delivery_converges_without_watermark(spark, tmp_path):
     )
     assert sum(l["rows"] for l in applied) == N
     _parity(t, feed_path)
+
+# ------------------------------------------------- byte-rate cap + watchdog
+def test_files_per_trigger_for_bytes(tmp_path):
+    from datax_spark.streaming.runner import files_per_trigger_for_bytes
+
+    d = tmp_path / "sized"
+    d.mkdir()
+    # 6 files of 100 bytes, ascending mtimes
+    for i in range(6):
+        p = d / f"part-{i}.parquet"
+        p.write_bytes(b"x" * 100)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    f = files_per_trigger_for_bytes
+    assert f(str(d), 100) == 1
+    assert f(str(d), 250) == 2
+    assert f(str(d), 1000) == 6
+    # cap below the smallest file still admits one file per batch
+    assert f(str(d), 10) == 1
+    # empty dir
+    e = tmp_path / "empty"
+    e.mkdir()
+    assert f(str(e), 100) == 1
+
+
+def test_stream_byte_cap_bounds_batches(spark, tmp_path):
+    feed_path = _feed(spark, tmp_path, n_files=6)
+    sizes = sorted(
+        os.path.getsize(os.path.join(feed_path, f))
+        for f in os.listdir(feed_path) if f.endswith(".parquet")
+    )
+    cap = sizes[-1] * 2  # admits ~2 files per batch
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    applied = run_available_now(
+        spark, feed_path, t, max_bytes_per_trigger=cap
+    )
+    assert sum(l["rows"] for l in applied) == N
+    assert len(applied) == 3  # 6 files / 2 per batch
+    _parity(t, feed_path)
+
+
+def test_stall_watchdog_fires_on_hung_batch(spark, tmp_path):
+    import time as _time
+
+    import pytest as _pytest
+
+    feed_path = _feed(spark, tmp_path, n_files=4)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+
+    def hang(df):
+        _time.sleep(15)
+        return df
+
+    with _pytest.raises(TimeoutError, match="no progress"):
+        run_available_now(
+            spark, feed_path, t,
+            max_files_per_trigger=1,
+            stall_timeout_sec=3,
+            transform=hang,
+        )
+    # a healthy drain with the watchdog armed is unaffected
+    t2 = create_repo_table(spark, str(tmp_path / "t2"), num_buckets=8)
+    applied = run_available_now(
+        spark, feed_path, t2, max_files_per_trigger=2, stall_timeout_sec=120
+    )
+    assert sum(l["rows"] for l in applied) == N
