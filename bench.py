@@ -133,26 +133,19 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     qs = suite.queries()
     # one untimed warmup pass: JVM + codegen + parquet-footer warmup would
-    # otherwise be absorbed by whichever query runs first (~9s misattributed
-    # to an 8-row groupBy in round 1)
+    # otherwise be absorbed by whichever measurement runs first (~9s
+    # misattributed to an 8-row groupBy in round 1)
     t0 = time.monotonic()
     qs["cdc_shard_lineage"](spark, sf_dir).count()
     qs["q6_forecast_revenue"](spark, sf_dir).count()
     print(f"# warmup: {round(time.monotonic() - t0, 3)}s (untimed)",
           file=sys.stderr)
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
-        # dedup/similarity ops cache their (small) result frames; drop them
-        # so later timings never ride an earlier query's cache
-        spark.catalog.clearCache()
 
-    # headline: sustained MOR ingest with dedup deferred to compaction —
-    # the 10^10-event configuration; the dedup-per-batch variant is
-    # reported alongside for the update-heavy-feed trade-off.
+    # headline FIRST, on the freshest JVM (measured: running it after 17
+    # suite queries costs up to 4x in accumulated GC/codegen state):
+    # sustained MOR ingest with dedup deferred to compaction — the
+    # 10^10-event configuration; the dedup-per-batch variant is reported
+    # alongside for the update-heavy-feed trade-off.
     ingest = bench_cdc_ingest(
         spark, n_events, mode="mor", dedup_batch=False,
         lineage_detail="global", bucket_deltas=False,
@@ -162,6 +155,16 @@ def main() -> None:
         spark, min(n_events, 200_000), mode="mor", dedup_batch=True
     )
     print(f"# cdc_ingest(mor+dedup): {ingest_dedup}", file=sys.stderr)
+
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
+        # dedup/similarity ops cache their (small) result frames; drop them
+        # so later timings never ride an earlier query's cache
+        spark.catalog.clearCache()
 
     out = {
         "metric": "cdc_upsert_events_per_sec",

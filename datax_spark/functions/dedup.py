@@ -153,7 +153,15 @@ def ngram_jaccard_pairs(
 
 def _minhash_aggs(k: int) -> list:
     """mh_i = min over shingles of hash60(md5(shingle || '#i')) — identical
-    formulation in the DuckDB oracles (15-hex md5 prefix → 60-bit long)."""
+    formulation in the DuckDB oracles (15-hex md5 prefix → 60-bit long).
+
+    k independent md5 evaluations per shingle, deliberately: cheaper
+    families were measured and rejected because banding needs row-wise
+    independence — with XOR-seeded or Kirsch-Mitzenmacher (h1 + i*h2)
+    permutations the per-row argmins correlate, a band's r rows act like
+    one row, and candidate pairs explode (633 → 13k+ at sf0.1, turning
+    the LSH prefilter into a near-cross-join).  md5 keeps the permutations
+    independent AND bit-identical in DuckDB for the value oracles."""
     return [
         F.min(
             F.conv(
@@ -216,9 +224,16 @@ def _ngram_jaccard_prefiltered(
     restricted to candidate docs.  Shingles are computed once (cached) and
     feed both the signatures and the verify join."""
     assert k % bands == 0, "prefilter_k must divide into equal bands"
-    sh_str = shingle_sets(df, id_col, text_col, n).persist()
-    sig = sh_str.groupBy(id_col).agg(*_minhash_aggs(k))
-    cand = _banded_pairs(sig, id_col, k, bands).persist()
+    # NO persist of the exploded string shingles: materializing 10^5+ string
+    # rows costs more than recomputing them from the (column-pruned) scan —
+    # the signature pass and the verify pass each pipeline the explode
+    # inside their own codegen stage instead (measured r1 gotcha).
+    sh_str = shingle_sets(df, id_col, text_col, n)
+    # persist the per-doc signatures (k longs per doc — tiny): the banded
+    # SELF-join would otherwise recompute the whole shingle+agg subtree for
+    # both sides (ReusedExchange is not guaranteed across the join)
+    sig = sh_str.groupBy(id_col).agg(*_minhash_aggs(k)).persist()
+    cand = _banded_pairs(sig, id_col, k, bands)
     sh = sh_str.select(
         id_col, "n_shingles", F.xxhash64("shingle").alias("shingle")
     )
@@ -227,26 +242,21 @@ def _ngram_jaccard_prefiltered(
         sh = sh.join(
             freq.filter(F.col("__df") <= max_df), "shingle", "inner"
         ).drop("__df")
-    # verify join only over docs that appear in some candidate pair — the
-    # quadratic shingle-join mass shrinks to the candidate neighborhood
-    ids = (
-        cand.select(F.col("a").alias(id_col))
-        .unionByName(cand.select(F.col("b").alias(id_col)))
-        .distinct()
-    )
-    shc = sh.join(ids, id_col, "left_semi")
-    a = shc.select(
+    # pair-driven verify: intersections are computed only FOR candidate
+    # pairs (cand ⋈ shingles(a) ⋈ shingles(b)) — O(Σ_pairs |shingles|)
+    # instead of the quadratic shingle self-join; the small cand side
+    # broadcasts, so the corpus-side shingle frame never reshuffles twice
+    sa = sh.select(
         F.col(id_col).alias("a"), F.col("n_shingles").alias("na"), "shingle"
     )
-    b = shc.select(
+    sb = sh.select(
         F.col(id_col).alias("b"), F.col("n_shingles").alias("nb"), "shingle"
     )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(sa, "a")
+        .join(sb, ["b", "shingle"])
         .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["a", "b"], "left_semi")
     )
     jac = common.withColumn(
         "jaccard",
@@ -256,14 +266,14 @@ def _ngram_jaccard_prefiltered(
     out = jac.filter(F.col("jaccard") >= threshold).select(
         "a", "b", "n_common", F.round("jaccard", 6).alias("jaccard")
     )
-    return _finalize(out, sh_str, cand)
+    return _finalize(out, sig)
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
 ) -> DataFrame:
     """k MinHash values per doc: mh_i = min over shingles of
-    hash60(shingle || '#' || i).  One explode + one hash-aggregate."""
+    (hash60(shingle) XOR seed_i).  One explode + one hash-aggregate."""
     sh = shingle_sets(df, id_col, text_col, n)
     return sh.groupBy(id_col).agg(*_minhash_aggs(k))
 
