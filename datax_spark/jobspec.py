@@ -60,6 +60,10 @@ class RunSpec:
     kind: str = "incremental"  # full | incremental | stream
     batch_lsns: int = 100_000
     max_files_per_trigger: int | None = None
+    # stream-only rate/health knobs (Channel.java byte cap;
+    # TaskMonitor.java hung-task expiry)
+    max_bytes_per_trigger: int | None = None
+    stall_timeout_sec: float | None = None
 
 
 @dataclass
@@ -242,6 +246,8 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
         lineages = run_available_now(
             spark, spec.source.path, table,
             max_files_per_trigger=spec.run.max_files_per_trigger,
+            max_bytes_per_trigger=spec.run.max_bytes_per_trigger,
+            stall_timeout_sec=spec.run.stall_timeout_sec,
             transform=(
                 (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))
                 if spec.transforms else None

@@ -155,3 +155,22 @@ def test_stream_spec_forwards_merge_and_error_limits(spark, tmp_path):
     # dedup_batch=False + auto_compact=None leaves every delta in place:
     # proof the merge spec actually reached the streaming applier
     assert t.file_stats()["delta_files"] > 0
+
+
+def test_stream_spec_byte_cap(spark, tmp_path):
+    import os as _os
+
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1000, n_keys=200, seed=42)
+    fp = str(tmp_path / "feed")
+    write_feed_ordered(feed, fp, n_files=4)
+    biggest = max(
+        _os.path.getsize(_os.path.join(fp, f))
+        for f in _os.listdir(fp) if f.endswith(".parquet")
+    )
+    d = _spec_dict(tmp_path, kind="stream")
+    d["run"] = {"kind": "stream", "max_bytes_per_trigger": biggest * 2,
+                "stall_timeout_sec": 120}
+    out = run_job(spark, JobSpec.from_dict(d))
+    assert out["rows"] == 1000 and out["batches"] == 2  # 4 files / 2 per batch

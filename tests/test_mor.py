@@ -146,3 +146,51 @@ def test_cow_refuses_l0_table(spark, tmp_path):
     with _pytest.raises(ValueError, match="batch_lsns"):
         run_incremental(t, feed.withColumn("lsn", feed.lsn + 10000),
                         batch_lsns=20000, mode="mor")
+
+
+def test_null_key_rows_survive_all_paths(spark, tmp_path):
+    """A NULL key column must behave as a real key value in BOTH merge
+    modes (null-safe joins): round 1 dropped such rows from every
+    delta-bearing MOR read while COW kept them — state diverged by mode,
+    and compact() made the loss permanent."""
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+
+    def mk(loc):
+        return LakeTable.create(
+            spark, str(tmp_path / loc), schema=schema,
+            key_cols=["k"], num_buckets=4,
+        )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "k string, v long, op string, lsn long"
+        )
+
+    for mode in ("mor", "cow"):
+        t = mk(f"t_{mode}")
+        merge_into(t, batch([("a", 1, "insert", 1), (None, 10, "insert", 2)]),
+                   op_col="op", order_col="lsn", lineage={"batch_id": 0,
+                   "rows": 2, "bytes": 0, "shard_lsns": {}}, mode=mode)
+        # upsert the NULL key: last-writer-wins must REPLACE, not duplicate
+        merge_into(t, batch([(None, 20, "insert", 3)]),
+                   op_col="op", order_col="lsn", lineage={"batch_id": 1,
+                   "rows": 1, "bytes": 0, "shard_lsns": {}}, mode=mode)
+        rows = {r.k: r.v for r in t.read().collect()}
+        assert rows == {"a": 1, None: 20}, (mode, rows)
+        if mode == "mor":
+            t.compact()  # compaction must not lose the NULL-key row either
+            rows = {r.k: r.v for r in t.read().collect()}
+            assert rows == {"a": 1, None: 20}, ("compacted", rows)
+        # delete the NULL key
+        merge_into(t, batch([(None, 0, "delete", 4)]),
+                   op_col="op", order_col="lsn", lineage={"batch_id": 2,
+                   "rows": 1, "bytes": 0, "shard_lsns": {}}, mode=mode)
+        assert {r.k for r in t.read().collect()} == {"a"}, mode

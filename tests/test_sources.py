@@ -282,3 +282,29 @@ def test_bounded_predicates_edges():
     assert SP.bounded_predicates("id", 10, 99, [5, 200], null_tail=False) == [
         "id >= 10 AND id <= 99"
     ]
+
+
+# ------------------------------------------------- SEQ legacy format reader
+def test_read_sequence_text_roundtrip(spark, tmp_path):
+    seq_dir = str(tmp_path / "seq")
+    lines = [f"{i},name{i},{i * 1.5}" for i in range(50)]
+    spark.sparkContext.parallelize(
+        [(i, l) for i, l in enumerate(lines)], 2
+    ).saveAsSequenceFile(seq_dir)
+
+    out = FS.read_sequence_text(
+        spark, seq_dir,
+        columns=[
+            {"index": 0, "type": "long", "name": "id"},
+            {"index": 1, "type": "string", "name": "name"},
+            {"index": 2, "type": "double", "name": "score"},
+            {"value": "seq", "type": "string", "name": "src"},
+        ],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 50
+    assert rows[7].name == "name7" and rows[7].score == 10.5
+    assert rows[7].src == "seq"
+    assert dict(out.dtypes) == {
+        "id": "bigint", "name": "string", "score": "double", "src": "string"
+    }
