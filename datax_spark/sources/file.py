@@ -52,6 +52,49 @@ def read_delimited(
     field i) or ``{"value": v, "type": t}`` (constant column, DataX's
     ``value`` — UnstructuredStorageReaderUtil.java:391-443).  None means
     all columns as strings (DataX ``column: ["*"]``)."""
+    return _read_csv_like(
+        spark, path, columns, field_delimiter, skip_header,
+        null_format, compression, encoding,
+    )
+
+
+def read_sequence_text(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict[str, Any]] | None = None,
+    field_delimiter: str = ",",
+    null_format: str | None = "\\N",
+) -> DataFrame:
+    """Legacy Hadoop SequenceFile-of-text reader — the SEQ branch of
+    hdfsreader (HdfsReader.java:80-86; DFSUtil.sequenceFileStartRead reads
+    only the Text VALUE of each record, key ignored; the value is a
+    delimited line parsed with the shared column spec).
+
+    The one sanctioned RDD hop in the engine: Spark has no DataFrame
+    SequenceFile source, so ``sc.sequenceFile(...).values()`` lifts the
+    lines and they immediately re-enter the csv/column-spec DataFrame
+    path shared with ``read_delimited`` (same projection/cast/constant
+    semantics, same Catalyst plan from there on)."""
+    lines = spark.sparkContext.sequenceFile(path).values().map(
+        lambda v: v.decode("utf-8")
+        if isinstance(v, (bytes, bytearray)) else str(v)
+    )
+    return _read_csv_like(
+        spark, lines, columns, field_delimiter, False, null_format,
+        None, "UTF-8",
+    )
+
+
+def _read_csv_like(
+    spark: SparkSession,
+    source,  # path str, or RDD[str] of raw lines (SEQ values)
+    columns: list[dict[str, Any]] | None,
+    field_delimiter: str,
+    skip_header: bool,
+    null_format: str | None,
+    compression: str | None,
+    encoding: str,
+) -> DataFrame:
     reader = (
         spark.read.option("sep", field_delimiter)
         .option("header", str(skip_header).lower())
@@ -62,7 +105,7 @@ def read_delimited(
         reader = reader.option("nullValue", null_format)
     if compression:
         reader = reader.option("compression", compression)
-    df = reader.csv(path)
+    df = reader.csv(source)
     if columns is None:
         return df
     src = df.columns
