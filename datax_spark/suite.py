@@ -452,6 +452,179 @@ def q_q3_top_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped correlated EXISTS: orders in a six-month window with
+    at least one line shipped after the order date, counted by priority.
+    The EXISTS is a left-semi hash join on the equi key with the non-equi
+    date predicate as a join residual — no subquery re-execution per row."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped two-nation trade volume by year.  The nation dims are
+    pre-filtered to the two trading nations BEFORE the join (shrinks the
+    probe fan-in at scale), broadcast, and the cross-pair predicate is
+    applied post-join."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+
+
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top 20 customers by lost revenue on returned items
+    in one quarter; customer/nation dims broadcast, sort-limit top-N."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    rev = j.groupBy(
+        "c_custkey", "c_name", _cents("c_acctbal").alias("acctbal_cents"), "n_name"
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+    return rev.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey")).limit(20)
+
+
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo-revenue share: lineitem x part (broadcast dim)
+    over one quarter, conditional vs total sums as exact cents (no float
+    division cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disc = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))).alias(
+            "promo_revenue_cents"
+        ),
+        F.sum(disc).alias("total_revenue_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: HAVING sum(quantity) > 300 on a
+    map-side-combinable hash agg, then join back to orders + customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return j.select(
+        "c_custkey",
+        "c_name",
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        _cents("o_totalprice").alias("totalprice_cents"),
+        "total_qty",
+    )
+
+
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-N per key: 3 highest-value orders per market segment via
+    a rank window (deterministic tiebreak on orderkey).  At scale this is
+    the partial-top-N pattern AQE handles with a window + filter — no global
+    sort."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", _cents("o_totalprice").alias("price_cents")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "price_cents")
+    )
+
+
+def q_q22_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: customers with above-average balance and no orders.
+    The global-average scalar subquery is computed as exact integer
+    (cents x count > total) to avoid cross-engine float-boundary flips; the
+    1-row aggregate is broadcast; NOT EXISTS is a left-anti join."""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "acctbal_cents", _cents("c_acctbal")
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("acctbal_cents").alias("__tot"), F.count(F.lit(1)).alias("__n")
+    )
+    rich = c.join(F.broadcast(stats)).filter(
+        F.col("acctbal_cents") * F.col("__n") > F.col("__tot")
+    )
+    o = _t(spark, sf_dir, "orders")
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("acctbal_cents").alias("sum_acctbal_cents"),
+    )
+
+
 # ========================================================== dedup / text ops
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -700,6 +873,85 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
 """,
+    "q4_order_priority": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(date_part('year', l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+    "q10_returned_items": """
+SELECT c_custkey, c_name,
+       CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name,
+       CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""",
+    "q14_promo_revenue": """
+SELECT
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+       THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+       ELSE 0 END) AS BIGINT) AS promo_revenue_cents,
+  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_revenue_cents,
+  count(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    "q18_large_volume": """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING CAST(sum(l_quantity) AS BIGINT) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents, total_qty
+FROM big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "top_orders_per_segment": """
+WITH r AS (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY round(o_totalprice*100) DESC, o_orderkey) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey)
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
+FROM r WHERE rank <= 3
+""",
+    "q22_rich_idle_customers": """
+WITH s AS (
+  SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS tot,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM customer, s
+WHERE CAST(round(c_acctbal*100) AS BIGINT) * n > tot
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+GROUP BY c_nationkey
+""",
     "dedup_exact": """
 SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
@@ -890,6 +1142,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q4_order_priority": q_q4_order_priority,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q10_returned_items": q_q10_returned_items,
+    "q14_promo_revenue": q_q14_promo_revenue,
+    "q18_large_volume": q_q18_large_volume,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "q22_rich_idle_customers": q_q22_rich_idle_customers,
     "events_tumbling_window": q_events_tumbling_window,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
     "dedup_exact": q_dedup_exact,
