@@ -126,6 +126,164 @@ def ann_bucketed_topk(
     )
 
 
+# ------------------------------------------------------- trained IVF (k-means)
+def _score_structs(vec_dbl, centroids: list[tuple[int, list[float]]]) -> F.Column:
+    """Array of (squared-distance-score, cid) structs, one per centroid.
+
+    score = |c|^2 - 2 v.c (argmin-equivalent to ||v-c||^2; |v|^2 is constant
+    per row).  |c|^2 is folded in Python with the same sequential order the
+    engines use, so scores are bit-identical across Spark / DuckDB / Python
+    and the argmin can never flip cross-engine."""
+    structs = []
+    for cid, cv in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        cc = 0.0
+        for x in cv:
+            cc += float(x) * float(x)
+        score = F.lit(cc) - F.lit(2.0) * dot(vec_dbl, carr)
+        structs.append(
+            F.struct(
+                score.alias("score"), F.lit(int(cid)).cast("long").alias("cid")
+            )
+        )
+    return F.array(*structs)
+
+
+def nearest_centroid(vec_dbl, centroids) -> F.Column:
+    """cid of the nearest centroid (ties broken by lowest cid — struct
+    ordering is (score, cid) lexicographic)."""
+    return F.array_min(_score_structs(vec_dbl, centroids))["cid"]
+
+
+def probe_centroids(vec_dbl, centroids, nprobe: int) -> F.Column:
+    """The ``nprobe`` nearest centroid ids (IVF probe list)."""
+    ranked = F.slice(F.sort_array(_score_structs(vec_dbl, centroids)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cid"])
+
+
+def kmeans_lite(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iters: int = 2,
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means over an embedding column — the trained
+    partition function for IVF ANN (upgrade over ``sign_bucket``).
+
+    Determinism across engines/runs, the part plain k-means lacks:
+    - init = the k lowest-id vectors (data-defined, seedless);
+    - per-cluster element sums are INTEGER fixed-point (round(x*scale) as
+      long) — exact and accumulation-order-independent, so the shuffle
+      order of a distributed sum cannot perturb centroids;
+    - centroid element = (sum/n)/scale, two IEEE divisions identical in
+      Python, Spark, and DuckDB.
+
+    Scale shape: each iteration is one hash-agg over posexplode(dim) —
+    shuffle of k*dim longs per partition after map-side partials — plus a
+    driver collect of k*dim stats (bounded planning data, like bucket ids
+    in merge.py).  Centroids travel back as literals (broadcast by plan),
+    so the corpus is scanned, never shuffled by row.  The expression-tree
+    argmin is O(k*dim) literals — right for k up to ~64; beyond that chunk
+    the centroid set or move the argmin into a vectorized pandas UDF.
+    """
+    v = _as_double(vec_col)
+    init = (
+        df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+        .orderBy("__id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r["__v"]]) for i, r in enumerate(init)]
+    base = df.select(
+        v.alias("__v"),
+        F.transform(v, lambda x: F.round(x * scale, 0).cast("long")).alias("__fv"),
+    )
+    for _ in range(n_iters):
+        stats = (
+            base.withColumn("__cluster", nearest_centroid(F.col("__v"), centroids))
+            .select("__cluster", F.posexplode("__fv").alias("pos", "val"))
+            .groupBy("__cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, list[tuple[int, int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(int(r["__cluster"]), []).append(
+                (int(r["pos"]), int(r["s"]), int(r["n"]))
+            )
+        centroids = [
+            (cid, [(s / n) / float(scale) for _, s, n in sorted(elems)])
+            for cid, elems in sorted(by_cid.items())
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) assignment of every vector to its nearest centroid."""
+    return df.select(
+        F.col(id_col),
+        nearest_centroid(_as_double(vec_col), centroids).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    nprobe: int = 1,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k with TRAINED IVF partitions (vs ``ann_bucketed_topk``
+    whose buckets are untrained sign bits).
+
+    The corpus is assigned once to its nearest centroid (the inverted
+    lists); each query probes its ``nprobe`` nearest centroids and ranks
+    exact cosine inside those lists only — ~nprobe/k of the corpus per
+    query.  Recall grows with nprobe; nprobe=k is exact search."""
+    if centroids is None:
+        centroids = kmeans_lite(corpus, id_col, vec_col, n_centroids, n_iters)
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor"),
+        nearest_centroid(F.col("__vec"), centroids).alias("cluster"),
+        "__vec",
+        "__norm",
+    )
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("q"),
+        F.explode(probe_centroids(F.col("__vec"), centroids, nprobe)).alias(
+            "cluster"
+        ),
+        F.col("__vec").alias("__qvec"),
+        F.col("__norm").alias("__qnorm"),
+    )
+    joined = c.join(F.broadcast(q), "cluster").filter(
+        F.col("q") != F.col("neighbor")
+    )
+    sim = joined.withColumn(
+        "cosine",
+        dot(F.col("__qvec"), F.col("__vec")) / (F.col("__qnorm") * F.col("__norm")),
+    )
+    w = Window.partitionBy("q").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q", "cluster", "neighbor", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -686,6 +686,24 @@ def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, nbits=8)
 
 
+def q_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF partition function: deterministic Lloyd's k-means (k=8,
+    2 iterations, integer fixed-point centroid sums) — every vector's final
+    cluster.  The oracle replays the identical iterations in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_lite(emb, k=8, n_iters=2)
+    return SIM.kmeans_assign(emb, cents)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over the trained IVF lists (nprobe=1): each query ranks
+    exact cosine inside its nearest centroid's inverted list only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, n_centroids=8, n_iters=2
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.cosine_pairs(emb, threshold=0.4, nbits=4)
@@ -721,6 +739,44 @@ _DOC_SHINGLES_3 = r"""
 w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
        FROM w, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t)
+"""
+
+# Deterministic Lloyd's k-means (k=8, 2 iterations) replayed in SQL: init =
+# 8 lowest-id vectors; score = |c|^2 - 2 v.c (list_dot_product is bit-equal
+# to the engines' sequential fold — verified); centroid sums are integer
+# fixed-point so accumulation order cannot perturb them; element = s/n/1e6,
+# the same two IEEE divisions Python computes.  Ends with a2(vec_id, cid).
+_KMEANS_CTE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+fx AS (SELECT vec_id, vec,
+              list_transform(vec, x -> CAST(round(x*1000000) AS BIGINT)) AS fv
+       FROM v),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+              vec AS cvec
+       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+s1 AS (SELECT f.vec_id, c.cid,
+              list_dot_product(c.cvec, c.cvec) - 2*list_dot_product(f.vec, c.cvec) AS score
+       FROM fx f CROSS JOIN c0 c),
+r1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn FROM s1),
+a1 AS (SELECT vec_id, cid FROM r1 WHERE rn = 1),
+u1 AS (SELECT a1.cid, generate_subscripts(f.fv, 1) AS pos, unnest(f.fv) AS val
+       FROM a1 JOIN fx f USING (vec_id)),
+g1 AS (SELECT cid, pos, sum(val)::BIGINT AS s, count(*) AS n FROM u1 GROUP BY 1, 2),
+c1 AS (SELECT cid, list(s / n / 1000000.0 ORDER BY pos) AS cvec FROM g1 GROUP BY cid),
+s2 AS (SELECT f.vec_id, c.cid,
+              list_dot_product(c.cvec, c.cvec) - 2*list_dot_product(f.vec, c.cvec) AS score
+       FROM fx f CROSS JOIN c1 c),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn FROM s2),
+a2i AS (SELECT vec_id, cid FROM r2 WHERE rn = 1),
+u2 AS (SELECT a2i.cid, generate_subscripts(f.fv, 1) AS pos, unnest(f.fv) AS val
+       FROM a2i JOIN fx f USING (vec_id)),
+g2 AS (SELECT cid, pos, sum(val)::BIGINT AS s, count(*) AS n FROM u2 GROUP BY 1, 2),
+c2 AS (SELECT cid, list(s / n / 1000000.0 ORDER BY pos) AS cvec FROM g2 GROUP BY cid),
+s3 AS (SELECT f.vec_id, c.cid,
+              list_dot_product(c.cvec, c.cvec) - 2*list_dot_product(f.vec, c.cvec) AS score
+       FROM fx f CROSS JOIN c2 c),
+r3 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn FROM s3),
+a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 """
 
 _ORACLES: dict[str, str] = {
@@ -1079,6 +1135,23 @@ sim AS (SELECT q.vec_id AS q, q.bucket AS bucket, c.vec_id AS neighbor,
 r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS rank FROM sim)
 SELECT q, bucket, neighbor, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine FROM r WHERE rank <= 3
 """,
+    "ivf_kmeans_assign": _KMEANS_CTE + """
+SELECT vec_id, cid AS cluster FROM a2
+""",
+    "ann_ivf_topk": _KMEANS_CTE + """,
+n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS nrm FROM v),
+sim AS (SELECT qa.vec_id AS q, qa.cid AS cluster, ca.vec_id AS neighbor,
+               list_dot_product(qn.vec, cn.vec) / (qn.nrm * cn.nrm) AS cosine
+        FROM a2 qa
+        JOIN a2 ca ON ca.cid = qa.cid AND ca.vec_id <> qa.vec_id
+        JOIN n qn ON qn.vec_id = qa.vec_id
+        JOIN n cn ON cn.vec_id = ca.vec_id
+        WHERE qa.vec_id < 20),
+r AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS rank
+      FROM sim)
+SELECT q, cluster, neighbor, CAST(rank AS INT) AS rank, round(cosine, 6) AS cosine
+FROM r WHERE rank <= 3
+""",
     "embed_near_dup": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
@@ -1161,6 +1234,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
+    "ivf_kmeans_assign": q_ivf_kmeans_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_meta": q_multimodal_decode_meta,

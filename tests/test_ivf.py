@@ -1,0 +1,59 @@
+"""Trained-IVF (deterministic k-means) contracts beyond the suite oracle:
+bit-exact determinism across runs, nprobe=k degrades to exact search, and
+the whole path stays JVM-side (no row Python)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.functions import similarity as SIM
+from datax_spark.plans.checks import assert_no_python_row_udf
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_kmeans_lite_bit_deterministic(emb):
+    # integer fixed-point sums make centroids independent of shuffle order:
+    # two full trainings (fresh jobs, fresh partitionings) must agree to the
+    # last bit, not just approximately
+    a = SIM.kmeans_lite(emb, k=8, n_iters=2)
+    b = SIM.kmeans_lite(emb.repartition(7), k=8, n_iters=2)
+    assert [cid for cid, _ in a] == [cid for cid, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert va == vb  # exact float equality, intentionally
+
+
+def test_kmeans_assign_covers_all_vectors(emb):
+    cents = SIM.kmeans_lite(emb, k=8, n_iters=2)
+    assigned = SIM.kmeans_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    clusters = {r.cluster for r in assigned.select("cluster").distinct().collect()}
+    assert clusters <= {cid for cid, _ in cents}
+
+
+def test_ivf_nprobe_full_equals_exact(emb):
+    # probing every centroid makes IVF an exact search: results must equal
+    # brute-force cosine_topk (the recall-vs-nprobe contract's endpoint)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.q, r.rank): r.neighbor
+        for r in SIM.cosine_topk(emb, queries, k=3).collect()
+    }
+    ivf = {
+        (r.q, r.rank): r.neighbor
+        for r in SIM.ivf_topk(
+            emb, queries, k=3, n_centroids=8, n_iters=1, nprobe=8
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_topk_no_row_python(emb):
+    df = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=2, n_iters=1)
+    assert_no_python_row_udf(df)
