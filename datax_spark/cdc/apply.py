@@ -41,6 +41,7 @@ class CdcApplier:
         dedup_batch: bool = True,
         lineage_detail: str = "shards",
         bucket_deltas: bool = True,
+        compact_ratio: float | None = None,
     ):
         """``mode="mor"`` (default) appends delta files per batch — O(batch)
         writes, the 10^10-event path; ``mode="cow"`` rewrites touched
@@ -72,6 +73,9 @@ class CdcApplier:
         self.dedup_batch = dedup_batch
         self.lineage_detail = lineage_detail
         self.bucket_deltas = bucket_deltas
+        # when set, compaction is cost-based (delta bytes vs base bytes,
+        # LakeTable.compaction_candidates) instead of file-count-only
+        self.compact_ratio = compact_ratio
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -169,6 +173,7 @@ class CdcApplier:
             auto_compact=self.auto_compact,
             dedup_batch=self.dedup_batch,
             bucket_deltas=self.bucket_deltas,
+            compact_ratio=self.compact_ratio,
         )
         return lineage
 
@@ -220,6 +225,7 @@ class CdcApplier:
             auto_compact=self.auto_compact,
             dedup_batch=self.dedup_batch,
             bucket_deltas=self.bucket_deltas,
+            compact_ratio=self.compact_ratio,
         )
         resolved = resolve()
         if resolved["rows"] == 0:

@@ -64,6 +64,7 @@ def run_incremental(
     dedup_batch: bool = True,
     lineage_detail: str = "shards",
     bucket_deltas: bool = True,
+    compact_ratio: float | None = None,
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -84,6 +85,7 @@ def run_incremental(
     applier = CdcApplier(
         table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
         lineage_detail=lineage_detail, bucket_deltas=bucket_deltas,
+        compact_ratio=compact_ratio,
     )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(

@@ -39,7 +39,16 @@ def _maintain_cmd(args) -> int:
     spark = get_session("datax-spark-maintain", cores=args.cores)
     t = LakeTable(spark, args.table)
     out = {"ok": True, "table": args.table, "version": t.current_version()}
-    if args.compact:
+    if args.compact_ratio is not None:
+        # out-of-band cost-based compaction: only buckets whose delta bytes
+        # exceed ratio x base bytes (manifest-stat planning, no listing)
+        cand = t.compaction_candidates(delta_ratio=args.compact_ratio)
+        out["compaction_candidates"] = [str(b) for b in cand]
+        m = t.compact(cand) if cand else None
+        out["compacted"] = m is not None
+        if m is not None:
+            out["version"] = m.version
+    elif args.compact:
         m = t.compact()
         out["compacted"] = m is not None
         if m is not None:
@@ -66,6 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     mnt = sub.add_parser("maintain", help="compact / vacuum / report a table")
     mnt.add_argument("table", help="lake table location")
     mnt.add_argument("--compact", action="store_true")
+    mnt.add_argument("--compact-ratio", type=float, default=None, metavar="R",
+                     help="cost-based compaction: only buckets with delta "
+                          "bytes > R x base bytes")
     mnt.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                      help="delete files unreferenced by the last KEEP versions")
     mnt.add_argument("--report", action="store_true")

@@ -53,6 +53,9 @@ class MergeSpec:
     auto_compact: int | None = 8
     dedup_batch: bool = True
     files_per_bucket: int = 1
+    # cost-based compaction: compact a bucket when delta bytes exceed this
+    # fraction of its base bytes (None = file-count threshold only)
+    compact_ratio: float | None = None
 
 
 @dataclass
@@ -228,6 +231,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             table, feed, batch_lsns=spec.run.batch_lsns,
             mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
             dedup_batch=spec.merge.dedup_batch,
+            compact_ratio=spec.merge.compact_ratio,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
@@ -261,6 +265,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             auto_compact=spec.merge.auto_compact,
             dedup_batch=spec.merge.dedup_batch,
             files_per_bucket=spec.merge.files_per_bucket,
+            compact_ratio=spec.merge.compact_ratio,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))

@@ -102,6 +102,7 @@ def merge_into(
     dedup_batch: bool = True,
     bucket_deltas: bool = True,
     broadcast_key_limit: int = 1_000_000,
+    compact_ratio: float | None = None,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -164,7 +165,7 @@ def merge_into(
             try:
                 return _merge_mor(
                     table, batch, base, op_col, lineage, evolve_schema,
-                    files_per_bucket, auto_compact, t0,
+                    files_per_bucket, auto_compact, t0, compact_ratio,
                     bucket_deltas=bucket_deltas,
                 )
             except CommitConflict as e:
@@ -267,6 +268,7 @@ def _merge_mor(
     files_per_bucket: int,
     auto_compact: int | None,
     t0: float,
+    compact_ratio: float | None = None,
     bucket_deltas: bool = True,
 ) -> Manifest:
     """Merge-on-read apply: append the deduped batch as delta files.
@@ -314,7 +316,15 @@ def _merge_mor(
     m = table._commit(
         base, frag, replaced_buckets=set(), lineage=lineage, schema=new_schema
     )
-    if auto_compact is not None:
+    if compact_ratio is not None:
+        # cost-based pick: compact when delta bytes rival base bytes (the
+        # file-count threshold remains as a small-file backstop)
+        heavy = table.compaction_candidates(
+            max_delta_files=auto_compact, delta_ratio=compact_ratio
+        )
+        if heavy:
+            m = table.compact(heavy)
+    elif auto_compact is not None:
         heavy = table.delta_heavy_buckets(auto_compact)
         if heavy:
             m = table.compact(heavy)

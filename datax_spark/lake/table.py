@@ -428,10 +428,12 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 new_name = f"{uuid.uuid4().hex}.parquet"
-                os.rename(os.path.join(staging, fn), os.path.join(bdir, new_name))
+                dst = os.path.join(bdir, new_name)
+                os.rename(os.path.join(staging, fn), dst)
                 frag.setdefault(L0_BUCKET, []).append(
                     [os.path.join("data", f"b={L0_BUCKET}", new_name),
-                     m.current_schema_id, kind]
+                     m.current_schema_id, kind,
+                     os.path.getsize(dst), pq.read_metadata(dst).num_rows]
                 )
             shutil.rmtree(staging, ignore_errors=True)
             return frag
@@ -461,11 +463,14 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 new_name = f"{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, entry, fn), os.path.join(bdir, new_name)
-                )
+                dst = os.path.join(bdir, new_name)
+                os.rename(os.path.join(staging, entry, fn), dst)
+                # size + row count ride in the manifest (Iceberg's
+                # file_size_in_bytes / record_count): stats and compaction
+                # planning never re-list or re-read footers
                 frag.setdefault(bucket, []).append(
-                    [os.path.join("data", f"b={bucket}", new_name), schema_id, kind]
+                    [os.path.join("data", f"b={bucket}", new_name), schema_id,
+                     kind, os.path.getsize(dst), pq.read_metadata(dst).num_rows]
                 )
         shutil.rmtree(staging, ignore_errors=True)
         return frag
@@ -634,10 +639,14 @@ class LakeTable:
         n_files, n_bytes, n_rows, n_delta = 0, 0, 0, 0
         for entries in m.files.values():
             for entry in entries:
-                p = os.path.join(self.location, entry[0])
                 n_files += 1
-                n_bytes += os.path.getsize(p)
-                n_rows += pq.read_metadata(p).num_rows
+                if len(entry) > 4:  # stats recorded at commit time
+                    n_bytes += int(entry[3])
+                    n_rows += int(entry[4])
+                else:  # pre-stats manifest: fall back to FS + footer
+                    p = os.path.join(self.location, entry[0])
+                    n_bytes += os.path.getsize(p)
+                    n_rows += pq.read_metadata(p).num_rows
                 if len(entry) > 2 and entry[2] == "delta":
                     n_delta += 1
         return {
@@ -667,6 +676,65 @@ class LakeTable:
                 continue
             n = sum(1 for e in entries if len(e) > 2 and e[2] == "delta")
             if n + n_l0 > max_delta_files:
+                out.append(int(b))
+        return out
+
+    def _entry_bytes(self, entry: list) -> int:
+        if len(entry) > 3:
+            return int(entry[3])
+        try:  # pre-stats manifest
+            return os.path.getsize(os.path.join(self.location, entry[0]))
+        except OSError:
+            return 0
+
+    def compaction_candidates(
+        self,
+        max_delta_files: int | None = None,
+        delta_ratio: float | None = 0.3,
+    ) -> list:
+        """Cost-based compaction pick (vs the pure file-count heuristic of
+        ``delta_heavy_buckets``): a bucket is worth compacting when its
+        accumulated delta BYTES exceed ``delta_ratio`` of its base bytes —
+        i.e. when the read-amplification being paid per scan rivals the
+        one-time rewrite cost.  A tiny base under a steady drip of deltas
+        compacts early (cheap rewrite, big relative win); a huge base with a
+        few small deltas is left alone (expensive rewrite, negligible win —
+        the case the file-count rule gets wrong in both directions).
+
+        File sizes come from the manifest (recorded at commit), so planning
+        is O(manifest) with zero filesystem calls.  L0 deltas amplify every
+        bucket's read, so L0 bytes are charged against TOTAL base bytes."""
+        m = self.manifest()
+        out: list = []
+        l0_entries = m.files.get(L0_BUCKET, [])
+        l0_bytes = sum(self._entry_bytes(e) for e in l0_entries)
+        total_base = sum(
+            self._entry_bytes(e)
+            for b, entries in m.files.items() if b != L0_BUCKET
+            for e in entries
+            if not (len(e) > 2 and e[2] == "delta")
+        )
+        if l0_entries and (
+            (delta_ratio is not None and l0_bytes > delta_ratio * max(total_base, 1))
+            or (max_delta_files is not None and len(l0_entries) > max_delta_files)
+        ):
+            out.append(L0_BUCKET)
+        for b, entries in m.files.items():
+            if b == L0_BUCKET:
+                continue
+            d_bytes, d_files, b_bytes = 0, 0, 0
+            for e in entries:
+                if len(e) > 2 and e[2] == "delta":
+                    d_bytes += self._entry_bytes(e)
+                    d_files += 1
+                else:
+                    b_bytes += self._entry_bytes(e)
+            if d_files == 0:
+                continue
+            if (
+                (delta_ratio is not None and d_bytes > delta_ratio * max(b_bytes, 1))
+                or (max_delta_files is not None and d_files > max_delta_files)
+            ):
                 out.append(int(b))
         return out
 
