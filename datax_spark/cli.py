@@ -53,6 +53,15 @@ def _maintain_cmd(args) -> int:
         out["compacted"] = m is not None
         if m is not None:
             out["version"] = m.version
+    if args.rebucket_target_bytes is not None:
+        n = t.suggest_num_buckets(args.rebucket_target_bytes)
+        out["rebucket_to"] = n
+        if n is not None:
+            m = t.rebucket(num_buckets=n)
+            out["rebucketed"] = m is not None
+            if m is not None:
+                out["version"] = m.version
+                out["num_buckets"] = m.num_buckets
     if args.vacuum is not None:
         out["vacuumed_files"] = t.vacuum(keep_versions=args.vacuum)
     if args.report:
@@ -78,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--compact-ratio", type=float, default=None, metavar="R",
                      help="cost-based compaction: only buckets with delta "
                           "bytes > R x base bytes")
+    mnt.add_argument("--rebucket-target-bytes", type=int, default=None,
+                     metavar="BYTES",
+                     help="bucket-count evolution: rewrite to the next "
+                          "power-of-2 multiple of buckets so the average "
+                          "bucket holds at most BYTES of base data")
     mnt.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                      help="delete files unreferenced by the last KEEP versions")
     mnt.add_argument("--report", action="store_true")

@@ -482,6 +482,7 @@ class LakeTable:
         replaced_buckets: set[str],
         lineage: dict | None = None,
         schema: T.StructType | None = None,
+        num_buckets: int | None = None,
     ) -> Manifest:
         files = {b: list(v) for b, v in base.files.items() if b not in replaced_buckets}
         for b, v in new_files.items():
@@ -524,7 +525,7 @@ class LakeTable:
         m = Manifest(
             version=base.version + 1,
             schema=new_schema,
-            num_buckets=base.num_buckets,
+            num_buckets=num_buckets or base.num_buckets,
             bucket_col=base.bucket_col,
             key_cols=base.key_cols,
             files=files,
@@ -768,6 +769,47 @@ class LakeTable:
         frag = self._stage_write(state, m, kind="base")
         # a compacted-to-empty bucket must still drop its old files
         return self._commit(m, frag, replaced_buckets={str(b) for b in buckets})
+
+    def suggest_num_buckets(self, target_bucket_bytes: int) -> int | None:
+        """Bucket-count evolution advice: when the average bucket's base
+        bytes exceed the target, return the next power-of-2 multiple of the
+        current count that brings it back under (None = layout is fine).
+        Planning is O(manifest) — sizes are recorded at commit."""
+        m = self.manifest()
+        if not m.files:
+            return None
+        total = sum(
+            self._entry_bytes(e) for entries in m.files.values() for e in entries
+        )
+        n = m.num_buckets
+        while total / n > target_bucket_bytes:
+            n *= 2
+        return n if n != m.num_buckets else None
+
+    def rebucket(
+        self, num_buckets: int | None = None, factor: int = 2
+    ) -> "Manifest | None":
+        """Bucket-count evolution: rewrite the table into ``num_buckets``
+        (default ``factor`` x current) buckets in one atomic commit.
+
+        Needed when a table outgrows its creation-time layout: MERGE cost is
+        O(touched buckets), so buckets that each hold many GB make every
+        incremental batch rewrite GB-scale files.  The manifest versions the
+        layout per commit — readers of old snapshots keep the old bucket
+        count, new commits use the new one; lineage/watermarks/schema
+        history carry over untouched.  Collapses MOR deltas as a side
+        effect (the rewrite IS a compaction).  Iceberg analogue: changing a
+        bucket(N, col) partition spec + rewrite_data_files."""
+        m = self.manifest()
+        new_n = int(num_buckets) if num_buckets else m.num_buckets * factor
+        if new_n == m.num_buckets or not m.files:
+            return None
+        state = self.read()
+        staged = Manifest(**{**m.__dict__, "num_buckets": new_n})
+        frag = self._stage_write(state, staged, kind="base")
+        return self._commit(
+            m, frag, replaced_buckets=set(m.files.keys()), num_buckets=new_n
+        )
 
     def expire_snapshots(self, keep_versions: int = 2) -> int:
         """Delete manifest files older than the newest ``keep_versions``
