@@ -125,7 +125,7 @@ def merge_into(
       read amplification by compacting buckets whose delta-file count
       exceeds it (Iceberg rewrite_data_files analogue).
     """
-    if mode not in ("cow", "mor"):
+    if mode not in ("cow", "mor", "dv"):
         raise ValueError(f"unknown merge mode {mode!r}")
     if mode == "mor" and order_col is None:
         raise ValueError("mor mode requires order_col (the LSN) for "
@@ -136,8 +136,8 @@ def merge_into(
         return None  # replayed batch — already atomically applied
 
     key_cols = base.key_cols
-    if order_col is not None and (dedup_batch or mode == "cow"):
-        # COW requires the dedup (whole-row replace has no LSN at read);
+    if order_col is not None and (dedup_batch or mode in ("cow", "dv")):
+        # COW/DV require the dedup (whole-row replace has no LSN at read);
         # MOR may skip it — reconstruction collapses duplicates by __lsn.
         batch = dedup_last_per_key(batch, key_cols, order_col)
     keep = (payload_cols if payload_cols is not None
@@ -173,6 +173,12 @@ def merge_into(
                 continue
         raise last_err  # type: ignore[misc]
     from datax_spark.lake.table import L0_BUCKET
+
+    if mode == "dv":
+        return _merge_dv(
+            table, batch, base, op_col, lineage, evolve_schema,
+            files_per_bucket, t0, broadcast_key_limit,
+        )
 
     if L0_BUCKET in base.files:
         raise ValueError(
@@ -242,6 +248,102 @@ def merge_into(
     replaced = {str(b) for b in touched}
     return table._commit(
         base, frag, replaced_buckets=replaced, lineage=lineage, schema=new_schema
+    )
+
+
+def _merge_dv(
+    table: LakeTable,
+    batch: DataFrame,
+    base: Manifest,
+    op_col: str | None,
+    lineage: dict | None,
+    evolve_schema: bool,
+    files_per_bucket: int,
+    t0: float,
+    broadcast_key_limit: int,
+) -> Manifest | None:
+    """Deletion-vector merge: the COW/MOR middle ground (Iceberg v2
+    positional deletes).
+
+    Instead of rewriting touched buckets (COW) or deferring the key merge to
+    read time (MOR), a batch writes (a) tiny dv files listing the (file,
+    position) of every base row whose key the batch replaces or deletes and
+    (b) the surviving rows as ordinary new base files.  Writes cost O(batch
+    + touched-bucket SCAN) but no bucket REWRITE; reads pay one (file,pos)
+    anti-join — no per-key aggregation, so read cost is far closer to COW
+    than to MOR.  Right for update/delete-heavy feeds over read-hot tables.
+
+    Positions are only defined on base files, so the table must hold no MOR
+    deltas (compact() first); existing dv files are fine — the position
+    scan is dv-aware, so already-dead rows are never re-listed."""
+    from datax_spark.lake.table import DV_FILE_COL, DV_POS_COL, L0_BUCKET
+
+    if L0_BUCKET in base.files or any(
+        len(e) > 2 and e[2] == "delta"
+        for entries in base.files.values() for e in entries
+    ):
+        raise ValueError(
+            "dv mode requires a delta-free table (row positions are only "
+            "defined on base files) — run table.compact() first"
+        )
+    batch = batch.persist()
+    try:
+        data_cols = [c for c in batch.columns if c != op_col]
+        new_schema = (
+            merge_schemas(base.schema, batch.select(*data_cols).schema)
+            if evolve_schema else base.schema
+        )
+        bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
+        touched = [
+            r[0] for r in batch.select(bexpr.alias("b")).distinct().collect()
+        ]
+        frag: dict = {}
+        raw, _ = table._scan_raw(base, touched, expose_pos=True)
+        if raw is not None:
+            keys = batch.select(
+                *[F.col(c).alias(f"__k_{c}") for c in base.key_cols]
+            ).distinct()
+            if batch.count() <= broadcast_key_limit:
+                keys = F.broadcast(keys)
+            cond = None
+            for c in base.key_cols:
+                e = raw[c].eqNullSafe(F.col(f"__k_{c}"))
+                cond = e if cond is None else (cond & e)
+            hits = raw.join(keys, on=cond, how="inner").select(
+                DV_FILE_COL, DV_POS_COL
+            )
+            frag = table._stage_dv_write(hits)
+        if op_col is not None and op_col in batch.columns:
+            survivors = batch.filter(F.col(op_col) != F.lit(DELETE_OP))
+        else:
+            survivors = batch
+        survivors = survivors.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in batch.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+        staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
+        if new_schema.jsonValue() != base.schema.jsonValue():
+            staged_base.current_schema_id = base.current_schema_id + 1
+            staged_base.schemas = {
+                **base.schemas,
+                str(staged_base.current_schema_id): new_schema.jsonValue(),
+            }
+        frag2 = table._stage_write(survivors, staged_base, files_per_bucket)
+    finally:
+        batch.unpersist()
+    for b, v in frag2.items():
+        frag.setdefault(b, []).extend(v)
+    lineage = _resolve_lineage(lineage)
+    if lineage is not None and lineage.get("rows") == 0 and not frag:
+        return base
+    if lineage is not None:
+        lineage = dict(lineage)
+        lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
+    return table._commit(
+        base, frag, replaced_buckets=set(), lineage=lineage, schema=new_schema
     )
 
 

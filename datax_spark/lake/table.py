@@ -61,6 +61,11 @@ DELETED_COL = "__deleted"
 # NO shuffle (map-side append), holding rows of any bucket; every bucket
 # selection must include them until compaction re-buckets.
 L0_BUCKET = "L0"
+# Deletion-vector columns (Iceberg v2 positional deletes): a "dv" file lists
+# (data-file relpath, row position) pairs whose base rows are dead.  The scan
+# anti-joins them away; compaction/rebucket rewrites drop them naturally.
+DV_FILE_COL = "__file"
+DV_POS_COL = "__pos"
 
 # Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
 # DoubleColumn keeps the string form until cast — common/src/main/java/com/
@@ -291,13 +296,19 @@ class LakeTable:
         return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
 
     def _scan_raw(
-        self, m: Manifest, buckets: list[int] | None
+        self, m: Manifest, buckets: list[int] | None, expose_pos: bool = False
     ) -> tuple[DataFrame | None, bool]:
         """Union all snapshot files projected to (current schema + hidden
         MOR columns).  Base files get (__lsn=-1, __deleted=false); delta
-        files carry their own.  Returns (frame | None, any_delta)."""
+        files carry their own.  Deletion-vector ("dv") files in the
+        selection are anti-joined away from the base rows on (file, pos).
+        ``expose_pos`` keeps (__file, __pos) on the returned rows (base
+        rows; null for delta rows) — the dv-merge write path uses this to
+        locate the positions of matched keys.  Returns (frame | None,
+        any_delta)."""
         want = None if buckets is None else {str(b) for b in buckets}
         groups: dict[tuple[str, str], list[str]] = {}
+        dv_paths: list[str] = []
         for b, entries in m.files.items():
             # L0 deltas are bucket-agnostic: included in every selection
             if want is not None and b not in want and b != L0_BUCKET:
@@ -305,6 +316,9 @@ class LakeTable:
             for entry in entries:
                 rel, schema_id = entry[0], entry[1]
                 kind = entry[2] if len(entry) > 2 else "base"
+                if kind == "dv":
+                    dv_paths.append(os.path.join(self.location, rel))
+                    continue
                 groups.setdefault((str(schema_id), kind), []).append(
                     os.path.join(self.location, rel)
                 )
@@ -312,7 +326,12 @@ class LakeTable:
             return None, False
         target = m.schema
         any_delta = any(kind == "delta" for _, kind in groups)
-        parts: list[DataFrame] = []
+        with_pos = bool(dv_paths) or expose_pos
+        # _metadata.file_path is an absolute file:// URI; dv entries store
+        # location-relative paths so the table survives a move/copy
+        prefix = f"file://{self.location}/"
+        base_parts: list[DataFrame] = []
+        delta_parts: list[DataFrame] = []
         for (schema_id, kind), paths in groups.items():
             file_schema = T.StructType.fromJson(m.schemas[schema_id])
             if kind == "delta":
@@ -334,15 +353,47 @@ class LakeTable:
             ]
             if kind == "delta":
                 cols += [F.col(LSN_COL), F.col(DELETED_COL)]
+                if with_pos:
+                    cols += [
+                        F.lit(None).cast("string").alias(DV_FILE_COL),
+                        F.lit(None).cast("long").alias(DV_POS_COL),
+                    ]
+                delta_parts.append(df.select(*cols))
             else:
                 cols += [
                     F.lit(-1).cast("long").alias(LSN_COL),
                     F.lit(False).alias(DELETED_COL),
                 ]
-            parts.append(df.select(*cols))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+                if with_pos:
+                    cols += [
+                        F.expr("substring(_metadata.file_path, "
+                               f"{len(prefix) + 1})").alias(DV_FILE_COL),
+                        F.col("_metadata.row_index").alias(DV_POS_COL),
+                    ]
+                base_parts.append(df.select(*cols))
+        out: DataFrame | None = None
+        for p in base_parts:
+            out = p if out is None else out.unionByName(p)
+        if out is not None and dv_paths:
+            dv = self.spark.read.schema(
+                T.StructType([
+                    T.StructField(DV_FILE_COL, T.StringType()),
+                    T.StructField(DV_POS_COL, T.LongType()),
+                ])
+            ).parquet(*dv_paths).select(
+                F.col(DV_FILE_COL).alias("__dvf"),
+                F.col(DV_POS_COL).alias("__dvp"),
+            )
+            out = out.join(
+                dv,
+                on=(F.col(DV_FILE_COL) == F.col("__dvf"))
+                & (F.col(DV_POS_COL) == F.col("__dvp")),
+                how="left_anti",
+            )
+        for p in delta_parts:
+            out = p if out is None else out.unionByName(p)
+        if with_pos and not expose_pos:
+            out = out.drop(DV_FILE_COL, DV_POS_COL)
         return out, any_delta
 
     def read(
@@ -471,6 +522,42 @@ class LakeTable:
                 frag.setdefault(bucket, []).append(
                     [os.path.join("data", f"b={bucket}", new_name), schema_id,
                      kind, os.path.getsize(dst), pq.read_metadata(dst).num_rows]
+                )
+        shutil.rmtree(staging, ignore_errors=True)
+        return frag
+
+    def _stage_dv_write(self, positions: DataFrame) -> dict[str, list[list[Any]]]:
+        """Write a (file, pos) deletion-vector frame as per-bucket dv files;
+        returns a files-map fragment.  The target bucket is parsed from the
+        data file's relpath (``data/b=<k>/...``) so each dv file lands next
+        to — and is pruned with — the bucket it masks.  Zero-row partitions
+        are dropped (a pure-insert batch produces no dv entries)."""
+        staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
+        staged = positions.select(
+            F.col(DV_FILE_COL), F.col(DV_POS_COL),
+            F.regexp_extract(F.col(DV_FILE_COL), r"b=([^/]+)/", 1).alias("__dvb"),
+        )
+        staged.write.mode("overwrite").partitionBy("__dvb").parquet(staging)
+        frag: dict[str, list[list[Any]]] = {}
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("__dvb="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            bdir = os.path.join(self.data_dir, f"b={bucket}")
+            os.makedirs(bdir, exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(staging, entry))):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, entry, fn)
+                n_rows = pq.read_metadata(src).num_rows
+                if n_rows == 0:
+                    continue
+                new_name = f"dv-{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(bdir, new_name)
+                os.rename(src, dst)
+                frag.setdefault(bucket, []).append(
+                    [os.path.join("data", f"b={bucket}", new_name), 0, "dv",
+                     os.path.getsize(dst), n_rows]
                 )
         shutil.rmtree(staging, ignore_errors=True)
         return frag
@@ -637,7 +724,7 @@ class LakeTable:
     # ------------------------------------------------------------ maintenance
     def file_stats(self) -> dict:
         m = self.manifest()
-        n_files, n_bytes, n_rows, n_delta = 0, 0, 0, 0
+        n_files, n_bytes, n_rows, n_delta, n_dv = 0, 0, 0, 0, 0
         for entries in m.files.values():
             for entry in entries:
                 n_files += 1
@@ -650,10 +737,13 @@ class LakeTable:
                     n_rows += pq.read_metadata(p).num_rows
                 if len(entry) > 2 and entry[2] == "delta":
                     n_delta += 1
+                if len(entry) > 2 and entry[2] == "dv":
+                    n_dv += 1
         return {
             "version": m.version,
             "files": n_files,
             "delta_files": n_delta,
+            "dv_files": n_dv,
             "bytes": n_bytes,
             "rows": n_rows,
             "buckets": len(m.files),
@@ -725,7 +815,9 @@ class LakeTable:
                 continue
             d_bytes, d_files, b_bytes = 0, 0, 0
             for e in entries:
-                if len(e) > 2 and e[2] == "delta":
+                # dv files amplify reads exactly like deltas (anti-join per
+                # scan) — same cost model
+                if len(e) > 2 and e[2] in ("delta", "dv"):
                     d_bytes += self._entry_bytes(e)
                     d_files += 1
                 else:
@@ -761,7 +853,7 @@ class LakeTable:
             buckets = [
                 int(b)
                 for b, entries in m.files.items()
-                if any(len(e) > 2 and e[2] == "delta" for e in entries)
+                if any(len(e) > 2 and e[2] in ("delta", "dv") for e in entries)
             ]
         if not buckets:
             return None

@@ -91,6 +91,34 @@ def q_cdc_merge_apply_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_merge_apply_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same end-to-end fold through the DELETION-VECTOR merge mode
+    (positional deletes masking base rows, no bucket rewrite, no read-time
+    per-key aggregation) — all three merge strategies must converge to the
+    identical folded state."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_dv_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4),
+        mode="dv", auto_compact=None,
+    )
+    return table.read().select("user_id", "event_type", "value_cents", "props")
+
+
 def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through Structured Streaming (readStream → foreachBatch
     MERGE, Trigger.AvailableNow) — the north_star execution shape."""
@@ -781,6 +809,7 @@ a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
+    "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
     "cdc_stream_available_now": _CDC_FOLD_ORACLE,
     "cdc_dedup_last_per_key": """
 WITH ranked AS (
@@ -1196,6 +1225,7 @@ FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
+    "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_shard_lineage": q_cdc_shard_lineage,
