@@ -124,6 +124,9 @@ def merge_into(
       only asymptotic that survives 10^10 events; ``auto_compact`` bounds
       read amplification by compacting buckets whose delta-file count
       exceeds it (Iceberg rewrite_data_files analogue).
+    - ``"dv"`` (deletion vectors): positional deletes masking base rows +
+      appended base files — no bucket rewrite (unlike COW), no read-time
+      per-key aggregation (unlike MOR).  See ``_merge_dv``.
     """
     if mode not in ("cow", "mor", "dv"):
         raise ValueError(f"unknown merge mode {mode!r}")
