@@ -103,6 +103,7 @@ def merge_into(
     bucket_deltas: bool = True,
     broadcast_key_limit: int = 1_000_000,
     compact_ratio: float | None = None,
+    properties_update: dict | None = None,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -170,6 +171,7 @@ def merge_into(
                     table, batch, base, op_col, lineage, evolve_schema,
                     files_per_bucket, auto_compact, t0, compact_ratio,
                     bucket_deltas=bucket_deltas,
+                    properties_update=properties_update,
                 )
             except CommitConflict as e:
                 last_err = e
@@ -181,6 +183,7 @@ def merge_into(
         return _merge_dv(
             table, batch, base, op_col, lineage, evolve_schema,
             files_per_bucket, t0, broadcast_key_limit,
+            properties_update=properties_update,
         )
 
     if L0_BUCKET in base.files:
@@ -250,7 +253,9 @@ def merge_into(
     # empty file-list entries for touched-but-now-empty buckets still replace
     replaced = {str(b) for b in touched}
     return table._commit(
-        base, frag, replaced_buckets=replaced, lineage=lineage, schema=new_schema
+        base, frag, replaced_buckets=replaced, lineage=lineage,
+        schema=new_schema, operation="merge-cow",
+        properties_update=properties_update,
     )
 
 
@@ -264,6 +269,7 @@ def _merge_dv(
     files_per_bucket: int,
     t0: float,
     broadcast_key_limit: int,
+    properties_update: dict | None = None,
 ) -> Manifest | None:
     """Deletion-vector merge: the COW/MOR middle ground (Iceberg v2
     positional deletes).
@@ -346,7 +352,9 @@ def _merge_dv(
         lineage = dict(lineage)
         lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     return table._commit(
-        base, frag, replaced_buckets=set(), lineage=lineage, schema=new_schema
+        base, frag, replaced_buckets=set(), lineage=lineage,
+        schema=new_schema, operation="merge-dv",
+        properties_update=properties_update,
     )
 
 
@@ -375,6 +383,7 @@ def _merge_mor(
     t0: float,
     compact_ratio: float | None = None,
     bucket_deltas: bool = True,
+    properties_update: dict | None = None,
 ) -> Manifest:
     """Merge-on-read apply: append the deduped batch as delta files.
 
@@ -419,7 +428,9 @@ def _merge_mor(
         lineage = dict(lineage)
         lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     m = table._commit(
-        base, frag, replaced_buckets=set(), lineage=lineage, schema=new_schema
+        base, frag, replaced_buckets=set(), lineage=lineage,
+        schema=new_schema, operation="merge-mor",
+        properties_update=properties_update,
     )
     if compact_ratio is not None:
         # cost-based pick: compact when delta bytes rival base bytes (the

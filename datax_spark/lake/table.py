@@ -142,6 +142,155 @@ def _split_batch_id(batch_id: str) -> tuple[str, int | None]:
     return batch_id[:i], int(batch_id[i:])
 
 
+# File-level zone maps (Iceberg manifest lower_bounds/upper_bounds analogue):
+# per-file column min/max recorded at commit time from the parquet footer the
+# stage write already reads.  String bounds are truncated to this many chars —
+# lower bounds by plain prefix (still a valid lower bound), upper bounds by
+# prefix + last-char increment (still a valid upper bound); an upper bound
+# that cannot be incremented is dropped (= unbounded above).
+STATS_TRUNC_CHARS = 64
+# Predicate ops understood by the manifest-level file pruner.
+_PRUNE_OPS = {"=", "==", "<", "<=", ">", ">=", "in", "between"}
+
+
+def _trunc_lower(s: str, n: int = STATS_TRUNC_CHARS) -> str:
+    return s if len(s) <= n else s[:n]
+
+
+def _trunc_upper(s: str, n: int = STATS_TRUNC_CHARS) -> str | None:
+    """A valid upper bound for every string prefixed by ``s[:n]``: the prefix
+    with its last incrementable char bumped.  None = unbounded above."""
+    if len(s) <= n:
+        return s
+    prefix = s[:n]
+    for i in range(len(prefix) - 1, -1, -1):
+        o = ord(prefix[i])
+        # skip chars whose successor is invalid or in the surrogate range
+        if o < 0xD7FF or 0xE000 <= o < 0x10FFFF:
+            return prefix[:i] + chr(o + 1)
+    return None
+
+
+def _file_column_stats(md, n: int = STATS_TRUNC_CHARS) -> dict[str, list]:
+    """Aggregate per-column [min, max] across a parquet file's row groups,
+    from footer statistics (no data read).  Only JSON-safe scalar types are
+    kept (int/float/bool/str); a bound of None means unbounded on that side.
+    Columns with no usable stats are omitted — the pruner keeps such files."""
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    seen_all: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested columns: no top-level bounds
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                seen_all[name] = False
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except (UnicodeDecodeError, AttributeError):
+                    seen_all[name] = False
+                    continue
+            if not isinstance(lo, (bool, int, float, str)) or not isinstance(
+                hi, (bool, int, float, str)
+            ):
+                seen_all[name] = False
+                continue
+            seen_all.setdefault(name, True)
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    out: dict[str, list] = {}
+    for name, ok in seen_all.items():
+        if not ok or name not in mins:
+            continue  # some row group lacked stats: bounds would be partial
+        lo, hi = mins[name], maxs[name]
+        if isinstance(lo, str):
+            lo, hi = _trunc_lower(lo, n), _trunc_upper(hi, n)
+        if lo is None and hi is None:
+            continue
+        out[name] = [lo, hi]
+    return out
+
+
+def _normalize_preds(where) -> list[tuple[str, str, Any]]:
+    preds = []
+    for col, op, val in where or []:
+        if op not in _PRUNE_OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r} (supported: {sorted(_PRUNE_OPS)})"
+            )
+        preds.append((col, "=" if op == "==" else op, val))
+    return preds
+
+
+def _file_may_match(stats: dict | None, preds: list[tuple[str, str, Any]]) -> bool:
+    """Conservative overlap test: False only when the file's [min,max] proves
+    no row can satisfy the conjunction.  Missing stats → must keep.  Rows
+    with NULL in a predicate column can never satisfy these ops (SQL 3VL),
+    so null counts are irrelevant to the decision."""
+    if not stats:
+        return True
+    for col, op, val in preds:
+        b = stats.get(col)
+        if b is None:
+            continue
+        lo, hi = b
+        try:
+            if op == "=" and not (
+                (lo is None or lo <= val) and (hi is None or val <= hi)
+            ):
+                return False
+            if op == "<" and lo is not None and lo >= val:
+                return False
+            if op == "<=" and lo is not None and lo > val:
+                return False
+            if op == ">" and hi is not None and hi <= val:
+                return False
+            if op == ">=" and hi is not None and hi < val:
+                return False
+            if op == "in" and not any(
+                (lo is None or lo <= v) and (hi is None or v <= hi) for v in val
+            ):
+                return False
+            if op == "between":
+                vlo, vhi = val
+                if (hi is not None and vlo > hi) or (lo is not None and vhi < lo):
+                    return False
+        except TypeError:
+            continue  # cross-type compare (schema widened): keep the file
+    return True
+
+
+def _preds_to_column(preds: list[tuple[str, str, Any]]):
+    """The same predicate conjunction as a Column — read() applies it as the
+    residual filter so results are exact regardless of pruning decisions."""
+    expr = None
+    for col, op, val in preds:
+        c = F.col(col)
+        if op == "=":
+            e = c == F.lit(val)
+        elif op == "<":
+            e = c < F.lit(val)
+        elif op == "<=":
+            e = c <= F.lit(val)
+        elif op == ">":
+            e = c > F.lit(val)
+        elif op == ">=":
+            e = c >= F.lit(val)
+        elif op == "in":
+            e = c.isin(list(val))
+        else:  # between
+            e = c.between(F.lit(val[0]), F.lit(val[1]))
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 # Default number of applied-batch lineage entries retained verbatim in the
 # manifest.  Older entries are pruned to a per-namespace retired-id frontier
 # + aggregate totals, so a 10^5-batch stream keeps commits O(K), not
@@ -168,6 +317,11 @@ class Manifest:
     # shard/partition id (str) -> last applied LSN
     shard_lsns: dict[str, int] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
+    # what produced this snapshot (Iceberg snapshot summary.operation
+    # analogue): create | overwrite | append | merge-cow | merge-mor |
+    # merge-dv | compact | rebucket | properties.  read_changes() uses it to
+    # distinguish logical changes (append/merge-mor) from physical rewrites.
+    operation: str = "unknown"
 
     def is_applied(self, batch_id: int | str) -> bool:
         """Replay guard: retained lineage entry, or at/below the pruned
@@ -196,6 +350,7 @@ class Manifest:
                 "applied_batches": self.applied_batches,
                 "shard_lsns": self.shard_lsns,
                 "properties": self.properties,
+                "operation": self.operation,
             },
             indent=1,
         )
@@ -215,6 +370,7 @@ class Manifest:
             applied_batches=d.get("applied_batches", {}),
             shard_lsns={k: int(v) for k, v in d.get("shard_lsns", {}).items()},
             properties=d.get("properties", {}),
+            operation=d.get("operation", "unknown"),
         )
 
 
@@ -256,6 +412,7 @@ class LakeTable:
             files={},
             schemas={"0": schema.jsonValue()},
             current_schema_id=0,
+            operation="create",
         )
         t._write_manifest(m)
         return t
@@ -295,8 +452,73 @@ class LakeTable:
         """Spark-side bucket id — identical everywhere (write & merge prune)."""
         return F.pmod(F.hash(F.col(col)), F.lit(num_buckets)).cast("int")
 
+    def _select_entries(
+        self, m: Manifest, buckets: list[int] | None, where=None
+    ) -> tuple[list[list], list[str], dict]:
+        """Resolve the file selection for a scan: bucket pruning, then
+        zone-map (per-file min/max) predicate skipping.  Returns
+        (kept data-file entries, dv paths, plan info).
+
+        MOR safety: when the selection holds delta files, only predicates on
+        KEY columns may skip files.  Key values are immutable per logical
+        row, so skipping files whose key range can't match is exact; a
+        non-key predicate could skip the file holding a key's NEWEST version
+        while an older version elsewhere still matches — reconstruction
+        would then resurrect stale state.  Pure-base selections (the
+        post-compaction fast path) prune on any column."""
+        preds = _normalize_preds(where)
+        want = None if buckets is None else {str(b) for b in buckets}
+        candidates: list[list] = []
+        dv_paths: list[str] = []
+        for b, entries in m.files.items():
+            # L0 deltas are bucket-agnostic: included in every selection
+            if want is not None and b not in want and b != L0_BUCKET:
+                continue
+            for entry in entries:
+                kind = entry[2] if len(entry) > 2 else "base"
+                if kind == "dv":
+                    dv_paths.append(os.path.join(self.location, entry[0]))
+                    continue
+                candidates.append(entry)
+        any_delta = any(
+            len(e) > 2 and e[2] == "delta" for e in candidates
+        )
+        usable = (
+            [p for p in preds if p[0] in m.key_cols] if any_delta else preds
+        )
+        kept = [
+            e
+            for e in candidates
+            if not usable
+            or _file_may_match(e[5] if len(e) > 5 else None, usable)
+        ]
+        info = {
+            "files_total": len(candidates),
+            "files_kept": len(kept),
+            "files_skipped": len(candidates) - len(kept),
+            "dv_files": len(dv_paths),
+            "any_delta": any_delta,
+            "preds_used": len(usable),
+        }
+        return kept, dv_paths, info
+
+    def scan_plan(
+        self,
+        where=None,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> dict:
+        """The pruning decision read(where=...) would make, without running
+        it — O(manifest), zero filesystem or Spark work."""
+        _, _, info = self._select_entries(self.manifest(version), buckets, where)
+        return info
+
     def _scan_raw(
-        self, m: Manifest, buckets: list[int] | None, expose_pos: bool = False
+        self,
+        m: Manifest,
+        buckets: list[int] | None,
+        expose_pos: bool = False,
+        where=None,
     ) -> tuple[DataFrame | None, bool]:
         """Union all snapshot files projected to (current schema + hidden
         MOR columns).  Base files get (__lsn=-1, __deleted=false); delta
@@ -304,24 +526,18 @@ class LakeTable:
         selection are anti-joined away from the base rows on (file, pos).
         ``expose_pos`` keeps (__file, __pos) on the returned rows (base
         rows; null for delta rows) — the dv-merge write path uses this to
-        locate the positions of matched keys.  Returns (frame | None,
+        locate the positions of matched keys.  ``where`` skips files via
+        manifest zone maps (see _select_entries) — callers must still apply
+        the predicate as a residual filter.  Returns (frame | None,
         any_delta)."""
-        want = None if buckets is None else {str(b) for b in buckets}
+        selected, dv_paths, _ = self._select_entries(m, buckets, where)
         groups: dict[tuple[str, str], list[str]] = {}
-        dv_paths: list[str] = []
-        for b, entries in m.files.items():
-            # L0 deltas are bucket-agnostic: included in every selection
-            if want is not None and b not in want and b != L0_BUCKET:
-                continue
-            for entry in entries:
-                rel, schema_id = entry[0], entry[1]
-                kind = entry[2] if len(entry) > 2 else "base"
-                if kind == "dv":
-                    dv_paths.append(os.path.join(self.location, rel))
-                    continue
-                groups.setdefault((str(schema_id), kind), []).append(
-                    os.path.join(self.location, rel)
-                )
+        for entry in selected:
+            rel, schema_id = entry[0], entry[1]
+            kind = entry[2] if len(entry) > 2 else "base"
+            groups.setdefault((str(schema_id), kind), []).append(
+                os.path.join(self.location, rel)
+            )
         if not groups:
             return None, False
         target = m.schema
@@ -397,27 +613,40 @@ class LakeTable:
         return out, any_delta
 
     def read(
-        self, version: int | None = None, buckets: list[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
-        fast path — Iceberg partition pruning analogue).
+        fast path — Iceberg partition pruning analogue).  ``where`` is a list
+        of (col, op, value) conjuncts (op ∈ =, <, <=, >, >=, in, between):
+        files whose manifest zone maps prove no row can match are never
+        opened (Iceberg data-skipping analogue — at 100 TB this turns a
+        selective key-range read from O(table) into O(matching files)), and
+        the predicate is then applied exactly as a residual filter, so the
+        result always equals ``read().filter(pred)``.
 
         Merge-on-read: if the selected buckets contain delta files, the scan
         reconstructs last-writer-wins state — one hash-aggregate
         (``max_by(row, __lsn)`` per key, map-side partial) then tombstone
-        filter.  Pure-base snapshots skip reconstruction entirely (the
-        post-compaction fast path)."""
+        filter — and only key-column predicates may skip files (see
+        _select_entries).  Pure-base snapshots skip reconstruction entirely
+        (the post-compaction fast path)."""
         m = self.manifest(version)
-        raw, any_delta = self._scan_raw(m, buckets)
+        raw, any_delta = self._scan_raw(m, buckets, where=where)
+        residual = _preds_to_column(_normalize_preds(where))
         if raw is None:
-            return self.spark.createDataFrame([], m.schema)
+            out = self.spark.createDataFrame([], m.schema)
+            return out.filter(residual) if residual is not None else out
         if buckets is not None and L0_BUCKET in m.files:
             # L0 files hold rows of any bucket — restrict to the selection
             bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
             raw = raw.filter(bexpr.isin([int(b) for b in buckets]))
         data_cols = [f.name for f in m.schema.fields]
         if not any_delta:
-            return raw.select(*data_cols)
+            out = raw.select(*data_cols)
+            return out.filter(residual) if residual is not None else out
         # Last-writer-wins via hash-agg + join rather than
         # max_by(struct(...)): a struct-valued aggregate buffer forces
         # SortAggregate (no codegen, sorts whole wide rows); max(long) is a
@@ -441,10 +670,10 @@ class LakeTable:
         last = raw.join(wins, on=cond, how="inner").filter(
             F.col(LSN_COL) == F.col("__max_lsn")
         )
-        return (
-            last.filter(~F.col(DELETED_COL))
-            .select(*data_cols)
-        )
+        out = last.filter(~F.col(DELETED_COL)).select(*data_cols)
+        # residual AFTER reconstruction: the predicate selects rows of the
+        # CURRENT state, not of any historical version
+        return out.filter(residual) if residual is not None else out
 
     # ---------------------------------------------------------------- writes
     def _stage_write(
@@ -455,6 +684,7 @@ class LakeTable:
         kind: str = "base",
         extra_cols: list[str] | None = None,
         bucketed: bool = True,
+        sort_cols: list[str] | None = None,
     ) -> dict[str, list[list[Any]]]:
         """Write df into per-bucket parquet files; returns files map fragment.
 
@@ -462,6 +692,12 @@ class LakeTable:
         land in files under ``data/b=<k>/`` — co-located exactly like Iceberg
         ``bucket(N, col)`` write distribution.  File row-counts come from
         parquet footers (no extra Spark job).
+
+        ``sort_cols`` (Iceberg SORT ORDER analogue): range-partition by
+        (bucket, *sort_cols) and sort within files, so each file covers a
+        narrow sort-key range and its manifest zone maps become selective —
+        the write-side half of predicate file-skipping.  Costs one range
+        shuffle + local sort; meant for compaction, not the ingest hot path.
         """
         staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
         selected = df.select(
@@ -481,17 +717,25 @@ class LakeTable:
                 new_name = f"{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(bdir, new_name)
                 os.rename(os.path.join(staging, fn), dst)
+                md = pq.read_metadata(dst)
                 frag.setdefault(L0_BUCKET, []).append(
                     [os.path.join("data", f"b={L0_BUCKET}", new_name),
                      m.current_schema_id, kind,
-                     os.path.getsize(dst), pq.read_metadata(dst).num_rows]
+                     os.path.getsize(dst), md.num_rows, _file_column_stats(md)]
                 )
             shutil.rmtree(staging, ignore_errors=True)
             return frag
         bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
         staged = selected.withColumn(_BUCKET_COL, bexpr)
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
-        if files_per_bucket == 1:
+        if sort_cols:
+            # contiguous (bucket, sort-key) ranges per task → one tight-range
+            # file per (bucket × range-slice); partitionBy still splits dirs
+            staged = staged.repartitionByRange(
+                shuffle_n, F.col(_BUCKET_COL),
+                *[F.col(c) for c in sort_cols],
+            ).sortWithinPartitions(_BUCKET_COL, *sort_cols)
+        elif files_per_bucket == 1:
             staged = staged.repartition(m.num_buckets, F.col(_BUCKET_COL))
         else:
             salt = (F.pmod(F.hash(*[F.col(c) for c in m.key_cols]),
@@ -516,12 +760,15 @@ class LakeTable:
                 new_name = f"{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(bdir, new_name)
                 os.rename(os.path.join(staging, entry, fn), dst)
-                # size + row count ride in the manifest (Iceberg's
-                # file_size_in_bytes / record_count): stats and compaction
-                # planning never re-list or re-read footers
+                # size + row count + column min/max zone maps ride in the
+                # manifest (Iceberg's file_size_in_bytes / record_count /
+                # lower_bounds / upper_bounds): compaction planning and
+                # predicate file-skipping never re-list or re-read footers
+                md = pq.read_metadata(dst)
                 frag.setdefault(bucket, []).append(
                     [os.path.join("data", f"b={bucket}", new_name), schema_id,
-                     kind, os.path.getsize(dst), pq.read_metadata(dst).num_rows]
+                     kind, os.path.getsize(dst), md.num_rows,
+                     _file_column_stats(md)]
                 )
         shutil.rmtree(staging, ignore_errors=True)
         return frag
@@ -570,6 +817,8 @@ class LakeTable:
         lineage: dict | None = None,
         schema: T.StructType | None = None,
         num_buckets: int | None = None,
+        operation: str = "unknown",
+        properties_update: dict | None = None,
     ) -> Manifest:
         files = {b: list(v) for b, v in base.files.items() if b not in replaced_buckets}
         for b, v in new_files.items():
@@ -583,6 +832,11 @@ class LakeTable:
         applied = dict(base.applied_batches)
         shard_lsns = dict(base.shard_lsns)
         properties = dict(base.properties)
+        if properties_update:
+            # published in the SAME manifest write as the data — callers use
+            # this for watermarks that must advance atomically with a merge
+            # (e.g. mirror_upstream_version in lake/mirror.py)
+            properties.update(properties_update)
         if lineage:
             applied[str(lineage["batch_id"])] = lineage
             for shard, lsn in lineage.get("shard_lsns", {}).items():
@@ -621,6 +875,7 @@ class LakeTable:
             applied_batches=applied,
             shard_lsns=shard_lsns,
             properties=properties,
+            operation=operation,
         )
         self._write_manifest(m)
         return m
@@ -645,13 +900,15 @@ class LakeTable:
             files_per_bucket,
         )
         return self._commit(
-            base, frag, replaced_buckets=set(base.files.keys()), schema=schema
+            base, frag, replaced_buckets=set(base.files.keys()), schema=schema,
+            operation="overwrite",
         )
 
     def append(self, df: DataFrame, files_per_bucket: int = 1) -> Manifest:
         base = self.manifest()
         frag = self._stage_write(df, base, files_per_bucket)
-        return self._commit(base, frag, replaced_buckets=set())
+        return self._commit(base, frag, replaced_buckets=set(),
+                            operation="append")
 
     def set_properties(self, **props: Any) -> Manifest:
         """Commit a properties-only manifest update (no data change)."""
@@ -661,6 +918,7 @@ class LakeTable:
                 **base.__dict__,
                 "version": base.version + 1,
                 "properties": {**base.properties, **props},
+                "operation": "properties",
             }
         )
         self._write_manifest(m)
@@ -714,6 +972,111 @@ class LakeTable:
             ]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def read_changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
+        """Changelog scan (CDC *out* — Iceberg incremental read analogue):
+        the logical change rows committed in versions (from_version,
+        to_version], so a downstream pipeline can consume this table as a
+        change feed instead of re-reading snapshots.
+
+        Emitted columns: the current schema plus ``_change_type``
+        ('insert' from plain appends; 'upsert'/'delete' from MOR merge
+        deltas, tombstones included), ``_change_lsn`` (the event's LSN;
+        null for appends) and ``_commit_version``.
+
+        Only commits whose added files ARE the change rows qualify:
+        ``append`` and ``merge-mor``.  ``compact``/``rebucket``/
+        ``properties`` commits are physical rewrites with no logical change
+        and are skipped.  ``overwrite``/``merge-cow``/``merge-dv`` rewrite
+        state in place, so their file diff is not a change stream — they
+        raise (or are skipped with ``on_rewrite="skip"``), exactly like
+        Iceberg's incremental append scan.
+
+        Cost is O(files added in the range) — the manifest diff selects
+        files; no snapshot scan, no reconstruction."""
+        if on_rewrite not in ("error", "skip"):
+            raise ValueError("on_rewrite must be 'error' or 'skip'")
+        to_v = self.current_version() if to_version is None else to_version
+        target = self.manifest(to_v).schema
+        change_fields = [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_change_lsn", T.LongType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            m = self.manifest(v)
+            if m.operation in ("create", "properties", "compact", "rebucket"):
+                continue
+            if m.operation not in ("append", "merge-mor"):
+                if on_rewrite == "skip":
+                    continue
+                raise ValueError(
+                    f"version {v} is a {m.operation!r} commit: its file diff "
+                    "is a state rewrite, not a change stream. Pass "
+                    "on_rewrite='skip' to ignore such commits, or use "
+                    "mode='mor' merges for changelog-readable history."
+                )
+            prev_files = {
+                e[0]
+                for entries in self.manifest(v - 1).files.values()
+                for e in entries
+            }
+            added: dict[tuple[str, str], list[str]] = {}
+            for entries in m.files.values():
+                for e in entries:
+                    if e[0] in prev_files:
+                        continue
+                    kind = e[2] if len(e) > 2 else "base"
+                    if kind == "dv":
+                        continue
+                    added.setdefault((str(e[1]), kind), []).append(
+                        os.path.join(self.location, e[0])
+                    )
+            for (schema_id, kind), paths in added.items():
+                fs = T.StructType.fromJson(m.schemas[schema_id])
+                if kind == "delta":
+                    fs = T.StructType(
+                        fs.fields
+                        + [
+                            T.StructField(LSN_COL, T.LongType()),
+                            T.StructField(DELETED_COL, T.BooleanType()),
+                        ]
+                    )
+                df = self.spark.read.schema(fs).parquet(*paths)
+                have = {f.name for f in fs.fields}
+                cols = [
+                    (F.col(f.name).cast(f.dataType) if f.name in have
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in target.fields
+                ]
+                if kind == "delta":
+                    cols += [
+                        F.when(F.col(DELETED_COL), F.lit("delete"))
+                        .otherwise(F.lit("upsert"))
+                        .alias("_change_type"),
+                        F.col(LSN_COL).alias("_change_lsn"),
+                    ]
+                else:
+                    cols += [
+                        F.lit("insert").alias("_change_type"),
+                        F.lit(None).cast("long").alias("_change_lsn"),
+                    ]
+                cols.append(F.lit(v).cast("long").alias("_commit_version"))
+                parts.append(df.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], T.StructType(list(target.fields) + change_fields)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (reconstructed) snapshot as a temp view so users
@@ -831,11 +1194,22 @@ class LakeTable:
                 out.append(int(b))
         return out
 
-    def compact(self, buckets: list[int] | None = None) -> "Manifest | None":
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        files_per_bucket: int = 1,
+        sort_cols: list[str] | None = None,
+    ) -> "Manifest | None":
         """Collapse delta files into base for the given buckets (default:
         every bucket holding deltas).  Reconstructed last-writer-wins state
         is rewritten as pure base files; tombstones vanish.  One atomic
         commit; read amplification returns to 1 for those buckets.
+
+        ``sort_cols`` clusters the rewritten files by sort-key range
+        (Iceberg rewrite with SORT ORDER), making the recorded zone maps
+        selective for later ``read(where=...)`` file-skipping; pair with
+        ``files_per_bucket > 1`` so each bucket yields several narrow-range
+        files rather than one wide one.
 
         The Iceberg analogue is rewrite_data_files / minor compaction; at
         scale this runs out-of-band (separate job), amortized across many
@@ -847,20 +1221,27 @@ class LakeTable:
             if not m.files:
                 return None
             state = self.read()
-            frag = self._stage_write(state, m, kind="base")
-            return self._commit(m, frag, replaced_buckets=set(m.files.keys()))
+            frag = self._stage_write(state, m, files_per_bucket, kind="base",
+                                     sort_cols=sort_cols)
+            return self._commit(m, frag, replaced_buckets=set(m.files.keys()),
+                                operation="compact")
         if buckets is None:
             buckets = [
                 int(b)
                 for b, entries in m.files.items()
                 if any(len(e) > 2 and e[2] in ("delta", "dv") for e in entries)
             ]
+            if not buckets and sort_cols:
+                # re-clustering rewrite: no deltas needed, touch every bucket
+                buckets = [int(b) for b in m.files]
         if not buckets:
             return None
         state = self.read(buckets=buckets)
-        frag = self._stage_write(state, m, kind="base")
+        frag = self._stage_write(state, m, files_per_bucket, kind="base",
+                                 sort_cols=sort_cols)
         # a compacted-to-empty bucket must still drop its old files
-        return self._commit(m, frag, replaced_buckets={str(b) for b in buckets})
+        return self._commit(m, frag, replaced_buckets={str(b) for b in buckets},
+                            operation="compact")
 
     def suggest_num_buckets(self, target_bucket_bytes: int) -> int | None:
         """Bucket-count evolution advice: when the average bucket's base
@@ -900,7 +1281,8 @@ class LakeTable:
         staged = Manifest(**{**m.__dict__, "num_buckets": new_n})
         frag = self._stage_write(state, staged, kind="base")
         return self._commit(
-            m, frag, replaced_buckets=set(m.files.keys()), num_buckets=new_n
+            m, frag, replaced_buckets=set(m.files.keys()), num_buckets=new_n,
+            operation="rebucket",
         )
 
     def expire_snapshots(self, keep_versions: int = 2) -> int:

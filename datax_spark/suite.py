@@ -119,6 +119,105 @@ def q_cdc_merge_apply_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC *out*: ingest the feed as 4 MOR merge batches, then consume the
+    table itself as a change feed via ``LakeTable.read_changes`` (Iceberg
+    incremental-read analogue).  Emits every logical change row — per-batch
+    last-event-per-key winners, tombstones included — with its change type
+    and LSN; the oracle replays the same batch windows + in-batch dedup in
+    SQL."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_chg_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4), auto_compact=None
+    )
+    return table.read_changes(0).select(
+        "user_id", "event_type", "value_cents", "props",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_lsn").alias("change_lsn"),
+    )
+
+
+def q_cdc_mirror_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC relay end-to-end: ingest the feed into an UPSTREAM table (4 MOR
+    merge batches), then maintain a DOWNSTREAM mirror purely from the
+    upstream's changelog (``bootstrap_mirror(version=0)`` + ``sync_mirror``
+    — no re-read of the source feed) and return the MIRROR's state.  The
+    oracle is the same pure-SQL fold as the direct ingest: relaying through
+    the commit log must be state-identical to applying the feed directly."""
+    from datax_spark.lake.mirror import bootstrap_mirror, sync_mirror
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_relay_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    up = LakeTable.create(
+        spark, os.path.join(loc, "up"), schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        up, feed, batch_lsns=max(1, (int(hi) + 4) // 4), auto_compact=None
+    )
+    mirror = bootstrap_mirror(up, os.path.join(loc, "mirror"), version=0)
+    sync_mirror(up, mirror)
+    return mirror.read().select("user_id", "event_type", "value_cents", "props")
+
+
+def q_lake_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruned read: ingest, compact with a sort order (files
+    range-clustered on user_id), then a predicate read (key range + non-key
+    equality) served through manifest file-skipping — files whose recorded
+    min/max disprove the predicate are never opened.  The oracle is the
+    fold + the same WHERE; the suite run also asserts the plan actually
+    skipped files (pruning must not be vacuous)."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_prune_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 4) // 4))
+    table.compact(files_per_bucket=4, sort_cols=["user_id"])
+    where = [("user_id", "between", (10, 60)), ("event_type", "=", "click")]
+    plan = table.scan_plan(where=where)
+    assert plan["files_skipped"] > 0, f"pruning was vacuous: {plan}"
+    return table.read(where=where).select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through Structured Streaming (readStream → foreachBatch
     MERGE, Trigger.AvailableNow) — the north_star execution shape."""
@@ -811,6 +910,40 @@ _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
     "cdc_stream_available_now": _CDC_FOLD_ORACLE,
+    # relay through the commit log == direct apply (same fold)
+    "cdc_mirror_relay": _CDC_FOLD_ORACLE,
+    # read_changes replay: the change stream is exactly the per-batch
+    # last-event-per-key winners (batch window = lsn // batch_lsns with
+    # batch_lsns = (max_lsn + 4) // 4, the suite ingest's granularity),
+    # tombstones included with change_type='delete'.
+    "cdc_changelog_read": """
+WITH p AS (SELECT CAST((max(event_id) + 4) // 4 AS BIGINT) AS bl FROM events),
+w AS (
+  SELECT e.user_id, e.event_type,
+         CAST(round(e.value*100) AS BIGINT) AS value_cents, e.props,
+         e.event_id,
+         CASE WHEN e.event_type = 'error' THEN 'delete' ELSE 'upsert' END
+           AS change_type,
+         row_number() OVER (PARTITION BY e.user_id, e.event_id // p.bl
+                            ORDER BY e.event_id DESC) AS rn
+  FROM events e CROSS JOIN p)
+SELECT user_id, event_type, value_cents, props, change_type,
+       CAST(event_id AS BIGINT) AS change_lsn
+FROM w WHERE rn = 1
+""",
+    # zone-map pruned read = fold + the same WHERE (read(where=) must equal
+    # read().filter(...) regardless of which files were skipped)
+    "lake_prune_read": """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value_cents, props
+FROM ranked
+WHERE rn = 1 AND NOT is_delete
+  AND user_id BETWEEN 10 AND 60 AND event_type = 'click'
+""",
     "cdc_dedup_last_per_key": """
 WITH ranked AS (
   SELECT user_id, event_id AS last_lsn, event_type AS last_event_type,
@@ -1226,6 +1359,9 @@ FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
+    "cdc_changelog_read": q_cdc_changelog_read,
+    "cdc_mirror_relay": q_cdc_mirror_relay,
+    "lake_prune_read": q_lake_prune_read,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_shard_lineage": q_cdc_shard_lineage,

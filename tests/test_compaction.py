@@ -46,10 +46,14 @@ def test_manifest_records_file_stats(spark, tmp_path):
     total_rows = 0
     for entries in m.files.values():
         for e in entries:
-            assert len(e) == 5, e
-            path, _, kind, nbytes, nrows = e
+            assert len(e) == 6, e
+            path, _, kind, nbytes, nrows, col_stats = e
             assert kind == "base"
             assert nbytes == os.path.getsize(os.path.join(t.location, path))
+            # zone maps recorded per column (min <= max)
+            assert isinstance(col_stats, dict) and "repo" in col_stats
+            lo, hi = col_stats["repo"]
+            assert lo <= hi
             total_rows += nrows
     assert total_rows == 200
     # file_stats now answers from the manifest (same numbers, no listing)

@@ -1,0 +1,195 @@
+"""File-level zone maps + manifest predicate pruning (Iceberg
+lower_bounds/upper_bounds + data-skipping analogue).
+
+Correctness contract under test: read(where=...) ALWAYS equals
+read().filter(pred) — pruning may only skip files whose min/max prove no
+match — and with live MOR deltas only key-column predicates prune (a
+non-key predicate could skip the file holding a key's newest version and
+resurrect stale state).
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import (
+    LakeTable,
+    _file_may_match,
+    _trunc_lower,
+    _trunc_upper,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, rows, num_buckets=4):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=SCHEMA, key_cols=["k"],
+        bucket_col="k", num_buckets=num_buckets,
+    )
+    t.overwrite(spark.createDataFrame([Row(**r) for r in rows], SCHEMA))
+    return t
+
+
+# ------------------------------------------------------------- unit: bounds
+def test_trunc_lower_and_upper():
+    assert _trunc_lower("abc", 64) == "abc"
+    long = "a" * 100
+    assert _trunc_lower(long, 64) == "a" * 64
+    up = _trunc_upper(long, 64)
+    assert up == "a" * 63 + "b"
+    assert up > long  # a valid upper bound for the full string
+    assert _trunc_upper("xyz", 64) == "xyz"
+    # un-incrementable prefix → unbounded above
+    assert _trunc_upper(chr(0x10FFFF) * 70, 64) is None
+
+
+@pytest.mark.parametrize(
+    "stats,preds,keep",
+    [
+        ({"k": [10, 20]}, [("k", "=", 15)], True),
+        ({"k": [10, 20]}, [("k", "=", 21)], False),
+        ({"k": [10, 20]}, [("k", "<", 10)], False),
+        ({"k": [10, 20]}, [("k", "<=", 10)], True),
+        ({"k": [10, 20]}, [("k", ">", 20)], False),
+        ({"k": [10, 20]}, [("k", ">=", 20)], True),
+        ({"k": [10, 20]}, [("k", "in", [1, 2, 15])], True),
+        ({"k": [10, 20]}, [("k", "in", [1, 2])], False),
+        ({"k": [10, 20]}, [("k", "between", (21, 30))], False),
+        ({"k": [10, 20]}, [("k", "between", (20, 30))], True),
+        # conjunction: any disproved side kills the file
+        ({"k": [10, 20], "v": [0, 5]}, [("k", "=", 15), ("v", ">", 5)], False),
+        # missing column stats → keep
+        ({"k": [10, 20]}, [("v", "=", 99)], True),
+        (None, [("k", "=", 1)], True),
+        # half-open bounds (None = unbounded)
+        ({"s": ["a", None]}, [("s", ">", "zzz")], True),
+        ({"s": ["a", None]}, [("s", "<", "a")], False),
+        ({"s": [None, "m"]}, [("s", ">", "m")], False),
+        # cross-type comparison falls back to keep
+        ({"k": ["a", "b"]}, [("k", "=", 5)], True),
+    ],
+)
+def test_file_may_match(stats, preds, keep):
+    assert _file_may_match(stats, preds) is keep
+
+
+# ------------------------------------------------- stats recorded at commit
+def test_stats_recorded_in_manifest(spark, tmp_path):
+    rows = [{"k": i, "v": i * 10, "s": f"s{i:03d}"} for i in range(100)]
+    t = _mk(spark, tmp_path, rows)
+    m = t.manifest()
+    entries = [e for es in m.files.values() for e in es]
+    assert entries
+    for e in entries:
+        assert len(e) > 5, "entry missing stats element"
+        st = e[5]
+        assert set(st) >= {"k", "v", "s"}
+        lo, hi = st["k"]
+        assert 0 <= lo <= hi <= 99
+    # global min/max across files must cover the data
+    los = [e[5]["k"][0] for e in entries]
+    his = [e[5]["k"][1] for e in entries]
+    assert min(los) == 0 and max(his) == 99
+
+
+def test_stats_survive_json_roundtrip(spark, tmp_path):
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 2, "s": "x" * 200}])
+    m = t.manifest()  # re-read from disk: JSON round trip
+    e = [e for es in m.files.values() for e in es][0]
+    lo, hi = e[5]["s"]
+    assert lo == "x" * 64
+    assert hi == "x" * 63 + "y"
+
+
+# ----------------------------------------------------- pruning: plan + value
+def test_scan_plan_skips_files(spark, tmp_path):
+    # one file per bucket, keys 0..99 → a point lookup keeps few files
+    rows = [{"k": i, "v": i, "s": str(i)} for i in range(100)]
+    t = _mk(spark, tmp_path, rows, num_buckets=8)
+    plan = t.scan_plan(where=[("k", "=", 7)])
+    assert plan["files_total"] == 8
+    assert plan["files_skipped"] > 0
+    assert plan["files_kept"] >= 1
+    # unfiltered plan keeps everything
+    assert t.scan_plan()["files_kept"] == 8
+
+
+def test_read_where_equals_filter(spark, tmp_path):
+    rows = [{"k": i, "v": i % 7, "s": f"s{i:02d}"} for i in range(60)]
+    t = _mk(spark, tmp_path, rows, num_buckets=8)
+    for where, expr in [
+        ([("k", "between", (10, 20))], F.col("k").between(10, 20)),
+        ([("v", "=", 3)], F.col("v") == 3),
+        ([("s", ">=", "s50")], F.col("s") >= "s50"),
+        ([("k", "in", [1, 2, 59])], F.col("k").isin([1, 2, 59])),
+    ]:
+        got = sorted(tuple(r) for r in t.read(where=where).collect())
+        want = sorted(tuple(r) for r in t.read().filter(expr).collect())
+        assert got == want, where
+
+
+def test_mor_delta_blocks_nonkey_pruning(spark, tmp_path):
+    """The stale-resurrection trap: base has (k=1, v=100); a MOR delta
+    updates it to v=999.  A non-key predicate v=100 must NOT prune the
+    delta-bearing selection — read(where v=100) must be empty, not the
+    stale base row."""
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 100, "s": "a"},
+                              {"k": 2, "v": 200, "s": "b"}])
+    upd = t.spark.createDataFrame(
+        [Row(k=1, v=999, s="a2", lsn=10, op="insert")],
+    )
+    merge_into(t, upd, op_col="op", order_col="lsn", mode="mor")
+    plan = t.scan_plan(where=[("v", "=", 100)])
+    assert plan["any_delta"] is True
+    assert plan["preds_used"] == 0          # non-key pred unusable
+    assert plan["files_skipped"] == 0
+    assert t.read(where=[("v", "=", 100)]).count() == 0
+    # key predicates still prune with deltas live, and stay exact
+    assert t.read(where=[("k", "=", 1)]).collect()[0]["v"] == 999
+    # after compaction the non-key predicate both prunes and is exact
+    t.compact()
+    plan2 = t.scan_plan(where=[("v", "=", 100)])
+    assert plan2["any_delta"] is False
+    assert plan2["preds_used"] == 1
+    assert t.read(where=[("v", "=", 100)]).count() == 0
+    assert t.read(where=[("v", "=", 999)]).collect()[0]["k"] == 1
+
+
+def test_where_validates_ops(spark, tmp_path):
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 1, "s": "a"}])
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        t.read(where=[("k", "!=", 1)])
+
+
+def test_sorted_compaction_clusters_files(spark, tmp_path):
+    """compact(sort_cols=...) (Iceberg rewrite with SORT ORDER) produces
+    range-clustered files whose zone maps make key-range predicates
+    selective — hash-bucketed layout alone cannot (every bucket spans the
+    whole key range)."""
+    rows = [{"k": i, "v": i * 10, "s": f"s{i}"} for i in range(400)]
+    t = _mk(spark, tmp_path, rows, num_buckets=4)
+    # unsorted layout: a narrow k-range prunes nothing (each bucket file
+    # holds hash-scattered keys spanning ~the whole range)
+    base_plan = t.scan_plan(where=[("k", "between", (10, 30))])
+    assert base_plan["files_skipped"] == 0
+    t.compact(files_per_bucket=4, sort_cols=["k"])
+    m = t.manifest()
+    assert m.operation == "compact"
+    plan = t.scan_plan(where=[("k", "between", (10, 30))])
+    assert plan["files_skipped"] > 0
+    # pruned read stays exact
+    got = sorted(
+        r["k"] for r in t.read(where=[("k", "between", (10, 30))]).collect()
+    )
+    assert got == list(range(10, 31))
+    # rows survive the rewrite intact
+    assert t.read().count() == 400
