@@ -44,12 +44,14 @@ def _maintain_cmd(args) -> int:
         # exceed ratio x base bytes (manifest-stat planning, no listing)
         cand = t.compaction_candidates(delta_ratio=args.compact_ratio)
         out["compaction_candidates"] = [str(b) for b in cand]
-        m = t.compact(cand) if cand else None
+        m = (t.compact(cand, files_per_bucket=args.files_per_bucket,
+                       sort_cols=args.sort_cols) if cand else None)
         out["compacted"] = m is not None
         if m is not None:
             out["version"] = m.version
-    elif args.compact:
-        m = t.compact()
+    elif args.compact or args.sort_cols:
+        m = t.compact(files_per_bucket=args.files_per_bucket,
+                      sort_cols=args.sort_cols)
         out["compacted"] = m is not None
         if m is not None:
             out["version"] = m.version
@@ -67,6 +69,8 @@ def _maintain_cmd(args) -> int:
     if args.report:
         out["report"] = job_report(t)
         out["files"] = t.file_stats()
+    if args.snapshots:
+        out["snapshots"] = [r.asDict() for r in t.snapshots_df().collect()]
     print(json.dumps(out))
     return 0
 
@@ -87,6 +91,15 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--compact-ratio", type=float, default=None, metavar="R",
                      help="cost-based compaction: only buckets with delta "
                           "bytes > R x base bytes")
+    mnt.add_argument("--sort-cols", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="cluster rewritten files by these columns "
+                          "(Iceberg SORT ORDER): zone maps become selective "
+                          "for read(where=...) file skipping; implies a "
+                          "full re-clustering compact when no deltas exist")
+    mnt.add_argument("--files-per-bucket", type=int, default=1,
+                     help="files per bucket on compaction (pair with "
+                          "--sort-cols for narrow-range files)")
     mnt.add_argument("--rebucket-target-bytes", type=int, default=None,
                      metavar="BYTES",
                      help="bucket-count evolution: rewrite to the next "
@@ -95,6 +108,9 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                      help="delete files unreferenced by the last KEEP versions")
     mnt.add_argument("--report", action="store_true")
+    mnt.add_argument("--snapshots", action="store_true",
+                     help="list commit history (version, operation, file/"
+                          "byte/row totals) from manifests")
     mnt.add_argument("--cores", default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -1085,6 +1085,76 @@ class LakeTable:
         self.read(version=version).createOrReplaceTempView(name)
 
     # ------------------------------------------------------------ maintenance
+    def snapshots_df(self) -> DataFrame:
+        """Commit history as a DataFrame (Iceberg ``table.snapshots``
+        metadata-table analogue): one row per retained manifest version with
+        its operation and file/byte/row totals.  O(manifest history), no
+        data files opened — all numbers were recorded at commit time."""
+        rows = []
+        for v in range(self.current_version() + 1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired snapshot
+            n_files = n_bytes = n_rows = n_delta = n_dv = 0
+            for entries in m.files.values():
+                for e in entries:
+                    n_files += 1
+                    if len(e) > 4:
+                        n_bytes += int(e[3])
+                        n_rows += int(e[4])
+                    if len(e) > 2 and e[2] == "delta":
+                        n_delta += 1
+                    if len(e) > 2 and e[2] == "dv":
+                        n_dv += 1
+            rows.append((v, m.operation, n_files, n_delta, n_dv, n_bytes,
+                         n_rows, m.current_schema_id, m.num_buckets))
+        schema = T.StructType([
+            T.StructField("version", T.LongType()),
+            T.StructField("operation", T.StringType()),
+            T.StructField("files", T.LongType()),
+            T.StructField("delta_files", T.LongType()),
+            T.StructField("dv_files", T.LongType()),
+            T.StructField("bytes", T.LongType()),
+            T.StructField("rows", T.LongType()),
+            T.StructField("schema_id", T.LongType()),
+            T.StructField("num_buckets", T.LongType()),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Per-file inventory of a snapshot as a DataFrame (Iceberg
+        ``table.files`` analogue): bucket, relative path, kind
+        (base/delta/dv), bytes, rows, schema id, and the recorded zone-map
+        bounds as a ``map<string, array<string>>`` (stringified [min, max]
+        per column).  Drives external maintenance tooling the way
+        compaction planning uses the manifest internally."""
+        m = self.manifest(version)
+        rows = []
+        for b, entries in m.files.items():
+            for e in entries:
+                kind = e[2] if len(e) > 2 else "base"
+                nbytes = int(e[3]) if len(e) > 3 else None
+                nrows = int(e[4]) if len(e) > 4 else None
+                stats = e[5] if len(e) > 5 else None
+                bounds = (
+                    {c: [str(lo), str(hi)] for c, (lo, hi) in stats.items()}
+                    if stats else None
+                )
+                rows.append((b, e[0], kind, nbytes, nrows, int(e[1]), bounds))
+        schema = T.StructType([
+            T.StructField("bucket", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("bytes", T.LongType()),
+            T.StructField("rows", T.LongType()),
+            T.StructField("schema_id", T.LongType()),
+            T.StructField("bounds",
+                          T.MapType(T.StringType(),
+                                    T.ArrayType(T.StringType()))),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
     def file_stats(self) -> dict:
         m = self.manifest()
         n_files, n_bytes, n_rows, n_delta, n_dv = 0, 0, 0, 0, 0
