@@ -617,6 +617,7 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         where: list[tuple] | None = None,
+        _manifest: "Manifest | None" = None,
     ) -> DataFrame:
         """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
         fast path — Iceberg partition pruning analogue).  ``where`` is a list
@@ -632,8 +633,11 @@ class LakeTable:
         (``max_by(row, __lsn)`` per key, map-side partial) then tombstone
         filter — and only key-column predicates may skip files (see
         _select_entries).  Pure-base snapshots skip reconstruction entirely
-        (the post-compaction fast path)."""
-        m = self.manifest(version)
+        (the post-compaction fast path).
+
+        ``_manifest`` scans a synthetic manifest instead of a committed one —
+        internal hook for staged-commit previews (lake/wap.py)."""
+        m = _manifest if _manifest is not None else self.manifest(version)
         raw, any_delta = self._scan_raw(m, buckets, where=where)
         residual = _preds_to_column(_normalize_preds(where))
         if raw is None:
@@ -1141,14 +1145,16 @@ class LakeTable:
                     {c: [str(lo), str(hi)] for c, (lo, hi) in stats.items()}
                     if stats else None
                 )
-                rows.append((b, e[0], kind, nbytes, nrows, int(e[1]), bounds))
+                # schema id is a string: numeric for evolution history, or a
+                # "wap-<id>" key for published staged commits (lake/wap.py)
+                rows.append((b, e[0], kind, nbytes, nrows, str(e[1]), bounds))
         schema = T.StructType([
             T.StructField("bucket", T.StringType()),
             T.StructField("path", T.StringType()),
             T.StructField("kind", T.StringType()),
             T.StructField("bytes", T.LongType()),
             T.StructField("rows", T.LongType()),
-            T.StructField("schema_id", T.LongType()),
+            T.StructField("schema_id", T.StringType()),
             T.StructField("bounds",
                           T.MapType(T.StringType(),
                                     T.ArrayType(T.StringType()))),
@@ -1376,13 +1382,20 @@ class LakeTable:
 
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the latest ``keep_versions``
-        manifests (crash-orphans and rewritten buckets)."""
+        manifests (crash-orphans and rewritten buckets).  Files belonging to
+        staged-but-unpublished commits (lake/wap.py) are live too."""
         cur = self.current_version()
         keep = range(max(0, cur - keep_versions + 1), cur + 1)
         live: set[str] = set()
         for v in keep:
             for entries in self.manifest(v).files.values():
                 live.update(entry[0] for entry in entries)
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("staged-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_dir, fn), encoding="utf-8") as f:
+                    rec = json.load(f)
+                for entries in rec.get("frag", {}).values():
+                    live.update(e[0] for e in entries)
         removed = 0
         for bdir in os.listdir(self.data_dir):
             full = os.path.join(self.data_dir, bdir)

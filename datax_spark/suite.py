@@ -152,6 +152,47 @@ def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish ingest: every batch is STAGED (invisible),
+    audited against its preview state, then atomically published — the
+    inspect-then-swap the reference's error-limit gate cannot do (it fails
+    the job only after bad rows reached the target,
+    ErrorRecordChecker.java:18-82).  Final state must equal the same fold
+    as the direct MERGE path."""
+    from datax_spark.lake.wap import publish_staged, read_staged, stage_merge
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_wap_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    bl = max(1, (hi + 4) // 4)
+    payload = ["user_id", "event_type", "value_cents", "props"]
+    for i in range(4):
+        b = feed.filter(F.floor(F.col("lsn") / bl) == i)
+        wid = stage_merge(
+            table, b, op_col="op", order_col="lsn", payload_cols=payload,
+            lineage={"batch_id": i, "rows": b.count(), "bytes": 0},
+        )
+        if wid is None:
+            continue
+        # audit: the preview must never shrink below the published state
+        assert read_staged(table, wid).count() >= table.read().count() - b.count()
+        publish_staged(table, wid)
+    return table.read().select(*payload)
+
+
 def q_cdc_mirror_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC relay end-to-end: ingest the feed into an UPSTREAM table (4 MOR
     merge batches), then maintain a DOWNSTREAM mirror purely from the
@@ -912,6 +953,8 @@ _ORACLES: dict[str, str] = {
     "cdc_stream_available_now": _CDC_FOLD_ORACLE,
     # relay through the commit log == direct apply (same fold)
     "cdc_mirror_relay": _CDC_FOLD_ORACLE,
+    # stage→audit→publish == direct apply (same fold)
+    "cdc_wap_publish": _CDC_FOLD_ORACLE,
     # read_changes replay: the change stream is exactly the per-batch
     # last-event-per-key winners (batch window = lsn // batch_lsns with
     # batch_lsns = (max_lsn + 4) // 4, the suite ingest's granularity),
@@ -1361,6 +1404,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_mirror_relay": q_cdc_mirror_relay,
+    "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
