@@ -291,6 +291,67 @@ def _preds_to_column(preds: list[tuple[str, str, Any]]):
     return expr
 
 
+def zorder_key(df: DataFrame, cols: list[str]) -> "Column":
+    """Interleaved-bit Z-order key over ``cols`` (Iceberg/Delta ZORDER
+    analogue) as a pure Column expression — no UDF, stays in codegen.
+
+    Numeric/date/timestamp columns are bucketed into 2^bits uniform ranks
+    between their observed min/max (one aggregate over ``df``); string and
+    other columns rank by ``xxhash64`` (equality locality only — equal
+    values co-locate, ranges don't).  Bits per column = min(16, 63//k), so
+    the key always fits a long.  Nulls rank 0 (co-located first).
+
+    Why interleave instead of lexicographic sort: sorting by (a, b) gives
+    file-level min/max that prune on ``a`` but leave ``b`` spanning its
+    whole domain in every file; interleaving alternates the bits so BOTH
+    columns' zone maps stay narrow — multi-dimensional data skipping."""
+    from pyspark.sql import Column  # noqa: F401 (typing only)
+
+    k = len(cols)
+    if k == 0:
+        raise ValueError("zorder needs at least one column")
+    bits = min(16, 63 // k)
+    n = 2 ** bits
+    numeric = (T.NumericType, T.DateType, T.TimestampType)
+    stats_cols = [
+        c for c in cols
+        if isinstance(df.schema[c].dataType, numeric)
+    ]
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__hi_{c}")]
+    bounds = df.agg(*aggs).collect()[0].asDict() if aggs else {}
+    ranks = []
+    for c in cols:
+        if c in stats_cols and bounds.get(f"__lo_{c}") is not None:
+            lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+            if hi <= lo:
+                r = F.lit(0).cast("long")
+            else:
+                # width_bucket: 1..n in range; clamp + shift to 0..n-1
+                r = F.least(
+                    F.greatest(
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.lit(float(lo)), F.lit(float(hi)), F.lit(n),
+                        ) - 1,
+                        F.lit(0),
+                    ),
+                    F.lit(n - 1),
+                ).cast("long")
+        else:
+            r = F.pmod(F.xxhash64(F.col(c)), F.lit(n)).cast("long")
+        ranks.append(F.coalesce(r, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for r in ranks:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(r, bit).bitwiseAND(F.lit(1))
+            )
+    return z
+
+
 # Default number of applied-batch lineage entries retained verbatim in the
 # manifest.  Older entries are pruned to a per-namespace retired-id frontier
 # + aggregate totals, so a 10^5-batch stream keeps commits O(K), not
@@ -734,11 +795,16 @@ class LakeTable:
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
         if sort_cols:
             # contiguous (bucket, sort-key) ranges per task → one tight-range
-            # file per (bucket × range-slice); partitionBy still splits dirs
+            # file per (bucket × range-slice); partitionBy still splits dirs.
+            # Entries may be column names or computed Columns (e.g. the
+            # z-order key) — computed keys order the layout without being
+            # persisted.
+            sort_exprs = [
+                F.col(c) if isinstance(c, str) else c for c in sort_cols
+            ]
             staged = staged.repartitionByRange(
-                shuffle_n, F.col(_BUCKET_COL),
-                *[F.col(c) for c in sort_cols],
-            ).sortWithinPartitions(_BUCKET_COL, *sort_cols)
+                shuffle_n, F.col(_BUCKET_COL), *sort_exprs,
+            ).sortWithinPartitions(F.col(_BUCKET_COL), *sort_exprs)
         elif files_per_bucket == 1:
             staged = staged.repartition(m.num_buckets, F.col(_BUCKET_COL))
         else:
@@ -1275,6 +1341,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         files_per_bucket: int = 1,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> "Manifest | None":
         """Collapse delta files into base for the given buckets (default:
         every bucket holding deltas).  Reconstructed last-writer-wins state
@@ -1285,11 +1352,16 @@ class LakeTable:
         (Iceberg rewrite with SORT ORDER), making the recorded zone maps
         selective for later ``read(where=...)`` file-skipping; pair with
         ``files_per_bucket > 1`` so each bucket yields several narrow-range
-        files rather than one wide one.
+        files rather than one wide one.  ``zorder_cols`` clusters by an
+        interleaved-bit key instead (see :func:`zorder_key`) so predicates
+        on ANY of the listed columns prune — lexicographic sort only serves
+        its leading column.
 
         The Iceberg analogue is rewrite_data_files / minor compaction; at
         scale this runs out-of-band (separate job), amortized across many
         micro-batches."""
+        if sort_cols and zorder_cols:
+            raise ValueError("pass sort_cols OR zorder_cols, not both")
         m = self.manifest()
         if L0_BUCKET in m.files or (buckets and L0_BUCKET in {str(b) for b in buckets}):
             # L0 rows span every bucket: partial compaction would either
@@ -1297,8 +1369,9 @@ class LakeTable:
             if not m.files:
                 return None
             state = self.read()
+            sc = [zorder_key(state, zorder_cols)] if zorder_cols else sort_cols
             frag = self._stage_write(state, m, files_per_bucket, kind="base",
-                                     sort_cols=sort_cols)
+                                     sort_cols=sc)
             return self._commit(m, frag, replaced_buckets=set(m.files.keys()),
                                 operation="compact")
         if buckets is None:
@@ -1307,14 +1380,15 @@ class LakeTable:
                 for b, entries in m.files.items()
                 if any(len(e) > 2 and e[2] in ("delta", "dv") for e in entries)
             ]
-            if not buckets and sort_cols:
+            if not buckets and (sort_cols or zorder_cols):
                 # re-clustering rewrite: no deltas needed, touch every bucket
                 buckets = [int(b) for b in m.files]
         if not buckets:
             return None
         state = self.read(buckets=buckets)
+        sc = [zorder_key(state, zorder_cols)] if zorder_cols else sort_cols
         frag = self._stage_write(state, m, files_per_bucket, kind="base",
-                                 sort_cols=sort_cols)
+                                 sort_cols=sc)
         # a compacted-to-empty bucket must still drop its old files
         return self._commit(m, frag, replaced_buckets={str(b) for b in buckets},
                             operation="compact")
@@ -1361,13 +1435,50 @@ class LakeTable:
             operation="rebucket",
         )
 
+    # ------------------------------------------------------------------ tags
+    def create_tag(self, name: str, version: int | None = None) -> None:
+        """Name a snapshot (Iceberg tag analogue): ``read(version=
+        tag_version(name))`` time-travels to it, and ``expire_snapshots``
+        never deletes a tagged manifest — tags pin audit/rollback points
+        through retention.  Stored in table properties (a properties-only
+        commit), so tags survive restarts and are visible to every reader."""
+        v = self.current_version() if version is None else int(version)
+        if not os.path.exists(os.path.join(self.meta_dir, f"v{v:08d}.json")):
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        tags = dict(self.manifest().properties.get("tags") or {})
+        if name in tags:
+            raise ValueError(f"tag {name!r} already exists (at v{tags[name]})")
+        tags[name] = v
+        self.set_properties(tags=tags)
+
+    def drop_tag(self, name: str) -> None:
+        tags = dict(self.manifest().properties.get("tags") or {})
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        del tags[name]
+        self.set_properties(tags=tags)
+
+    def tags(self) -> dict[str, int]:
+        return {
+            k: int(v)
+            for k, v in (self.manifest().properties.get("tags") or {}).items()
+        }
+
+    def tag_version(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        return tags[name]
+
     def expire_snapshots(self, keep_versions: int = 2) -> int:
         """Delete manifest files older than the newest ``keep_versions``
-        (Iceberg expire_snapshots analogue).  Time travel to expired
-        versions stops working; pair with ``vacuum`` to reclaim their data
-        files.  Without this, a long-running stream accumulates one manifest
-        JSON per commit forever."""
+        (Iceberg expire_snapshots analogue).  Tagged versions are always
+        kept.  Time travel to expired versions stops working; pair with
+        ``vacuum`` to reclaim their data files.  Without this, a
+        long-running stream accumulates one manifest JSON per commit
+        forever."""
         cutoff = self.current_version() - keep_versions + 1
+        pinned = set(self.tags().values())
         removed = 0
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
@@ -1375,7 +1486,7 @@ class LakeTable:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v < cutoff:
+                if v < cutoff and v not in pinned:
                     os.remove(os.path.join(self.meta_dir, fn))
                     removed += 1
         return removed
@@ -1383,12 +1494,18 @@ class LakeTable:
     def vacuum(self, keep_versions: int = 2) -> int:
         """Delete data files unreferenced by the latest ``keep_versions``
         manifests (crash-orphans and rewritten buckets).  Files belonging to
-        staged-but-unpublished commits (lake/wap.py) are live too."""
+        staged-but-unpublished commits (lake/wap.py) and to tagged
+        snapshots are live too."""
         cur = self.current_version()
-        keep = range(max(0, cur - keep_versions + 1), cur + 1)
+        keep = set(range(max(0, cur - keep_versions + 1), cur + 1))
+        keep.update(self.tags().values())
         live: set[str] = set()
-        for v in keep:
-            for entries in self.manifest(v).files.values():
+        for v in sorted(keep):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # already-expired version
+            for entries in m.files.values():
                 live.update(entry[0] for entry in entries)
         for fn in os.listdir(self.meta_dir):
             if fn.startswith("staged-") and fn.endswith(".json"):

@@ -193,3 +193,54 @@ def test_sorted_compaction_clusters_files(spark, tmp_path):
     assert got == list(range(10, 31))
     # rows survive the rewrite intact
     assert t.read().count() == 400
+
+
+def test_zorder_compaction_prunes_on_both_columns(spark, tmp_path):
+    """compact(zorder_cols=[a,b]) (Iceberg/Delta ZORDER analogue):
+    interleaved-bit clustering keeps BOTH columns' zone maps narrow, so a
+    predicate on either column alone skips files — lexicographic sort on
+    [k, v] would leave v spanning its whole domain in every file."""
+    import random
+    rng = random.Random(7)
+    rows = [
+        {"k": i, "v": rng.randrange(0, 1000), "s": f"s{i}"}
+        for i in range(800)
+    ]
+    t = _mk(spark, tmp_path, rows, num_buckets=4)
+    t.compact(files_per_bucket=8, zorder_cols=["k", "v"])
+    assert t.manifest().operation == "compact"
+    plan_k = t.scan_plan(where=[("k", "between", (100, 160))])
+    plan_v = t.scan_plan(where=[("v", "between", (100, 160))])
+    assert plan_k["files_skipped"] > 0, plan_k
+    assert plan_v["files_skipped"] > 0, plan_v
+    # pruned reads stay exact (residual filter applied after skipping)
+    got_k = sorted(
+        r["k"] for r in t.read(where=[("k", "between", (100, 160))]).collect()
+    )
+    assert got_k == list(range(100, 161))
+    expect_v = sorted(r["k"] for r in rows if 100 <= r["v"] <= 160)
+    got_v = sorted(
+        r["k"] for r in t.read(where=[("v", "between", (100, 160))]).collect()
+    )
+    assert got_v == expect_v
+    assert t.read().count() == 800
+
+
+def test_zorder_string_column_equality_locality(spark, tmp_path):
+    """String columns rank by hash in the z-key: equal values co-locate, so
+    equality predicates benefit; exactness is unconditional."""
+    rows = [
+        {"k": i, "v": i, "s": f"cat{i % 5}"} for i in range(400)
+    ]
+    t = _mk(spark, tmp_path, rows, num_buckets=4)
+    t.compact(files_per_bucket=8, zorder_cols=["k", "s"])
+    got = sorted(
+        r["k"] for r in t.read(where=[("s", "=", "cat3")]).collect()
+    )
+    assert got == [i for i in range(400) if i % 5 == 3]
+
+
+def test_compact_rejects_sort_and_zorder_together(spark, tmp_path):
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 1, "s": "a"}])
+    with pytest.raises(ValueError, match="not both"):
+        t.compact(sort_cols=["k"], zorder_cols=["v"])
