@@ -1470,6 +1470,46 @@ class LakeTable:
             raise KeyError(f"no tag {name!r}")
         return tags[name]
 
+    def rollback(self, version: int | None = None, tag: str | None = None) -> Manifest:
+        """Restore the table to an earlier snapshot as a NEW commit (Iceberg
+        rollback analogue): current state, lineage replay guards, and
+        per-shard LSN watermarks all revert, so a CDC run resumed after the
+        rollback legitimately re-applies the rolled-back batches.  History
+        is preserved — the bad versions stay time-travelable until expired.
+        Pass a version or a tag name."""
+        if (version is None) == (tag is None):
+            raise ValueError("pass exactly one of version / tag")
+        v = self.tag_version(tag) if tag is not None else int(version)
+        cur = self.current_version()
+        if v == cur:
+            return self.manifest()
+        target = self.manifest(v)
+        missing = [
+            e[0]
+            for entries in target.files.values()
+            for e in entries
+            if not os.path.exists(os.path.join(self.location, e[0]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot roll back to v{v}: {len(missing)} data file(s) "
+                f"already vacuumed (first: {missing[0]}) — tag snapshots "
+                "you may need to restore"
+            )
+        m = Manifest(**{
+            **target.__dict__,
+            "version": cur + 1,
+            "properties": {
+                **target.properties,
+                # tags index the whole history: keep the CURRENT tag map,
+                # not the (stale) one frozen into the old manifest
+                "tags": self.manifest().properties.get("tags") or {},
+            },
+            "operation": "rollback",
+        })
+        self._write_manifest(m)
+        return m
+
     def expire_snapshots(self, keep_versions: int = 2) -> int:
         """Delete manifest files older than the newest ``keep_versions``
         (Iceberg expire_snapshots analogue).  Tagged versions are always

@@ -259,6 +259,38 @@ def q_lake_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered read: ingest, compact with an interleaved-bit
+    (user_id, value_cents) key, then a predicate on value_cents ALONE —
+    the column a lexicographic (user_id, value_cents) sort would leave
+    unprunable.  The suite run asserts files were actually skipped; the
+    oracle is the fold + the same WHERE."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_zorder_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 4) // 4))
+    table.compact(files_per_bucket=4, zorder_cols=["user_id", "value_cents"])
+    where = [("value_cents", "between", (1000, 3000))]
+    plan = table.scan_plan(where=where)
+    assert plan["files_skipped"] > 0, f"z-order pruning was vacuous: {plan}"
+    return table.read(where=where).select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through Structured Streaming (readStream → foreachBatch
     MERGE, Trigger.AvailableNow) — the north_star execution shape."""
@@ -987,6 +1019,17 @@ FROM ranked
 WHERE rn = 1 AND NOT is_delete
   AND user_id BETWEEN 10 AND 60 AND event_type = 'click'
 """,
+    # z-order read = fold + WHERE on the non-leading cluster column
+    "lake_zorder_read": """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value_cents, props
+FROM ranked
+WHERE rn = 1 AND NOT is_delete AND value_cents BETWEEN 1000 AND 3000
+""",
     "cdc_dedup_last_per_key": """
 WITH ranked AS (
   SELECT user_id, event_id AS last_lsn, event_type AS last_event_type,
@@ -1406,6 +1449,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_mirror_relay": q_cdc_mirror_relay,
     "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,
+    "lake_zorder_read": q_lake_zorder_read,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_shard_lineage": q_cdc_shard_lineage,

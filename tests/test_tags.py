@@ -69,3 +69,33 @@ def test_tag_requires_existing_snapshot(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(FileNotFoundError):
         t.create_tag("nope", version=99)
+
+
+def test_rollback_restores_state_and_replay_guards(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.create_tag("good")
+    _bump(t, 1, 666, lsn=50)   # the "bad" commit
+    assert t.read().collect()[0]["v"] == 666
+    m = t.rollback(tag="good")
+    assert m.operation == "rollback"
+    assert t.read().collect()[0]["v"] == 10
+    # bad version still time-travelable (history preserved)
+    assert t.read(version=m.version - 1).collect()[0]["v"] == 666
+    # watermarks reverted: the rolled-back batch re-applies cleanly
+    _bump(t, 1, 11, lsn=50)
+    assert t.read().collect()[0]["v"] == 11
+
+
+def test_rollback_arg_validation_and_vacuum_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rollback()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.rollback(version=0, tag="x")
+    v_old = t.current_version()
+    _bump(t, 1, 20, lsn=5)
+    t.compact()  # rewrites files; old version's files become unreferenced
+    t.expire_snapshots(keep_versions=10)  # keep manifests
+    t.vacuum(keep_versions=1)             # but drop old data files
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.rollback(version=v_old)
