@@ -64,6 +64,15 @@ def _maintain_cmd(args) -> int:
             if m is not None:
                 out["version"] = m.version
                 out["num_buckets"] = m.num_buckets
+    if args.tag:
+        t.create_tag(args.tag)
+        out["tagged"] = {args.tag: t.tag_version(args.tag)}
+    if args.rollback is not None or args.rollback_tag is not None:
+        m = t.rollback(version=args.rollback, tag=args.rollback_tag)
+        out["rolled_back_to"] = (
+            args.rollback if args.rollback is not None else args.rollback_tag
+        )
+        out["version"] = m.version
     if args.vacuum is not None:
         out["vacuumed_files"] = t.vacuum(keep_versions=args.vacuum)
     if args.report:
@@ -71,6 +80,30 @@ def _maintain_cmd(args) -> int:
         out["files"] = t.file_stats()
     if args.snapshots:
         out["snapshots"] = [r.asDict() for r in t.snapshots_df().collect()]
+    print(json.dumps(out))
+    return 0
+
+
+def _relay_cmd(args) -> int:
+    """Maintain a downstream mirror from an upstream table's changelog —
+    the CLI face of lake/mirror.py (DataX analogue: chaining two sync jobs,
+    minus the second full extraction — the hop is the commit log)."""
+    from datax_spark.lake.mirror import bootstrap_mirror, sync_mirror
+    from datax_spark.lake.table import LakeTable
+
+    spark = get_session("datax-spark-relay", cores=args.cores)
+    upstream = LakeTable(spark, args.upstream)
+    out = {"ok": True, "upstream": args.upstream, "mirror": args.mirror}
+    if not LakeTable.exists(args.mirror):
+        mirror = bootstrap_mirror(upstream, args.mirror,
+                                  version=args.bootstrap_version)
+        out["bootstrapped"] = True
+    else:
+        mirror = LakeTable(spark, args.mirror)
+        out["bootstrapped"] = False
+    res = sync_mirror(upstream, mirror, on_rewrite=args.on_rewrite,
+                      mode=args.mode)
+    out.update(res)
     print(json.dumps(out))
     return 0
 
@@ -105,6 +138,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="bucket-count evolution: rewrite to the next "
                           "power-of-2 multiple of buckets so the average "
                           "bucket holds at most BYTES of base data")
+    mnt.add_argument("--tag", default=None, metavar="NAME",
+                     help="tag the current snapshot (protects it from "
+                          "expire_snapshots; read(version=tag_version))")
+    mnt.add_argument("--rollback", type=int, default=None, metavar="VERSION",
+                     help="restore the table to VERSION as a new commit "
+                          "(state, replay guards, and LSN watermarks revert; "
+                          "history stays time-travelable)")
+    mnt.add_argument("--rollback-tag", default=None, metavar="NAME",
+                     help="like --rollback but targets a tag name")
     mnt.add_argument("--vacuum", type=int, default=None, metavar="KEEP",
                      help="delete files unreferenced by the last KEEP versions")
     mnt.add_argument("--report", action="store_true")
@@ -113,13 +155,29 @@ def main(argv: list[str] | None = None) -> int:
                           "byte/row totals) from manifests")
     mnt.add_argument("--cores", default=None)
 
+    rel = sub.add_parser("relay", help="mirror a table from its changelog")
+    rel.add_argument("upstream", help="upstream lake table location")
+    rel.add_argument("mirror", help="mirror location (bootstrapped if absent)")
+    rel.add_argument("--bootstrap-version", type=int, default=None,
+                     help="snapshot version to bootstrap from (0 = empty "
+                          "mirror that replays the whole changelog)")
+    rel.add_argument("--mode", default="mor", choices=["mor", "cow", "dv"],
+                     help="merge mode for applied deltas")
+    rel.add_argument("--on-rewrite", default="error",
+                     choices=["error", "skip"],
+                     help="changelog behavior across compaction/rewrite "
+                          "commits")
+    rel.add_argument("--cores", default=None)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
-    if argv and argv[0] not in ("run", "maintain", "-h", "--help"):
+    if argv and argv[0] not in ("run", "maintain", "relay", "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
         return _maintain_cmd(args)
+    if args.cmd == "relay":
+        return _relay_cmd(args)
     return _run_cmd(args)
 
 

@@ -174,3 +174,73 @@ def test_stream_spec_byte_cap(spark, tmp_path):
                 "stall_timeout_sec": 120}
     out = run_job(spark, JobSpec.from_dict(d))
     assert out["rows"] == 1000 and out["batches"] == 2  # 4 files / 2 per batch
+
+
+def _cli(capsys, *argv):
+    from datax_spark import cli
+
+    rc = cli.main([str(a) for a in argv])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+def test_cli_relay_bootstrap_sync_idempotent(spark, tmp_path, capsys):
+    """`relay` bootstraps an absent mirror, then incremental syncs are
+    exactly-once (rerun applies nothing)."""
+    from pyspark.sql import Row
+
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+    from tests.test_mirror import SCHEMA
+
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), schema=SCHEMA, key_cols=["k"],
+        bucket_col="k", num_buckets=4,
+    )
+
+    def bump(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(k=k, v=v, op=op, lsn=lsn0 + i)
+             for i, (k, v, op) in enumerate(rows)]
+        )
+        merge_into(up, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    bump([(1, 10, "insert"), (2, 20, "insert")], 0)
+    mir = tmp_path / "mir"
+    rc, out = _cli(capsys, "relay", tmp_path / "up", mir, "--cores", 4)
+    assert rc == 0 and out["bootstrapped"] and not out["applied"]
+
+    bump([(1, 11, "insert"), (2, 0, "delete"), (3, 30, "insert")], 10)
+    rc, out = _cli(capsys, "relay", tmp_path / "up", mir, "--cores", 4)
+    assert rc == 0 and not out["bootstrapped"]
+    assert out["applied"] and out["rows"] == 3
+
+    m = LakeTable(spark, str(mir))
+    assert sorted((r.k, r.v) for r in m.read().collect()) == [(1, 11), (3, 30)]
+
+    rc, out = _cli(capsys, "relay", tmp_path / "up", mir, "--cores", 4)
+    assert not out["applied"] and out["rows"] == 0  # exactly-once
+
+
+def test_cli_maintain_tag_and_rollback(spark, tmp_path, capsys):
+    fixtures.change_events(spark, 1000, n_keys=200, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    spec = JobSpec.from_dict(_spec_dict(tmp_path))
+    run_job(spark, spec)
+    loc = spec.target.location
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, loc)
+    good = t.read().count()
+
+    rc, out = _cli(capsys, "maintain", loc, "--tag", "good", "--cores", 4)
+    assert rc == 0 and "good" in out["tagged"]
+
+    t.overwrite(t.read().limit(0))  # wipe everything (the "bad" job)
+    assert t.read().count() == 0
+
+    rc, out = _cli(capsys, "maintain", loc, "--rollback-tag", "good",
+                   "--cores", 4)
+    assert rc == 0 and out["rolled_back_to"] == "good"
+    assert LakeTable(spark, loc).read().count() == good
