@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cdc_changelog_read",
     "cdc_mirror_relay",
     "lake_prune_read",
+    "lake_zorder_read",
     "cdc_wap_publish",
 ]
 

@@ -42,6 +42,8 @@ class CdcApplier:
         lineage_detail: str = "shards",
         bucket_deltas: bool = True,
         compact_ratio: float | None = None,
+        partial_update: bool = False,
+        present_col: str | None = None,
     ):
         """``mode="mor"`` (default) appends delta files per batch — O(batch)
         writes, the 10^10-event path; ``mode="cow"`` rewrites touched
@@ -76,6 +78,10 @@ class CdcApplier:
         # when set, compaction is cost-based (delta bytes vs base bytes,
         # LakeTable.compaction_candidates) instead of file-count-only
         self.compact_ratio = compact_ratio
+        # DataX writeMode=update: batch columns are SET, the rest preserved;
+        # present_col names an optional array<string> per-event column set
+        self.partial_update = partial_update
+        self.present_col = present_col
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -159,7 +165,8 @@ class CdcApplier:
                 for r in stats
             ],
         }
-        payload = [c for c in batch.columns if c not in ENVELOPE_COLS]
+        payload = [c for c in batch.columns
+                   if c not in ENVELOPE_COLS and c != self.present_col]
         merge_into(
             self.table,
             batch,
@@ -174,6 +181,8 @@ class CdcApplier:
             dedup_batch=self.dedup_batch,
             bucket_deltas=self.bucket_deltas,
             compact_ratio=self.compact_ratio,
+            partial_update=self.partial_update,
+            present_col=self.present_col,
         )
         return lineage
 
@@ -211,7 +220,8 @@ class CdcApplier:
             "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
             "_resolve": resolve,
         }
-        payload = [c for c in batch.columns if c not in ENVELOPE_COLS]
+        payload = [c for c in batch.columns
+                   if c not in ENVELOPE_COLS and c != self.present_col]
         merge_into(
             self.table,
             batch,
@@ -226,6 +236,8 @@ class CdcApplier:
             dedup_batch=self.dedup_batch,
             bucket_deltas=self.bucket_deltas,
             compact_ratio=self.compact_ratio,
+            partial_update=self.partial_update,
+            present_col=self.present_col,
         )
         resolved = resolve()
         if resolved["rows"] == 0:

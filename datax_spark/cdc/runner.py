@@ -65,6 +65,8 @@ def run_incremental(
     lineage_detail: str = "shards",
     bucket_deltas: bool = True,
     compact_ratio: float | None = None,
+    partial_update: bool = False,
+    present_col: str | None = None,
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -85,7 +87,8 @@ def run_incremental(
     applier = CdcApplier(
         table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
         lineage_detail=lineage_detail, bucket_deltas=bucket_deltas,
-        compact_ratio=compact_ratio,
+        compact_ratio=compact_ratio, partial_update=partial_update,
+        present_col=present_col,
     )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(

@@ -56,6 +56,9 @@ class MergeSpec:
     # cost-based compaction: compact a bucket when delta bytes exceed this
     # fraction of its base bytes (None = file-count threshold only)
     compact_ratio: float | None = None
+    # DataX writeMode=update: batch columns are SET on conflict (explicit
+    # NULLs win), unmapped target columns keep their previous value
+    partial_update: bool = False
 
 
 @dataclass
@@ -232,6 +235,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
             dedup_batch=spec.merge.dedup_batch,
             compact_ratio=spec.merge.compact_ratio,
+            partial_update=spec.merge.partial_update,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
@@ -266,6 +270,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             dedup_batch=spec.merge.dedup_batch,
             files_per_bucket=spec.merge.files_per_bucket,
             compact_ratio=spec.merge.compact_ratio,
+            partial_update=spec.merge.partial_update,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from datax_spark.lake.table import (
     DELETED_COL,
     LSN_COL,
+    PRESENT_COL,
     CommitConflict,
     LakeTable,
     Manifest,
@@ -104,6 +105,8 @@ def merge_into(
     broadcast_key_limit: int = 1_000_000,
     compact_ratio: float | None = None,
     properties_update: dict | None = None,
+    partial_update: bool = False,
+    present_col: str | None = None,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -128,30 +131,74 @@ def merge_into(
     - ``"dv"`` (deletion vectors): positional deletes masking base rows +
       appended base files — no bucket rewrite (unlike COW), no read-time
       per-key aggregation (unlike MOR).  See ``_merge_dv``.
+
+    ``partial_update`` — DataX writeMode=update semantics
+    (``INSERT … ON DUPLICATE KEY UPDATE col=VALUES(col)`` over the job's
+    mapped column subset, WriterUtil.java:110-167): the batch's columns are
+    SET on conflict (explicit NULLs win); target columns the batch does not
+    carry keep their previous value (whereas the default whole-row replace
+    nulls them).  A delete still wipes the whole row — later partial events
+    rebuild it from only the columns they cover.  MOR stays O(batch): events
+    are appended as "pdelta" files tagged with each event's column set and
+    the column-wise fold happens at read
+    (``LakeTable._reconstruct_partial``); COW/DV fold the batch and patch it
+    against current state up front, then proceed whole-row.
+
+    ``present_col``: optional array<string> column naming the columns each
+    EVENT sets (Debezium-style patch events; null = all batch columns) —
+    without it, presence is the batch's column set, the DataX
+    job-level-column-mapping shape.
     """
     if mode not in ("cow", "mor", "dv"):
         raise ValueError(f"unknown merge mode {mode!r}")
     if mode == "mor" and order_col is None:
         raise ValueError("mor mode requires order_col (the LSN) for "
                          "last-writer-wins reconstruction")
+    if partial_update and order_col is None:
+        raise ValueError("partial_update requires order_col (the LSN) — "
+                         "column-wise last-writer-wins needs an ordering")
     t0 = time.monotonic()
     base = table.manifest()
     if lineage and base.is_applied(lineage.get("batch_id")):
         return None  # replayed batch — already atomically applied
 
     key_cols = base.key_cols
-    if order_col is not None and (dedup_batch or mode in ("cow", "dv")):
+    keep = (payload_cols if payload_cols is not None
+            else [c for c in batch.columns
+                  if c not in (op_col, order_col, present_col)])
+    if partial_update:
+        # normalize presence to the hidden per-row array early: explicit
+        # present_col per event, else the batch's column set (constant)
+        default_present = F.array(*[F.lit(c) for c in keep])
+        batch = batch.withColumn(
+            PRESENT_COL,
+            F.coalesce(F.col(present_col), default_present)
+            if present_col is not None and present_col in batch.columns
+            else default_present,
+        )
+        if present_col is not None and present_col in batch.columns:
+            batch = batch.drop(present_col)
+    if partial_update and mode in ("cow", "dv"):
+        batch = _fold_partial_batch(table, batch, base, op_col, order_col,
+                                    keep)
+        keep = [c for c in batch.columns if c not in (op_col, order_col)]
+        partial_update = False  # batch is whole-row now; proceed normally
+    elif order_col is not None and not partial_update and (
+        dedup_batch or mode in ("cow", "dv")
+    ):
         # COW/DV require the dedup (whole-row replace has no LSN at read);
         # MOR may skip it — reconstruction collapses duplicates by __lsn.
+        # Partial MOR MUST skip it: dropping a delete that precedes a
+        # partial update would resurrect the wiped columns (the read-side
+        # fold needs the full event sequence).
         batch = dedup_last_per_key(batch, key_cols, order_col)
-    keep = (payload_cols if payload_cols is not None
-            else [c for c in batch.columns if c not in (op_col, order_col)])
     lsn_col = (
         [F.col(order_col).cast("long").alias(LSN_COL)]
         if mode == "mor" else []
     )
     batch = batch.select(
-        *([op_col] if op_col in batch.columns else []), *lsn_col, *keep
+        *([op_col] if op_col in batch.columns else []), *lsn_col, *keep,
+        *([PRESENT_COL] if partial_update else []),
     )
 
     if mode == "mor":
@@ -172,6 +219,7 @@ def merge_into(
                     files_per_bucket, auto_compact, t0, compact_ratio,
                     bucket_deltas=bucket_deltas,
                     properties_update=properties_update,
+                    partial=partial_update,
                 )
             except CommitConflict as e:
                 last_err = e
@@ -257,6 +305,148 @@ def merge_into(
         schema=new_schema, operation="merge-cow",
         properties_update=properties_update,
     )
+
+
+def _fold_partial_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    base: Manifest,
+    op_col: str | None,
+    order_col: str,
+    keep: list[str],
+) -> DataFrame:
+    """Fold a partial-update batch and patch it against current state,
+    returning whole rows — the COW/DV front half of writeMode=update.
+
+    Per key (one hash-agg): last delete LSN, last live LSN, and each covered
+    column's value at the last live event (presence is batch-constant, so
+    the last live event sets every covered column).  The key survives iff a
+    live event follows the last delete; surviving keys take covered columns
+    from the batch and the rest from current state — NULL instead if any
+    delete occurred (the delete wiped the row; the rebuild covers only the
+    batch's columns).
+
+    Scale: the fold is map-side-partial on the batch; the patch reads ONLY
+    the touched buckets and joins them against the broadcast key set, then
+    a small×small left join — the big side never shuffles."""
+    key_cols = base.key_cols
+    val_cols = [c for c in keep if c not in key_cols]
+    has_op = op_col is not None and op_col in batch.columns
+    is_del = (
+        (F.col(op_col) == F.lit(DELETE_OP)) if has_op else F.lit(False)
+    )
+    ev = batch.select(
+        *key_cols, *val_cols,
+        F.col(order_col).cast("long").alias("__l"),
+        is_del.alias("__d"),
+        F.col(PRESENT_COL).alias("__p"),
+    ).persist()
+
+    # stage 1: per key, the last delete LSN (the reset point)
+    marks = ev.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max(F.when(F.col("__d"), F.col("__l"))).alias("__dl"),
+        F.max(F.col("__l")).alias("__ml"),
+    )
+    marks = marks.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols], "__dl", "__ml"
+    )
+    kcond = None
+    for c in key_cols:
+        e = ev[c].eqNullSafe(F.col(f"__k_{c}"))
+        kcond = e if kcond is None else (kcond & e)
+    # stage 2: fold the post-delete live events column-wise.  Keys whose
+    # last event is the delete have no such events and drop out here —
+    # they re-enter below as delete rows.
+    live = ev.join(F.broadcast(marks), on=kcond, how="inner").filter(
+        ~F.col("__d")
+        & (F.col("__l") > F.coalesce(F.col("__dl"), F.lit(-2)))
+    )
+
+    def covered(c: str):
+        return F.array_contains(F.col("__p"), c)
+
+    folded = live.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.max(F.col("__dl")).alias("__dl"),   # constant per key
+        F.max(F.col("__l")).alias("__ll"),
+        *[
+            F.max_by(F.col(c), F.when(covered(c), F.col("__l")))
+            .alias(f"__v_{c}")
+            for c in val_cols
+        ],
+        *[
+            F.max(F.when(covered(c), F.lit(1))).alias(f"__has_{c}")
+            for c in val_cols
+        ],
+    ).persist()
+
+    bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
+    touched = [
+        r[0] for r in folded.select(bexpr.alias("b")).distinct().collect()
+    ]
+    current = table.read(buckets=touched)
+    keys_b = F.broadcast(
+        folded.select(*[F.col(c).alias(f"__k_{c}") for c in key_cols])
+    )
+    cond = None
+    for c in key_cols:
+        e = current[c].eqNullSafe(F.col(f"__k_{c}"))
+        cond = e if cond is None else (cond & e)
+    matched = current.join(keys_b, on=cond, how="inner").select(
+        *[F.col(c).alias(f"__cur_{c}") for c in current.columns]
+    )
+    cond2 = None
+    for c in key_cols:
+        e = folded[c].eqNullSafe(matched[f"__cur_{c}"])
+        cond2 = e if cond2 is None else (cond2 & e)
+    joined = folded.join(F.broadcast(matched), on=cond2, how="left")
+
+    preserved = {f.name: f.dataType for f in base.schema.fields}
+    out_names = [f.name for f in base.schema.fields] + [
+        c for c in val_cols if c not in preserved
+    ]
+
+    def value_of(c: str):
+        """Covered by a surviving event → its (possibly NULL) value; else
+        preserved from current state — unless a delete wiped the row."""
+        prev = (
+            F.when(F.col("__dl").isNotNull(), F.lit(None))
+            .otherwise(F.col(f"__cur_{c}"))
+            if c in preserved else F.lit(None)
+        )
+        if c in val_cols:
+            v = F.when(F.col(f"__has_{c}") == 1, F.col(f"__v_{c}")) \
+                .otherwise(prev)
+        else:
+            v = prev  # column the batch never carries
+        return (v.cast(preserved[c]) if c in preserved else v).alias(c)
+
+    out_cols = [
+        folded[c] if c in key_cols else value_of(c) for c in out_names
+    ]
+    survivors = joined.select(
+        *out_cols,
+        F.col("__ll").alias(order_col),
+        *([F.lit("upsert").alias(op_col)] if has_op else []),
+    )
+    out = survivors
+    if has_op:
+        # keys whose last event is a delete: emit the tombstone row
+        dead = marks.filter(
+            F.col("__dl").eqNullSafe(F.col("__ml"))
+        ).select(
+            *[F.col(f"__k_{c}").alias(c) for c in key_cols],
+            *[F.lit(None).cast(
+                preserved[c] if c in preserved else ev.schema[c].dataType
+            ).alias(c) for c in out_names if c not in key_cols],
+            F.col("__dl").alias(order_col),
+            F.lit(DELETE_OP).alias(op_col),
+        )
+        out = survivors.unionByName(dead)
+    out = out.persist()
+    out.count()  # materialize so the fold is computed exactly once
+    ev.unpersist()
+    folded.unpersist()
+    return out
 
 
 def _merge_dv(
@@ -384,14 +574,21 @@ def _merge_mor(
     compact_ratio: float | None = None,
     bucket_deltas: bool = True,
     properties_update: dict | None = None,
+    partial: bool = False,
 ) -> Manifest:
     """Merge-on-read apply: append the deduped batch as delta files.
 
     One Spark job (dedup shuffle + bucketed write) per batch — no scan of
     existing state, no key anti-join, no bucket collect.  Tombstones are
     written for deletes so reconstruction drops the key; later re-inserts
-    win by LSN."""
-    data_cols = [c for c in batch.columns if c not in (op_col, LSN_COL)]
+    win by LSN.
+
+    ``partial``: files are tagged kind="pdelta" and carry ``__present`` (the
+    batch's column set, constant per batch → dictionary-encoded to ~nothing)
+    so the read-side fold knows which columns each event SETS vs preserves."""
+    data_cols = [
+        c for c in batch.columns if c not in (op_col, LSN_COL, PRESENT_COL)
+    ]
     batch_schema = batch.select(*data_cols).schema
     new_schema = (
         merge_schemas(base.schema, batch_schema) if evolve_schema else base.schema
@@ -408,6 +605,9 @@ def _merge_mor(
             if op_col is not None and op_col in batch.columns
             else F.lit(False)
         ).alias(DELETED_COL),
+        # per-row presence, normalized by merge_into (null never reaches
+        # storage — readers treat null as "covers everything")
+        *([F.col(PRESENT_COL)] if partial else []),
     )
     staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
     if new_schema.jsonValue() != base.schema.jsonValue():
@@ -418,7 +618,9 @@ def _merge_mor(
         }
     frag = table._stage_write(
         delta, staged_base, files_per_bucket,
-        kind="delta", extra_cols=[LSN_COL, DELETED_COL],
+        kind="pdelta" if partial else "delta",
+        extra_cols=[LSN_COL, DELETED_COL]
+        + ([PRESENT_COL] if partial else []),
         bucketed=bucket_deltas,
     )
     lineage = _resolve_lineage(lineage)

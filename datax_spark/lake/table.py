@@ -66,6 +66,15 @@ L0_BUCKET = "L0"
 # anti-joins them away; compaction/rebucket rewrites drop them naturally.
 DV_FILE_COL = "__file"
 DV_POS_COL = "__pos"
+# Partial-update deltas (kind "pdelta"): the DataX writeMode=update analogue
+# (`INSERT … ON DUPLICATE KEY UPDATE col=VALUES(col)` over the job's MAPPED
+# column subset, WriterUtil.java:110-167) — columns listed in __present are
+# SET (explicit NULLs win); unlisted columns keep their previous value.
+# __present is constant per batch (the batch's column set), so parquet
+# dictionary-encodes it to ~nothing.
+PRESENT_COL = "__present"
+# File kinds whose rows defer key-merge work to read time.
+DELTA_KINDS = ("delta", "pdelta")
 
 # Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
 # DoubleColumn keeps the string form until cast — common/src/main/java/com/
@@ -542,7 +551,7 @@ class LakeTable:
                     continue
                 candidates.append(entry)
         any_delta = any(
-            len(e) > 2 and e[2] == "delta" for e in candidates
+            len(e) > 2 and e[2] in DELTA_KINDS for e in candidates
         )
         usable = (
             [p for p in preds if p[0] in m.key_cols] if any_delta else preds
@@ -602,7 +611,8 @@ class LakeTable:
         if not groups:
             return None, False
         target = m.schema
-        any_delta = any(kind == "delta" for _, kind in groups)
+        any_delta = any(kind in DELTA_KINDS for _, kind in groups)
+        any_partial = any(kind == "pdelta" for _, kind in groups)
         with_pos = bool(dv_paths) or expose_pos
         # _metadata.file_path is an absolute file:// URI; dv entries store
         # location-relative paths so the table survives a move/copy
@@ -611,13 +621,19 @@ class LakeTable:
         delta_parts: list[DataFrame] = []
         for (schema_id, kind), paths in groups.items():
             file_schema = T.StructType.fromJson(m.schemas[schema_id])
-            if kind == "delta":
+            if kind in DELTA_KINDS:
                 file_schema = T.StructType(
                     file_schema.fields
                     + [
                         T.StructField(LSN_COL, T.LongType()),
                         T.StructField(DELETED_COL, T.BooleanType()),
                     ]
+                    + (
+                        [T.StructField(
+                            PRESENT_COL, T.ArrayType(T.StringType())
+                        )]
+                        if kind == "pdelta" else []
+                    )
                 )
             df = self.spark.read.schema(file_schema).parquet(*paths)
             # project/cast up to the current schema: missing columns → null,
@@ -628,8 +644,15 @@ class LakeTable:
                  else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in target.fields
             ]
-            if kind == "delta":
+            if kind in DELTA_KINDS:
                 cols += [F.col(LSN_COL), F.col(DELETED_COL)]
+                if any_partial:
+                    # null __present = full-row event (covers every column)
+                    cols += [
+                        (F.col(PRESENT_COL) if kind == "pdelta"
+                         else F.lit(None).cast("array<string>"))
+                        .alias(PRESENT_COL)
+                    ]
                 if with_pos:
                     cols += [
                         F.lit(None).cast("string").alias(DV_FILE_COL),
@@ -641,6 +664,10 @@ class LakeTable:
                     F.lit(-1).cast("long").alias(LSN_COL),
                     F.lit(False).alias(DELETED_COL),
                 ]
+                if any_partial:
+                    cols += [
+                        F.lit(None).cast("array<string>").alias(PRESENT_COL)
+                    ]
                 if with_pos:
                     cols += [
                         F.expr("substring(_metadata.file_path, "
@@ -712,6 +739,9 @@ class LakeTable:
         if not any_delta:
             out = raw.select(*data_cols)
             return out.filter(residual) if residual is not None else out
+        if PRESENT_COL in raw.columns:
+            out = self._reconstruct_partial(raw, m)
+            return out.filter(residual) if residual is not None else out
         # Last-writer-wins via hash-agg + join rather than
         # max_by(struct(...)): a struct-valued aggregate buffer forces
         # SortAggregate (no codegen, sorts whole wide rows); max(long) is a
@@ -739,6 +769,59 @@ class LakeTable:
         # residual AFTER reconstruction: the predicate selects rows of the
         # CURRENT state, not of any historical version
         return out.filter(residual) if residual is not None else out
+
+    def _reconstruct_partial(self, raw: DataFrame, m: "Manifest") -> DataFrame:
+        """Column-wise last-writer-wins fold for selections holding
+        partial-update ("pdelta") files — DataX writeMode=update semantics
+        (WriterUtil.java:110-167): each event SETS the columns it covers
+        (null ``__present`` = full row; explicit NULLs in covered columns
+        win) and preserves the rest, while a delete resets the key so later
+        events rebuild it from scratch.
+
+        Two hash-aggregates on the key, both map-side partial:
+        1. per key: last delete LSN + last live LSN (key exists iff a live
+           event follows the last delete);
+        2. over post-delete live events: ``max_by(col, covered-lsn)`` per
+           column — primitive buffers, so the plan stays HashAggregate /
+           WholeStageCodegen (no struct buffers, no window sort).
+        Cost is O(selected rows), same asymptotic as the whole-row fold —
+        partial deltas never force a snapshot scan."""
+        key_cols = m.key_cols
+        data_cols = [f.name for f in m.schema.fields]
+        marks = raw.groupBy(*[F.col(c) for c in key_cols]).agg(
+            F.max(F.when(F.col(DELETED_COL), F.col(LSN_COL)))
+            .alias("__del_lsn"),
+            F.max(F.when(~F.col(DELETED_COL), F.col(LSN_COL)))
+            .alias("__live_lsn"),
+        )
+        marks = marks.filter(
+            F.col("__live_lsn") > F.coalesce(F.col("__del_lsn"), F.lit(-2))
+        ).select(
+            *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+            F.coalesce(F.col("__del_lsn"), F.lit(-2)).alias("__del_lsn"),
+        )
+        cond = None
+        for c in key_cols:
+            e = raw[c].eqNullSafe(F.col(f"__k_{c}"))
+            cond = e if cond is None else (cond & e)
+        live = raw.join(marks, on=cond, how="inner").filter(
+            ~F.col(DELETED_COL) & (F.col(LSN_COL) > F.col("__del_lsn"))
+        )
+
+        def covered_lsn(c: str):
+            return F.when(
+                F.col(PRESENT_COL).isNull()
+                | F.array_contains(F.col(PRESENT_COL), c),
+                F.col(LSN_COL),
+            )
+
+        folded = live.groupBy(*[F.col(c) for c in key_cols]).agg(
+            *[
+                F.max_by(F.col(c), covered_lsn(c)).alias(c)
+                for c in data_cols if c not in key_cols
+            ]
+        )
+        return folded.select(*data_cols)
 
     # ---------------------------------------------------------------- writes
     def _stage_write(
@@ -1105,6 +1188,16 @@ class LakeTable:
                     kind = e[2] if len(e) > 2 else "base"
                     if kind == "dv":
                         continue
+                    if kind == "pdelta":
+                        if on_rewrite == "skip":
+                            continue
+                        raise ValueError(
+                            f"version {v} holds partial-update deltas: a "
+                            "partial row is not a whole-row change record, "
+                            "so emitting it would make downstream mergers "
+                            "null-overwrite preserved columns. compact() "
+                            "first, or pass on_rewrite='skip'."
+                        )
                     added.setdefault((str(e[1]), kind), []).append(
                         os.path.join(self.location, e[0])
                     )
@@ -1173,7 +1266,7 @@ class LakeTable:
                     if len(e) > 4:
                         n_bytes += int(e[3])
                         n_rows += int(e[4])
-                    if len(e) > 2 and e[2] == "delta":
+                    if len(e) > 2 and e[2] in DELTA_KINDS:
                         n_delta += 1
                     if len(e) > 2 and e[2] == "dv":
                         n_dv += 1
@@ -1240,7 +1333,7 @@ class LakeTable:
                     p = os.path.join(self.location, entry[0])
                     n_bytes += os.path.getsize(p)
                     n_rows += pq.read_metadata(p).num_rows
-                if len(entry) > 2 and entry[2] == "delta":
+                if len(entry) > 2 and entry[2] in DELTA_KINDS:
                     n_delta += 1
                 if len(entry) > 2 and entry[2] == "dv":
                     n_dv += 1
@@ -1263,14 +1356,15 @@ class LakeTable:
         m = self.manifest()
         out: list = []
         n_l0 = sum(
-            1 for e in m.files.get(L0_BUCKET, []) if len(e) > 2 and e[2] == "delta"
+            1 for e in m.files.get(L0_BUCKET, [])
+            if len(e) > 2 and e[2] in DELTA_KINDS
         )
         if n_l0 > max_delta_files:
             out.append(L0_BUCKET)
         for b, entries in m.files.items():
             if b == L0_BUCKET:
                 continue
-            n = sum(1 for e in entries if len(e) > 2 and e[2] == "delta")
+            n = sum(1 for e in entries if len(e) > 2 and e[2] in DELTA_KINDS)
             if n + n_l0 > max_delta_files:
                 out.append(int(b))
         return out
@@ -1308,7 +1402,7 @@ class LakeTable:
             self._entry_bytes(e)
             for b, entries in m.files.items() if b != L0_BUCKET
             for e in entries
-            if not (len(e) > 2 and e[2] == "delta")
+            if not (len(e) > 2 and e[2] in DELTA_KINDS)
         )
         if l0_entries and (
             (delta_ratio is not None and l0_bytes > delta_ratio * max(total_base, 1))
@@ -1322,7 +1416,7 @@ class LakeTable:
             for e in entries:
                 # dv files amplify reads exactly like deltas (anti-join per
                 # scan) — same cost model
-                if len(e) > 2 and e[2] in ("delta", "dv"):
+                if len(e) > 2 and e[2] in (*DELTA_KINDS, "dv"):
                     d_bytes += self._entry_bytes(e)
                     d_files += 1
                 else:
@@ -1378,7 +1472,8 @@ class LakeTable:
             buckets = [
                 int(b)
                 for b, entries in m.files.items()
-                if any(len(e) > 2 and e[2] in ("delta", "dv") for e in entries)
+                if any(len(e) > 2 and e[2] in (*DELTA_KINDS, "dv")
+                       for e in entries)
             ]
             if not buckets and (sort_cols or zorder_cols):
                 # re-clustering rewrite: no deltas needed, touch every bucket

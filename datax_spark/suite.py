@@ -119,6 +119,48 @@ def q_cdc_merge_apply_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataX writeMode=update end-to-end (WriterUtil.java:110-167): 'click'
+    events are PATCH events covering only value_cents (per-event presence);
+    every other upsert covers the full payload; 'error' events delete.
+    Uncovered columns must survive patches, and a delete must wipe them so
+    later patches rebuild from nothing.  Runs the public incremental path
+    (partial MOR "pdelta" files + column-wise read-side fold); the oracle
+    replays the same per-column fold in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    feed = _events_feed(ev).withColumn(
+        "present",
+        F.when(F.col("op") == "delete", F.lit(None).cast("array<string>"))
+        .when(F.col("event_type") == "click", F.array(F.lit("value_cents")))
+        .otherwise(
+            F.array(F.lit("event_type"), F.lit("value_cents"),
+                    F.lit("props"))
+        ),
+    )
+    loc = tempfile.mkdtemp(prefix="dx_partial_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4),
+        partial_update=True, present_col="present", auto_compact=None,
+    )
+    return table.read().select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_cdc_changelog_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC *out*: ingest the feed as 4 MOR merge batches, then consume the
     table itself as a change feed via ``LakeTable.read_changes`` (Iceberg
@@ -982,6 +1024,39 @@ a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
+    # writeMode=update fold: clicks patch only value_cents; full upserts set
+    # everything; a delete wipes the row so later patches rebuild from
+    # nothing.  Per column: value at the last live event COVERING it after
+    # the last delete (value joins, not arg_max — DuckDB's arg_max skips
+    # NULL values, which would break explicit-NULL sets).
+    "cdc_partial_update": """
+WITH ev AS (
+  SELECT event_id AS lsn, user_id,
+         event_type = 'error' AS is_del,
+         event_type = 'click' AS is_patch,
+         event_type,
+         CAST(round(value*100) AS BIGINT) AS value_cents,
+         props
+  FROM events),
+d AS (
+  SELECT user_id, max(CASE WHEN is_del THEN lsn END) AS dl
+  FROM ev GROUP BY user_id),
+live AS (
+  SELECT ev.* FROM ev JOIN d ON ev.user_id = d.user_id
+  WHERE NOT is_del AND lsn > coalesce(dl, -1)),
+fold AS (
+  SELECT user_id,
+         max(CASE WHEN NOT is_patch THEN lsn END) AS l_full,
+         max(lsn) AS l_any
+  FROM live GROUP BY user_id)
+SELECT f.user_id,
+       ef.event_type AS event_type,
+       ea.value_cents AS value_cents,
+       ef.props AS props
+FROM fold f
+JOIN live ea ON ea.user_id = f.user_id AND ea.lsn = f.l_any
+LEFT JOIN live ef ON ef.user_id = f.user_id AND ef.lsn = f.l_full
+""",
     "cdc_stream_available_now": _CDC_FOLD_ORACLE,
     # relay through the commit log == direct apply (same fold)
     "cdc_mirror_relay": _CDC_FOLD_ORACLE,
@@ -1445,6 +1520,7 @@ FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
+    "cdc_partial_update": q_cdc_partial_update,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_mirror_relay": q_cdc_mirror_relay,
     "cdc_wap_publish": q_cdc_wap_publish,
