@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -392,6 +393,9 @@ class Manifest:
     # merge-dv | compact | rebucket | properties.  read_changes() uses it to
     # distinguish logical changes (append/merge-mor) from physical rewrites.
     operation: str = "unknown"
+    # wall-clock commit time (epoch seconds), stamped by _write_manifest —
+    # the Iceberg snapshot timestamp analogue; drives read(as_of=...)
+    committed_at: float | None = None
 
     def is_applied(self, batch_id: int | str) -> bool:
         """Replay guard: retained lineage entry, or at/below the pruned
@@ -421,6 +425,7 @@ class Manifest:
                 "shard_lsns": self.shard_lsns,
                 "properties": self.properties,
                 "operation": self.operation,
+                "committed_at": self.committed_at,
             },
             indent=1,
         )
@@ -441,6 +446,7 @@ class Manifest:
             shard_lsns={k: int(v) for k, v in d.get("shard_lsns", {}).items()},
             properties=d.get("properties", {}),
             operation=d.get("operation", "unknown"),
+            committed_at=d.get("committed_at"),
         )
 
 
@@ -502,6 +508,7 @@ class LakeTable:
             return Manifest.from_json(f.read())
 
     def _write_manifest(self, m: Manifest) -> None:
+        m.committed_at = time.time()
         path = os.path.join(self.meta_dir, f"v{m.version:08d}.json")
         try:
             with open(path, "x", encoding="utf-8") as f:
@@ -700,11 +707,33 @@ class LakeTable:
             out = out.drop(DV_FILE_COL, DV_POS_COL)
         return out, any_delta
 
+    def version_as_of(self, ts: float) -> int:
+        """Newest version committed at or before epoch-seconds ``ts``
+        (Iceberg snapshot-as-of-timestamp analogue).  Expired (deleted)
+        manifests are skipped; raises if every retained snapshot is newer
+        than ``ts``."""
+        best = None
+        for v in range(self.current_version(), -1, -1):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired
+            if m.committed_at is not None and m.committed_at <= ts:
+                best = v
+                break
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                f"(oldest retained is newer, or history was expired)"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         buckets: list[int] | None = None,
         where: list[tuple] | None = None,
+        as_of: float | None = None,
         _manifest: "Manifest | None" = None,
     ) -> DataFrame:
         """Scan the snapshot; ``buckets`` prunes to a bucket subset (the MERGE
@@ -723,8 +752,15 @@ class LakeTable:
         _select_entries).  Pure-base snapshots skip reconstruction entirely
         (the post-compaction fast path).
 
-        ``_manifest`` scans a synthetic manifest instead of a committed one —
-        internal hook for staged-commit previews (lake/wap.py)."""
+        ``as_of`` (epoch seconds) time-travels to the newest snapshot
+        committed at or before that instant (mutually exclusive with
+        ``version``); ``_manifest`` scans a synthetic manifest instead of a
+        committed one — internal hook for staged-commit previews
+        (lake/wap.py)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass at most one of version / as_of")
+            version = self.version_as_of(as_of)
         m = _manifest if _manifest is not None else self.manifest(version)
         raw, any_delta = self._scan_raw(m, buckets, where=where)
         residual = _preds_to_column(_normalize_preds(where))
@@ -1270,11 +1306,13 @@ class LakeTable:
                         n_delta += 1
                     if len(e) > 2 and e[2] == "dv":
                         n_dv += 1
-            rows.append((v, m.operation, n_files, n_delta, n_dv, n_bytes,
-                         n_rows, m.current_schema_id, m.num_buckets))
+            rows.append((v, m.operation, m.committed_at, n_files, n_delta,
+                         n_dv, n_bytes, n_rows, m.current_schema_id,
+                         m.num_buckets))
         schema = T.StructType([
             T.StructField("version", T.LongType()),
             T.StructField("operation", T.StringType()),
+            T.StructField("committed_at", T.DoubleType()),
             T.StructField("files", T.LongType()),
             T.StructField("delta_files", T.LongType()),
             T.StructField("dv_files", T.LongType()),

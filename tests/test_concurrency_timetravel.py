@@ -85,3 +85,36 @@ def test_time_travel_versions(spark, tmp_path):
     assert {k for k in full} == {
         (r.repo, r.path, r.commit) for r in t.read().collect()
     }
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel: read(as_of=t) resolves the newest snapshot
+    committed at or before t (Iceberg as-of analogue)."""
+    import time as _time
+
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "aot"), schema=schema,
+                         key_cols=["k"], bucket_col="k", num_buckets=2)
+    before_any = _time.time() - 1.0
+    t.overwrite(spark.createDataFrame([Row(k=1, v=10)], schema))
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(spark.createDataFrame([Row(k=1, v=20)], schema))
+
+    assert t.read(as_of=mid).collect()[0]["v"] == 10
+    assert t.read(as_of=_time.time()).collect()[0]["v"] == 20
+    assert t.version_as_of(mid) == 1
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        t.version_as_of(before_any)
+    with pytest.raises(ValueError, match="at most one"):
+        t.read(version=1, as_of=mid)
+    # committed_at surfaces in the snapshots metadata table, monotone
+    ts = [r.committed_at for r in
+          t.snapshots_df().orderBy("version").collect()]
+    assert all(a is not None for a in ts) and ts == sorted(ts)
