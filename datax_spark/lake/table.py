@@ -1643,11 +1643,16 @@ class LakeTable:
         self._write_manifest(m)
         return m
 
-    def expire_snapshots(self, keep_versions: int = 2) -> int:
+    def expire_snapshots(
+        self, keep_versions: int = 2, older_than: float | None = None
+    ) -> int:
         """Delete manifest files older than the newest ``keep_versions``
-        (Iceberg expire_snapshots analogue).  Tagged versions are always
-        kept.  Time travel to expired versions stops working; pair with
-        ``vacuum`` to reclaim their data files.  Without this, a
+        (Iceberg expire_snapshots analogue).  ``older_than`` (epoch seconds)
+        additionally REQUIRES a snapshot to be committed before that instant
+        to expire — the Iceberg retention-age knob; the newest
+        ``keep_versions`` survive regardless of age.  Tagged versions are
+        always kept.  Time travel to expired versions stops working; pair
+        with ``vacuum`` to reclaim their data files.  Without this, a
         long-running stream accumulates one manifest JSON per commit
         forever."""
         cutoff = self.current_version() - keep_versions + 1
@@ -1659,9 +1664,17 @@ class LakeTable:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v < cutoff and v not in pinned:
-                    os.remove(os.path.join(self.meta_dir, fn))
-                    removed += 1
+                if v >= cutoff or v in pinned:
+                    continue
+                if older_than is not None:
+                    try:
+                        ts = self.manifest(v).committed_at
+                    except FileNotFoundError:
+                        continue
+                    if ts is not None and ts >= older_than:
+                        continue  # too recent to expire
+                os.remove(os.path.join(self.meta_dir, fn))
+                removed += 1
         return removed
 
     def vacuum(self, keep_versions: int = 2) -> int:

@@ -137,3 +137,34 @@ def test_unparsable_batch_ids_never_pruned(spark, tmp_path):
     assert "backfill-final" in m.applied_batches  # kept verbatim forever
     assert t.is_batch_applied("backfill-final")
     assert t.is_batch_applied(0)  # via frontier
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    """Age-gated expiry: only snapshots committed before the instant are
+    expired, regardless of how many versions exceed keep_versions."""
+    import time as _time
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "age"), schema=schema,
+                         key_cols=["k"], bucket_col="k", num_buckets=2)
+    for i in range(3):
+        t.overwrite(spark.createDataFrame([Row(k=1, v=i)], schema))
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(spark.createDataFrame([Row(k=1, v=99)], schema))
+
+    # create(v0) + 3 overwrites predate mid; the final overwrite (v4) is
+    # newer AND inside the kept window
+    removed = t.expire_snapshots(keep_versions=1, older_than=mid)
+    assert removed == 4  # v0-v3 expired; v4 survives
+    # nothing old remains to expire
+    assert t.expire_snapshots(keep_versions=1, older_than=mid) == 0
+    assert t.read().collect()[0]["v"] == 99

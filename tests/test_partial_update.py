@@ -203,3 +203,46 @@ def test_partial_randomized_vs_python_fold(spark, tmp_path):
     expected = _fold(events)
     assert _state(t_mor) == expected
     assert _state(t_cow) == expected
+
+
+def test_partial_update_through_streaming(spark, tmp_path):
+    """partial_update + present_col flow through the streaming runner's
+    applier_opts — the Structured Streaming face of writeMode=update."""
+    from datax_spark.streaming.runner import run_available_now, write_feed_ordered
+
+    t = _mk(spark, tmp_path, "st")
+    # envelope shape the applier expects: lsn, shard, ts, op + payload
+    full = [
+        Row(lsn=0, shard=0, ts=0.0, op="insert", k=1, a=1, b="x", c=10,
+            present=None),
+        Row(lsn=1, shard=0, ts=1.0, op="insert", k=2, a=2, b="y", c=20,
+            present=None),
+    ]
+    patch = [
+        Row(lsn=2, shard=0, ts=2.0, op="insert", k=1, a=5, b=None, c=None,
+            present=["a"]),
+        Row(lsn=3, shard=0, ts=3.0, op="delete", k=2, a=None, b=None,
+            c=None, present=None),
+    ]
+    fields = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("shard", T.LongType()),
+            T.StructField("ts", T.DoubleType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("present", T.ArrayType(T.StringType())),
+        ]
+    )
+    feed = spark.createDataFrame(full + patch, fields)
+    fp = str(tmp_path / "feed")
+    write_feed_ordered(feed, fp, n_files=2)
+    applied = run_available_now(
+        spark, fp, t, max_files_per_trigger=1, auto_compact=None,
+        partial_update=True, present_col="present",
+    )
+    assert sum(l["rows"] for l in applied) == 4
+    assert _state(t) == {1: (5, "x", 10)}  # patched a, preserved b/c; k=2 gone
