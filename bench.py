@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "embed_cosine_topk",
     "ann_bucketed_topk",
     "cdc_merge_apply_e2e",
+    "cdc_partial_update",
     # round-2 third pass: changelog out, relay, zone-map pruned read, WAP
     "cdc_changelog_read",
     "cdc_mirror_relay",
