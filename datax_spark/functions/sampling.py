@@ -1,0 +1,134 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Training-set construction at 100 TB needs samples that are REPRODUCIBLE
+(re-running the job, repartitioning the input, or adding files must not
+change which documents are kept) and AUDITABLE (an SQL engine must be able
+to re-derive the exact selection).  Spark's ``df.sample``/``sampleBy`` are
+neither — their outcome depends on partitioning and RNG stream position.
+Everything here keys the decision on a content hash instead:
+
+- ``hash_sample``: keep a row iff ``md5(key) mod 1e6 < fraction*1e6`` —
+  partitioning-independent, stable across runs, and joins/dedups agree on
+  the kept set because the key decides.
+- ``stratified_hash_sample``: per-stratum fractions (e.g. downsample 'en',
+  keep all 'zh') via one CASE over the same hash — the stratified-sampling
+  shape of every data-mixing recipe, as a single narrow scan with NO
+  shuffle (vs sampleBy's RNG).
+- ``pack_sequences``: greedy contiguous sequence packing — assign documents
+  to fixed token-budget packs (context windows) in a deterministic order.
+  One window cumsum per stratum (shuffle on the stratum key only); the
+  classic ``bin = floor((cumsum - tokens) / budget)`` rule, so a pack may
+  overflow by at most one document (the standard scale-friendly
+  approximation of bin packing — exact first-fit is inherently
+  sequential).
+
+All pure Column expressions (no Python row path); the md5-prefix hash
+(``text.hash60``) is reproducible bit-for-bit in any SQL engine, which is
+what the DuckDB suite oracles verify.
+
+Reference contrast: DataX has no sampling/packing operators at all — its
+record path is a FIFO pipe (core/.../transport/channel/Channel.java); these
+belong to the training-data layer this engine adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datax_spark.functions.text import hash60, tokens
+
+_MOD = 1_000_000
+
+
+def sample_hash(key_cols: list[str], salt: str = "") -> Column:
+    """The sampling hash: 0..999999, uniform, keyed on (salt, *key_cols).
+    Exposed so callers (and oracles) can inspect the raw draw."""
+    h = hash60(F.concat_ws("\x1f", F.lit(salt),
+                           *[F.col(c).cast("string") for c in key_cols]))
+    return F.pmod(h, F.lit(_MOD))
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample keyed on ``key_cols``.
+
+    ``salt`` derives independent samples from the same keys (e.g. train
+    vs holdout: two salts, disjointness NOT guaranteed; for a split use
+    one draw and range-partition it)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(sample_hash(key_cols, salt) < int(fraction * _MOD))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: ``fractions[stratum]`` of each
+    stratum's rows survive (``default`` for unlisted strata).  One CASE
+    over one hash — a narrow scan, no shuffle, no RNG."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0,1], got {f}")
+    thresh = F.lit(int(default * _MOD))
+    for s, f in fractions.items():
+        thresh = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(f * _MOD))
+        ).otherwise(thresh)
+    return df.filter(sample_hash(key_cols, salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: Column | str,
+    budget: int,
+    order_col: str,
+    strata_cols: list[str],
+) -> DataFrame:
+    """Assign each row a ``pack_id`` so consecutive rows (by ``order_col``,
+    within each stratum) share a pack of ~``budget`` tokens — sequence
+    packing for context-window construction.
+
+    Emits ``__tokens`` (the row's token count), ``__cum`` (running total
+    within the stratum) and ``pack_id`` (``floor((cum - tokens)/budget)``,
+    0-based per stratum).  A pack may exceed ``budget`` by less than one
+    document; rows longer than ``budget`` get a pack to themselves (plus
+    whatever trailing room the rule grants — split long docs upstream).
+
+    Scale: one window per stratum — the shuffle is on ``strata_cols`` and
+    each stratum sorts locally.  ``strata_cols`` is REQUIRED: a global
+    (unpartitioned) window would serialize the whole table through one
+    task.  Use a natural shard key (language, source, date bucket)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if not strata_cols:
+        raise ValueError(
+            "strata_cols is required: an unpartitioned window cumsum would "
+            "run the entire table through a single task"
+        )
+    from pyspark.sql import Window
+
+    tok = (F.col(token_col) if isinstance(token_col, str) else token_col) \
+        .cast("long")
+    w = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__tokens", tok)
+    out = out.withColumn("__cum", F.sum("__tokens").over(w))
+    return out.withColumn(
+        "pack_id",
+        F.floor((F.col("__cum") - F.col("__tokens")) / F.lit(budget)),
+    )
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (the packing weight used by the suite)."""
+    return F.size(tokens(col)).cast("long")

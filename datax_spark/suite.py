@@ -33,6 +33,7 @@ from datax_spark import transforms as tx
 from datax_spark.cdc.apply import CdcApplier
 from datax_spark.cdc.runner import run_incremental
 from datax_spark.functions import dedup as DD
+from datax_spark.functions import sampling as SMP
 from datax_spark.functions import similarity as SIM
 from datax_spark.functions import text as TXT
 from datax_spark.lake.merge import dedup_last_per_key
@@ -912,6 +913,34 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.lang_id("text").alias("pred_lang"))
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: downsample 'en',
+    keep all 'zh', default 10% for the rest — decisions keyed on
+    md5(doc_id), so the kept set is identical across runs, partitionings,
+    and engines (the oracle re-derives it bit-for-bit in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.stratified_hash_sample(
+        docs, "lang", {"en": 0.3, "zh": 1.0, "fr": 0.5},
+        key_cols=["doc_id"], default=0.1, salt="s1",
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy contiguous token-budget packs per language
+    (context-window construction).  One window cumsum per stratum; the
+    oracle replays the identical rule in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    packed = SMP.pack_sequences(
+        docs, SMP.token_count("text"), budget=512,
+        order_col="doc_id", strata_cols=["lang"],
+    )
+    return packed.select(
+        "doc_id", "lang",
+        F.col("__tokens").alias("n_tokens"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(TXT.token_count("text") >= 4)
     return docs.select("doc_id", TXT.doc_fingerprint("text", 4).alias("fingerprint"))
@@ -1428,6 +1457,30 @@ SELECT doc_id,
        ELSE 'fr' END AS pred_lang
 FROM hits
 """,
+    # stratified hash sample: identical md5-prefix draw, CASE thresholds
+    "sample_stratified": r"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('s1' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      % 1000000
+      < CASE lang WHEN 'en' THEN 300000 WHEN 'zh' THEN 1000000
+                  WHEN 'fr' THEN 500000 ELSE 100000 END
+""",
+    # sequence packing: same cumsum window + floor((cum-tokens)/budget)
+    "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+FROM c
+""",
     "text_fingerprint": r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS s
@@ -1561,6 +1614,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
