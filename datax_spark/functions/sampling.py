@@ -129,6 +129,79 @@ def pack_sequences(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic train/val/test split: ONE hash draw,
+    range-partitioned by cumulative weights (insertion order), emitted as
+    ``split_col``.  Unlike two independent samples, the splits are disjoint
+    and exhaustive by construction; like everything here, membership is a
+    pure function of the key, so files can be added or the job re-run
+    without any row switching splits."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    h = sample_hash(key_cols, salt)
+    expr = None
+    cum = 0.0
+    for name, wgt in weights.items():
+        cum += wgt
+        cond = h < int(round(cum * _MOD))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    return df.withColumn(split_col, expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split long documents into ~``chunk_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks — the
+    upstream half of :func:`pack_sequences` (packing assumes no document
+    exceeds the budget).
+
+    Emits one row per chunk: ``keep_cols`` (default: all input columns) +
+    ``chunk_ix`` (0-based), ``chunk`` (the chunk text, whitespace-joined)
+    and ``chunk_tokens``.  Empty documents produce no rows.  Pure Column
+    expressions — `sequence` + `posexplode` + `slice`, no Python row path,
+    and chunking parallelizes per document with NO shuffle at all."""
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    keep = keep_cols if keep_cols is not None else list(df.columns)
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # chunk start offsets: 0, step, 2*step, ... while start < n - overlap —
+    # a start whose window would hold ONLY carried-over overlap tokens is
+    # not a chunk (so n <= chunk_tokens yields exactly one chunk)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.greatest(n - overlap, F.lit(1)) - 1,
+                   F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(*keep, toks.alias("__toks"),
+                    F.posexplode(starts).alias("chunk_ix", "__start"))
+    piece = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return out.select(
+        *keep,
+        F.col("chunk_ix").cast("long").alias("chunk_ix"),
+        F.array_join(piece, " ").alias("chunk"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
 def token_count(col) -> Column:
     """Whitespace token count (the packing weight used by the suite)."""
     return F.size(tokens(col)).cast("long")

@@ -941,6 +941,28 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint deterministic train/val/test split: one hash draw,
+    cumulative-weight ranges — adding files or re-running never moves a
+    row between splits.  The oracle re-derives membership bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="sp",
+    ).select("doc_id", "split")
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: fixed token windows with overlap carried between
+    consecutive chunks (sequence+posexplode+slice — no shuffle, no Python).
+    The oracle rebuilds every chunk string in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    return SMP.chunk_documents(
+        docs, "text", chunk_tokens=64, overlap=16,
+        keep_cols=["doc_id", "lang"],
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(TXT.token_count("text") >= 4)
     return docs.select("doc_id", TXT.doc_fingerprint("text", 4).alias("fingerprint"))
@@ -1481,6 +1503,34 @@ SELECT doc_id, lang, n_tokens,
        CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
 FROM c
 """,
+    # one hash draw, cumulative-weight ranges (train 0.8 / val 0.1 / test)
+    "sample_split": r"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('sp' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 1000000 AS draw
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN draw < 800000 THEN 'train'
+            WHEN draw < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+    # fixed 64-token windows, 16-token overlap (step 48), 1-based inclusive
+    # list slicing == Spark slice(toks, start+1, 64)
+    "chunk_documents": r"""
+WITH w AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+s AS (
+  SELECT doc_id, lang, w, CAST(i AS BIGINT) // 48 AS chunk_ix, i
+  FROM w, LATERAL (
+    SELECT unnest(range(0, greatest(len(w) - 16, 1), 48)) AS i) t)
+SELECT doc_id, lang, chunk_ix,
+       array_to_string(w[i+1:i+64], ' ') AS chunk,
+       CAST(len(w[i+1:i+64]) AS BIGINT) AS chunk_tokens
+FROM s
+""",
     "text_fingerprint": r"""
 WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT doc_id, array_to_string(w[i:i+3], ' ') AS s
@@ -1615,7 +1665,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "sample_stratified": q_sample_stratified,
+    "sample_split": q_sample_split,
     "pack_sequences": q_pack_sequences,
+    "chunk_documents": q_chunk_documents,
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,

@@ -93,3 +93,52 @@ def test_pack_sequences_requires_strata(spark):
     with pytest.raises(ValueError, match="strata_cols"):
         SMP.pack_sequences(docs, SMP.token_count("text"), 512,
                            order_col="doc_id", strata_cols=[])
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    docs = _docs(spark)
+    out = SMP.hash_split(docs, ["doc_id"],
+                         {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = dict(out.groupBy("split").count().collect())
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # exhaustive
+    assert counts["train"] > counts.get("val", 0)
+    # stability: repartitioned input yields the identical assignment
+    a = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in
+         SMP.hash_split(docs.repartition(7), ["doc_id"],
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+         .select("doc_id", "split").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        SMP.hash_split(docs, ["doc_id"], {"a": 0.5, "b": 0.4})
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    docs = _docs(spark)
+    out = SMP.chunk_documents(docs, "text", chunk_tokens=64, overlap=16,
+                              keep_cols=["doc_id"]).collect()
+    toks = {r.doc_id: r.n for r in
+            docs.select("doc_id",
+                        SMP.token_count("text").alias("n")).collect()}
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_ix)
+        n = toks[doc_id]
+        # every chunk except possibly the last is exactly chunk_tokens long
+        for r in rows[:-1]:
+            assert r.chunk_tokens == 64
+        assert 1 <= rows[-1].chunk_tokens <= 64
+        # step-48 starts cover all tokens: total unique coverage == n
+        assert 48 * (len(rows) - 1) + rows[-1].chunk_tokens == n
+        # consecutive chunks share exactly the 16-token overlap
+        if len(rows) > 1:
+            w0 = rows[0].chunk.split(" ")
+            w1 = rows[1].chunk.split(" ")
+            assert w0[-16:] == w1[:16]
+    # empty/whitespace docs yield no chunks; all non-empty docs appear
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+    with pytest.raises(ValueError, match="overlap"):
+        SMP.chunk_documents(docs, "text", chunk_tokens=10, overlap=10)
