@@ -1277,6 +1277,119 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def read_changes_with_images(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        on_rewrite: str = "error",
+    ) -> DataFrame:
+        """Changelog with BEFORE images (Iceberg changelog-view / Debezium
+        envelope shape): per commit, each key's net change classified
+        against the prior snapshot —
+
+        - ``insert``: key absent before, upserted now (after values);
+        - ``update_before`` / ``update_after``: key existed and was
+          upserted — a retraction/assertion pair sharing ``_change_lsn``,
+          so downstream incremental aggregates can subtract the old row;
+        - ``delete``: key existed and was tombstoned — carries the BEFORE
+          values (the row being deleted), like Iceberg's delete rows.
+
+        A delete of a key that never existed, and intra-commit churn (a key
+        upserted twice in one commit), collapse to the per-commit NET
+        change — commit granularity, the same contract as
+        :meth:`read_changes`.
+
+        Cost: per commit, the plain changelog scan PLUS one bucket-pruned
+        read of the PRIOR snapshot joined against the commit's (broadcast)
+        key set — O(touched buckets of v-1) per commit, never O(table
+        history).  For long ranges prefer consuming incrementally (one sync
+        per few commits), exactly like the mirror does."""
+        to_v = self.current_version() if to_version is None else to_version
+        target = self.manifest(to_v).schema
+        data_cols = [f.name for f in target.fields]
+        key_cols = self.manifest(to_v).key_cols
+        change_fields = [
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_change_lsn", T.LongType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            raw = self.read_changes(v - 1, v, on_rewrite=on_rewrite)
+            # net change per key in this commit: the max-LSN event wins
+            # (appends carry no LSN → -1; a commit is append- or
+            # merge-typed, never mixed)
+            order = F.coalesce(F.col("_change_lsn"), F.lit(-1))
+            wins = raw.groupBy(*[F.col(c) for c in key_cols]).agg(
+                F.max(order).alias("__o")
+            ).select(
+                *[F.col(c).alias(f"__k_{c}") for c in key_cols], "__o"
+            )
+            cond = None
+            for c in key_cols:
+                e = raw[c].eqNullSafe(F.col(f"__k_{c}"))
+                cond = e if cond is None else (cond & e)
+            w = raw.join(F.broadcast(wins), on=cond, how="inner") \
+                .filter(order == F.col("__o")) \
+                .select(*data_cols, "_change_type", "_change_lsn")
+
+            # prior state of the touched buckets only
+            m = self.manifest(v)
+            prev_files = {
+                e[0]
+                for entries in self.manifest(v - 1).files.values()
+                for e in entries
+            }
+            touched = {
+                b
+                for b, entries in m.files.items()
+                if any(e[0] not in prev_files for e in entries)
+            }
+            bks = (None if L0_BUCKET in touched
+                   else [int(b) for b in touched])
+            prev = self.read(version=v - 1, buckets=bks)
+            prev_m = prev.select(
+                *[F.col(c).alias(f"__b_{c}") for c in prev.columns],
+                F.lit(True).alias("__b_exists"),
+            )
+            cond2 = None
+            for c in key_cols:
+                e = w[c].eqNullSafe(F.col(f"__b_{c}"))
+                cond2 = e if cond2 is None else (cond2 & e)
+            j = w.join(prev_m, on=cond2, how="left")
+
+            exists = F.col("__b_exists").isNotNull()
+            is_del = F.col("_change_type") == "delete"
+            after = [F.col(c) for c in data_cols]
+            before = [
+                (F.col(f"__b_{c}") if c in prev.columns
+                 else F.lit(None)).cast(target[c].dataType).alias(c)
+                for c in data_cols
+            ]
+            lsn = F.col("_change_lsn")
+            ver = F.lit(v).cast("long").alias("_commit_version")
+
+            def emit(cols, flt, ctype):
+                return j.filter(flt).select(
+                    *cols, F.lit(ctype).alias("_change_type"),
+                    lsn.alias("_change_lsn"), ver,
+                )
+
+            parts += [
+                emit(after, ~is_del & ~exists, "insert"),
+                emit(before, ~is_del & exists, "update_before"),
+                emit(after, ~is_del & exists, "update_after"),
+                emit(before, is_del & exists, "delete"),
+            ]
+        if not parts:
+            return self.spark.createDataFrame(
+                [], T.StructType(list(target.fields) + change_fields)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (reconstructed) snapshot as a temp view so users
         query the lake table with plain ``spark.sql`` — the SQL surface of

@@ -120,6 +120,38 @@ def q_cdc_merge_apply_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with BEFORE images (Iceberg changelog-view / Debezium
+    envelope): per commit, net changes classified against the prior
+    snapshot — insert / update_before+update_after pairs / delete carrying
+    the old row.  The oracle replays the per-batch winners and takes each
+    key's previous winner as the before image."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_chgimg_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4), auto_compact=None
+    )
+    return table.read_changes_with_images(0).select(
+        "user_id", "event_type", "value_cents", "props",
+        F.col("_change_type").alias("change_type"),
+        F.col("_change_lsn").alias("change_lsn"),
+    )
+
+
 def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataX writeMode=update end-to-end (WriterUtil.java:110-167): 'click'
     events are PATCH events covering only value_cents (per-event presence);
@@ -1132,6 +1164,40 @@ SELECT user_id, event_type, value_cents, props, change_type,
        CAST(event_id AS BIGINT) AS change_lsn
 FROM w WHERE rn = 1
 """,
+    # before-image changelog: per-batch winners; each key's PREVIOUS winner
+    # (unless it was a delete) is the before image; deletes of non-existent
+    # keys vanish
+    "cdc_changelog_images": """
+WITH p AS (SELECT CAST((max(event_id) + 4) // 4 AS BIGINT) AS bl FROM events),
+e AS (
+  SELECT e.user_id, e.event_type,
+         CAST(round(e.value*100) AS BIGINT) AS value_cents, e.props,
+         CAST(e.event_id AS BIGINT) AS lsn, e.event_id // p.bl AS b,
+         e.event_type = 'error' AS is_del,
+         row_number() OVER (PARTITION BY e.user_id, e.event_id // p.bl
+                            ORDER BY e.event_id DESC) AS rn
+  FROM events e CROSS JOIN p),
+win AS (SELECT * FROM e WHERE rn = 1),
+seq AS (
+  SELECT *,
+    lag(event_type)  OVER (PARTITION BY user_id ORDER BY b) AS p_et,
+    lag(value_cents) OVER (PARTITION BY user_id ORDER BY b) AS p_vc,
+    lag(props)       OVER (PARTITION BY user_id ORDER BY b) AS p_pr,
+    lag(is_del)      OVER (PARTITION BY user_id ORDER BY b) AS p_del
+  FROM win)
+SELECT user_id, event_type, value_cents, props,
+       'insert' AS change_type, lsn AS change_lsn
+FROM seq WHERE NOT is_del AND (p_del IS NULL OR p_del)
+UNION ALL
+SELECT user_id, p_et, p_vc, p_pr, 'update_before', lsn
+FROM seq WHERE NOT is_del AND p_del = false
+UNION ALL
+SELECT user_id, event_type, value_cents, props, 'update_after', lsn
+FROM seq WHERE NOT is_del AND p_del = false
+UNION ALL
+SELECT user_id, p_et, p_vc, p_pr, 'delete', lsn
+FROM seq WHERE is_del AND p_del = false
+""",
     # zone-map pruned read = fold + the same WHERE (read(where=) must equal
     # read().filter(...) regardless of which files were skipped)
     "lake_prune_read": """
@@ -1625,6 +1691,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_changelog_read": q_cdc_changelog_read,
+    "cdc_changelog_images": q_cdc_changelog_images,
     "cdc_mirror_relay": q_cdc_mirror_relay,
     "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,

@@ -119,3 +119,41 @@ def test_empty_range_empty_frame_with_schema(spark, tmp_path):
     assert df.count() == 0
     assert df.columns == ["k", "v", "_change_type", "_change_lsn",
                           "_commit_version"]
+
+
+def test_changes_with_before_images(spark, tmp_path):
+    """Iceberg changelog-view shape: insert / update_before+update_after /
+    delete-with-before-values, net per commit."""
+    t = _mk(spark, tmp_path)
+    merge_into(t, _batch(spark, [(1, 10, 1, "insert"), (2, 20, 2, "insert")]),
+               op_col="op", order_col="lsn", mode="mor")
+    v1 = t.current_version()
+    # intra-commit churn on k=1 (two events, dedup off) → net change only;
+    # k=2 deleted; k=3 fresh insert; k=9 delete of a key that never existed
+    merge_into(
+        t,
+        _batch(spark, [(1, 11, 3, "insert"), (1, 12, 5, "insert"),
+                       (2, 0, 4, "delete"), (3, 30, 6, "insert"),
+                       (9, 0, 7, "delete")]),
+        op_col="op", order_col="lsn", mode="mor", dedup_batch=False,
+    )
+    v2 = t.current_version()
+
+    got = sorted(
+        (r["_commit_version"], r["k"], r["_change_type"], r["v"],
+         r["_change_lsn"])
+        for r in t.read_changes_with_images(0).collect()
+    )
+    assert got == [
+        (v1, 1, "insert", 10, 1),
+        (v1, 2, "insert", 20, 2),
+        (v2, 1, "update_after", 12, 5),   # net of the two events
+        (v2, 1, "update_before", 10, 5),  # old value, paired by lsn
+        (v2, 2, "delete", 20, 4),         # before image, not the tombstone
+        (v2, 3, "insert", 30, 6),
+        # k=9: delete of a non-existent key emits nothing
+    ]
+    # incremental consumption: only the second commit
+    second = {r["_change_type"] for r in
+              t.read_changes_with_images(v1, v2).collect()}
+    assert second == {"update_before", "update_after", "delete", "insert"}
