@@ -166,6 +166,7 @@ def merge_into(
     keep = (payload_cols if payload_cols is not None
             else [c for c in batch.columns
                   if c not in (op_col, order_col, present_col)])
+    fold_cache: DataFrame | None = None
     if partial_update:
         # normalize presence to the hidden per-row array early: explicit
         # present_col per event, else the batch's column set (constant)
@@ -181,6 +182,7 @@ def merge_into(
     if partial_update and mode in ("cow", "dv"):
         batch = _fold_partial_batch(table, batch, base, op_col, order_col,
                                     keep)
+        fold_cache = batch  # persisted by the fold; released on every exit
         keep = [c for c in batch.columns if c not in (op_col, order_col)]
         partial_update = False  # batch is whole-row now; proceed normally
     elif order_col is not None and not partial_update and (
@@ -225,86 +227,90 @@ def merge_into(
                 last_err = e
                 continue
         raise last_err  # type: ignore[misc]
-    from datax_spark.lake.table import L0_BUCKET
+    try:
+        from datax_spark.lake.table import L0_BUCKET
 
-    if mode == "dv":
-        return _merge_dv(
-            table, batch, base, op_col, lineage, evolve_schema,
-            files_per_bucket, t0, broadcast_key_limit,
+        if mode == "dv":
+            return _merge_dv(
+                table, batch, base, op_col, lineage, evolve_schema,
+                files_per_bucket, t0, broadcast_key_limit,
+                properties_update=properties_update,
+            )
+
+        if L0_BUCKET in base.files:
+            raise ValueError(
+                "copy-on-write MERGE on a table holding unbucketed L0 deltas "
+                "would duplicate or drop L0 rows — run table.compact() first"
+            )
+        batch = batch.persist()  # reused for bucket pruning, keys, and survivors
+
+        data_cols = [c for c in batch.columns if c != op_col]
+        batch_schema = batch.select(*data_cols).schema
+        new_schema = (
+            merge_schemas(base.schema, batch_schema) if evolve_schema else base.schema
+        )
+
+        bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
+        touched = [
+            r[0]
+            for r in batch.select(bexpr.alias("b")).distinct().collect()
+        ]
+        current = table.read(buckets=touched)  # bucket-pruned scan
+        # cast current state up to the evolved schema (column-add → null)
+        have = set(current.columns)
+        current = current.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+
+        if op_col is not None and op_col in batch.columns:
+            survivors = batch.filter(F.col(op_col) != F.lit(DELETE_OP))
+        else:
+            survivors = batch
+        survivors = survivors.select(
+            *[
+                (F.col(f.name).cast(f.dataType) if f.name in batch.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in new_schema.fields
+            ]
+        )
+        # whole-row upsert: drop every batched key from current, re-insert
+        # survivors.  `batch` is persisted above, so count() is a cached scan,
+        # and rows >= distinct keys makes it a safe broadcast bound.
+        new_state = anti_join_batch_keys(
+            current, batch, key_cols,
+            broadcast=batch.count() <= broadcast_key_limit,
+        ).unionByName(survivors)
+
+        staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
+        if new_schema.jsonValue() != base.schema.jsonValue():
+            staged_base.current_schema_id = base.current_schema_id + 1
+            staged_base.schemas = {
+                **base.schemas,
+                str(staged_base.current_schema_id): new_schema.jsonValue(),
+            }
+        try:
+            frag = table._stage_write(new_state, staged_base, files_per_bucket)
+        finally:
+            batch.unpersist()
+
+        lineage = _resolve_lineage(lineage)
+        if lineage is not None:
+            lineage = dict(lineage)
+            lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        # empty file-list entries for touched-but-now-empty buckets still replace
+        replaced = {str(b) for b in touched}
+        return table._commit(
+            base, frag, replaced_buckets=replaced, lineage=lineage,
+            schema=new_schema, operation="merge-cow",
             properties_update=properties_update,
         )
-
-    if L0_BUCKET in base.files:
-        raise ValueError(
-            "copy-on-write MERGE on a table holding unbucketed L0 deltas "
-            "would duplicate or drop L0 rows — run table.compact() first"
-        )
-    batch = batch.persist()  # reused for bucket pruning, keys, and survivors
-
-    data_cols = [c for c in batch.columns if c != op_col]
-    batch_schema = batch.select(*data_cols).schema
-    new_schema = (
-        merge_schemas(base.schema, batch_schema) if evolve_schema else base.schema
-    )
-
-    bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
-    touched = [
-        r[0]
-        for r in batch.select(bexpr.alias("b")).distinct().collect()
-    ]
-    current = table.read(buckets=touched)  # bucket-pruned scan
-    # cast current state up to the evolved schema (column-add → null)
-    have = set(current.columns)
-    current = current.select(
-        *[
-            (F.col(f.name).cast(f.dataType) if f.name in have
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in new_schema.fields
-        ]
-    )
-
-    if op_col is not None and op_col in batch.columns:
-        survivors = batch.filter(F.col(op_col) != F.lit(DELETE_OP))
-    else:
-        survivors = batch
-    survivors = survivors.select(
-        *[
-            (F.col(f.name).cast(f.dataType) if f.name in batch.columns
-             else F.lit(None).cast(f.dataType)).alias(f.name)
-            for f in new_schema.fields
-        ]
-    )
-    # whole-row upsert: drop every batched key from current, re-insert
-    # survivors.  `batch` is persisted above, so count() is a cached scan,
-    # and rows >= distinct keys makes it a safe broadcast bound.
-    new_state = anti_join_batch_keys(
-        current, batch, key_cols,
-        broadcast=batch.count() <= broadcast_key_limit,
-    ).unionByName(survivors)
-
-    staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
-    if new_schema.jsonValue() != base.schema.jsonValue():
-        staged_base.current_schema_id = base.current_schema_id + 1
-        staged_base.schemas = {
-            **base.schemas,
-            str(staged_base.current_schema_id): new_schema.jsonValue(),
-        }
-    try:
-        frag = table._stage_write(new_state, staged_base, files_per_bucket)
     finally:
-        batch.unpersist()
-
-    lineage = _resolve_lineage(lineage)
-    if lineage is not None:
-        lineage = dict(lineage)
-        lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
-    # empty file-list entries for touched-but-now-empty buckets still replace
-    replaced = {str(b) for b in touched}
-    return table._commit(
-        base, frag, replaced_buckets=replaced, lineage=lineage,
-        schema=new_schema, operation="merge-cow",
-        properties_update=properties_update,
-    )
+        if fold_cache is not None:
+            fold_cache.unpersist()
 
 
 def _fold_partial_batch(
