@@ -478,6 +478,71 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ============================================================ temporal joins
+def q_asof_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (functions/temporal.asof_join): each error event matched
+    to the same user's most recent purchase at-or-before it, within a
+    3-day tolerance.  Engine = union + running last() window (one shuffle,
+    no range explosion); oracle = DuckDB's native ASOF JOIN — an entirely
+    independent implementation of the semantics."""
+    from datax_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        _cents("value").alias("purchase_cents"),
+    )
+    res = asof_join(
+        errors, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        how="inner", tolerance=3 * 86400.0, right_order="purchase_id",
+    )
+    return res.select(
+        "event_id", "user_id",
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.col("purchase_cents_r").alias("purchase_cents"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
+def q_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join (functions/temporal.range_join): platform-wide
+    error count inside each purchase's 10-minute window — a PURE non-equi
+    time-overlap join (no shared key), the shape Catalyst alone can only
+    nested-loop.  Banding (600s bands → ≤2 bands/interval) makes it an
+    equi-join; zero-hit windows restored by a left join on the counts."""
+    from datax_spark.functions.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    hits = range_join(errors, purchases, "ts", "w_start", "w_end",
+                      band_width=600.0)
+    counts = hits.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_errors", F.lit(0)).cast("long").alias("n_errors"),
+        )
+    )
+
+
 # ========================================================== transformer chain
 def q_tx_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataX transformer chain (substr→pad→digest→filter) as one Catalyst
@@ -1253,6 +1318,27 @@ SELECT user_id, count(*) AS n_events,
        CAST(1 + sum(CASE WHEN gap > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM l GROUP BY user_id
 """,
+    "asof_purchase_attrib": """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+p AS (SELECT user_id, ts, event_id AS purchase_id,
+             CAST(round(value*100) AS BIGINT) AS purchase_cents
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1)
+SELECT e.event_id AS event_id, e.user_id AS user_id,
+       p.purchase_id AS purchase_id, p.purchase_cents AS purchase_cents,
+       CAST(epoch_us(e.ts) - epoch_us(p.ts) AS BIGINT) AS lag_us
+FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+WHERE epoch_us(e.ts) - epoch_us(p.ts) <= 259200000000
+""",
+    "range_error_window": """
+WITH e AS (SELECT ts FROM events WHERE event_type = 'error'),
+p AS (SELECT event_id AS purchase_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id AS purchase_id, CAST(count(e.ts) AS BIGINT) AS n_errors
+FROM p LEFT JOIN e ON e.ts >= p.w_start AND e.ts < p.w_end
+GROUP BY p.purchase_id
+""",
     "tx_chain_docs": """
 SELECT doc_id, substr(text, 1, 16) AS head, lpad(lang, 8, '*') AS lang_pad,
        lower(md5(text)) AS digest
@@ -1702,6 +1788,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_op_mix": q_cdc_op_mix,
     "skew_salted_agg": q_skew_salted_agg,
     "events_sessionize": q_events_sessionize,
+    "asof_purchase_attrib": q_asof_purchase_attrib,
+    "range_error_window": q_range_error_window,
     "tx_chain_docs": q_tx_chain_docs,
     "tx_replace": q_tx_replace,
     "tx_filter_like": q_tx_filter_like,
