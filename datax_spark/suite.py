@@ -152,6 +152,48 @@ def q_cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate view (lake/aggview.py — the continuous-
+    aggregate / dynamic-table pattern): a per-event_type count+sum rollup
+    maintained from the upstream table's changelog, refreshed after EVERY
+    commit — each refresh folds only that commit's retract/assert rows,
+    never rescanning upstream or the view.  The oracle aggregates the
+    pure-SQL folded final state directly: incremental maintenance through
+    4 batches of inserts/updates/deletes must equal the one-shot GROUP
+    BY."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_aggv_up_")
+    os.rmdir(loc)
+    vloc = tempfile.mkdtemp(prefix="dx_aggv_vw_")
+    os.rmdir(vloc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    view = create_agg_view(
+        table, vloc, dims=["event_type"], sums=["value_cents"],
+        num_buckets=4, version=0,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    for _ in range(4):
+        run_incremental(
+            table, feed, batch_lsns=max(1, (int(hi) + 4) // 4),
+            max_batches=1, auto_compact=None,
+        )
+        refresh_agg_view(table, view)
+    return view.read().select("event_type", "n_rows", "sum_value_cents")
+
+
 def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataX writeMode=update end-to-end (WriterUtil.java:110-167): 'click'
     events are PATCH events covering only value_cents (per-event presence);
@@ -1171,6 +1213,17 @@ a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
+    "cdc_agg_view": """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events),
+state AS (SELECT event_type, value_cents FROM ranked WHERE rn = 1 AND NOT is_delete)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM state GROUP BY event_type
+""",
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
     # writeMode=update fold: clicks patch only value_cents; full upserts set
     # everything; a delete wipes the row so later patches rebuild from
@@ -1775,6 +1828,7 @@ FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
+    "cdc_agg_view": q_cdc_agg_view,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_changelog_images": q_cdc_changelog_images,

@@ -1,0 +1,156 @@
+"""Incremental aggregate views (lake/aggview.py): count/sum rollups
+maintained from the changelog must equal a direct aggregate of the
+upstream snapshot after every refresh, through inserts, updates (retract
+old + assert new), deletes (groups vanishing), and replays."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.aggview import (
+    WATERMARK_PROP,
+    create_agg_view,
+    refresh_agg_view,
+)
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path, name="up"):
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema=SCHEMA, key_cols=["k"],
+        bucket_col="k", num_buckets=4,
+    )
+
+
+def _apply(spark, t, rows):
+    df = spark.createDataFrame(
+        [Row(k=k, grp=g, v=v, lsn=lsn, op=op) for (k, g, v, lsn, op) in rows],
+        "k long, grp string, v long, lsn long, op string",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor")
+
+
+def _direct(t):
+    return {
+        r["grp"]: (r["n"], r["s"])
+        for r in t.read().groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+
+
+def _view_state(view):
+    return {
+        r["grp"]: (r["n_rows"], r["sum_v"]) for r in view.read().collect()
+    }
+
+
+def test_bootstrap_then_incremental_matches_direct(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 20, 2, "insert"),
+                       (3, "b", 5, 3, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    assert _view_state(view) == _direct(up) == {"a": (2, 30), "b": (1, 5)}
+
+    # update moves key 2 from group a → b; delete empties nothing yet
+    _apply(spark, up, [(2, "b", 21, 4, "insert"), (4, "c", 7, 5, "insert")])
+    r = refresh_agg_view(up, view)
+    assert r["applied"] and r["groups"] == 3  # a (retract), b, c
+    assert _view_state(view) == _direct(up) == {
+        "a": (1, 10), "b": (2, 26), "c": (1, 7),
+    }
+
+
+def test_group_reaching_zero_is_deleted(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "b", 20, 2, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    _apply(spark, up, [(2, "b", 0, 3, "delete")])
+    refresh_agg_view(up, view)
+    st = _view_state(view)
+    assert st == {"a": (1, 10)}
+    assert "b" not in st  # zero-count group physically removed
+
+
+def test_empty_bootstrap_replays_whole_changelog(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert")])
+    _apply(spark, up, [(1, "a", 11, 2, "insert"), (2, "b", 3, 3, "insert")])
+    _apply(spark, up, [(2, "b", 0, 4, "delete")])
+    view = create_agg_view(
+        up, str(tmp_path / "vw"), dims=["grp"], sums=["v"], version=0
+    )
+    refresh_agg_view(up, view)
+    assert _view_state(view) == _direct(up) == {"a": (1, 11)}
+
+
+def test_refresh_idempotent_and_watermark_advances(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    _apply(spark, up, [(2, "a", 5, 2, "insert")])
+    r1 = refresh_agg_view(up, view)
+    assert r1["applied"]
+    wm = int(view.manifest().properties[WATERMARK_PROP])
+    assert wm == up.current_version()
+    r2 = refresh_agg_view(up, view)
+    assert not r2["applied"] and r2["groups"] == 0
+    assert _view_state(view) == {"a": (2, 15)}
+
+
+def test_null_dim_group_maintained(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, None, 10, 1, "insert"), (2, "a", 4, 2, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    _apply(spark, up, [(3, None, 7, 3, "insert"), (1, None, 0, 4, "delete")])
+    refresh_agg_view(up, view)
+    assert _view_state(view) == _direct(up) == {None: (1, 7), "a": (1, 4)}
+
+
+def test_multi_dim_and_count_only_view(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 10, 2, "insert"),
+                       (3, "a", 20, 3, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp", "v"])
+    _apply(spark, up, [(3, "a", 10, 4, "insert")])  # (a,20)→0, (a,10)→3
+    refresh_agg_view(up, view)
+    got = {(r["grp"], r["v"]): r["n_rows"] for r in view.read().collect()}
+    assert got == {("a", 10): 3}
+
+
+def test_spec_validation(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in upstream"):
+        create_agg_view(up, str(tmp_path / "v1"), dims=["nope"])
+    with pytest.raises(ValueError, match="non-numeric"):
+        create_agg_view(up, str(tmp_path / "v2"), dims=["k"], sums=["grp"])
+    with pytest.raises(ValueError, match="both a dim and a sum"):
+        create_agg_view(up, str(tmp_path / "v3"), dims=["v"], sums=["v"])
+    plain = _mk(spark, tmp_path, "plain")
+    with pytest.raises(ValueError, match="no aggview spec"):
+        refresh_agg_view(up, plain)
+
+
+def test_view_survives_restart_spec_in_properties(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    # reopen cold, as a separate process would
+    reopened = LakeTable(spark, str(tmp_path / "vw"))
+    spec = json.loads(reopened.manifest().properties["aggview_spec"])
+    assert spec == {"dims": ["grp"], "sums": ["v"]}
+    _apply(spark, up, [(2, "b", 1, 2, "insert")])
+    refresh_agg_view(up, reopened)
+    assert _view_state(reopened) == {"a": (1, 10), "b": (1, 1)}
