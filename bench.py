@@ -137,6 +137,10 @@ BENCH_QUERIES = [
     "lake_prune_read",
     "lake_zorder_read",
     "cdc_wap_publish",
+    # round-2 fifth pass: temporal joins + incremental aggregate view
+    "asof_purchase_attrib",
+    "range_error_window",
+    "cdc_agg_view",
 ]
 
 
