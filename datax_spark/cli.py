@@ -108,6 +108,35 @@ def _relay_cmd(args) -> int:
     return 0
 
 
+def _aggview_cmd(args) -> int:
+    """Maintain an incremental aggregate view from an upstream table's
+    changelog — the CLI face of lake/aggview.py (created on first call,
+    refreshed thereafter; re-running a completed refresh is a no-op)."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+    from datax_spark.lake.table import LakeTable
+
+    spark = get_session("datax-spark-aggview", cores=args.cores)
+    upstream = LakeTable(spark, args.upstream)
+    out = {"ok": True, "upstream": args.upstream, "view": args.view}
+    if not LakeTable.exists(args.view):
+        if not args.dims:
+            print(json.dumps({"ok": False,
+                              "error": "--dims is required to create a view"}))
+            return 2
+        view = create_agg_view(
+            upstream, args.view, dims=args.dims, sums=args.sums or [],
+            version=args.bootstrap_version,
+        )
+        out["created"] = True
+    else:
+        view = LakeTable(spark, args.view)
+        out["created"] = False
+    res = refresh_agg_view(upstream, view, on_rewrite=args.on_rewrite)
+    out.update(res)
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datax-spark")
     sub = p.add_subparsers(dest="cmd")
@@ -169,15 +198,37 @@ def main(argv: list[str] | None = None) -> int:
                           "commits")
     rel.add_argument("--cores", default=None)
 
+    agg = sub.add_parser(
+        "aggview", help="maintain a count/sum rollup from a table's changelog"
+    )
+    agg.add_argument("upstream", help="upstream lake table location")
+    agg.add_argument("view", help="view location (created if absent)")
+    agg.add_argument("--dims", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="GROUP BY dimensions (required on create)")
+    agg.add_argument("--sums", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="numeric columns to maintain sum_<col> for")
+    agg.add_argument("--bootstrap-version", type=int, default=None,
+                     help="snapshot version to bootstrap from (0 = empty "
+                          "view that replays the whole changelog)")
+    agg.add_argument("--on-rewrite", default="error",
+                     choices=["error", "skip"],
+                     help="changelog behavior across state-rewrite commits")
+    agg.add_argument("--cores", default=None)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
-    if argv and argv[0] not in ("run", "maintain", "relay", "-h", "--help"):
+    if argv and argv[0] not in ("run", "maintain", "relay", "aggview",
+                                "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
         return _maintain_cmd(args)
     if args.cmd == "relay":
         return _relay_cmd(args)
+    if args.cmd == "aggview":
+        return _aggview_cmd(args)
     return _run_cmd(args)
 
 

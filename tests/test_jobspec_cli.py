@@ -223,6 +223,52 @@ def test_cli_relay_bootstrap_sync_idempotent(spark, tmp_path, capsys):
     assert not out["applied"] and out["rows"] == 0  # exactly-once
 
 
+def test_cli_aggview_create_refresh_idempotent(spark, tmp_path, capsys):
+    """`aggview` creates the rollup on first call (with --dims), then
+    incremental refreshes are exactly-once (rerun applies nothing)."""
+    from pyspark.sql import Row
+
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+    from tests.test_aggview import SCHEMA
+
+    up = LakeTable.create(
+        spark, str(tmp_path / "up"), schema=SCHEMA, key_cols=["k"],
+        bucket_col="k", num_buckets=4,
+    )
+
+    def bump(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(k=k, grp=g, v=v, op=op, lsn=lsn0 + i)
+             for i, (k, g, v, op) in enumerate(rows)],
+            "k long, grp string, v long, op string, lsn long",
+        )
+        merge_into(up, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    bump([(1, "a", 10, "insert"), (2, "a", 20, "insert")], 0)
+    vw = tmp_path / "vw"
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", vw,
+                   "--dims", "grp", "--sums", "v", "--cores", 4)
+    assert rc == 0 and out["created"] and not out["applied"]
+
+    bump([(2, "b", 21, "insert"), (1, "a", 0, "delete")], 10)
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", vw, "--cores", 4)
+    assert rc == 0 and not out["created"] and out["applied"]
+
+    v = LakeTable(spark, str(vw))
+    got = {(r.grp): (r.n_rows, r.sum_v) for r in v.read().collect()}
+    assert got == {"b": (1, 21)}  # group a emptied and deleted
+
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", vw, "--cores", 4)
+    assert not out["applied"] and out["groups"] == 0  # exactly-once
+
+    # creating without --dims is a clean CLI error, not a stack trace
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", tmp_path / "vw2",
+                   "--cores", 4)
+    assert rc == 2 and not out["ok"]
+
+
 def test_cli_maintain_tag_and_rollback(spark, tmp_path, capsys):
     fixtures.change_events(spark, 1000, n_keys=200, seed=42) \
         .write.parquet(str(tmp_path / "feed"))
