@@ -171,12 +171,24 @@ def main() -> None:
     # suite queries costs up to 4x in accumulated GC/codegen state):
     # sustained MOR ingest with dedup deferred to compaction — the
     # 10^10-event configuration; the dedup-per-batch variant is reported
-    # alongside for the update-heavy-feed trade-off.
-    ingest = bench_cdc_ingest(
-        spark, n_events, mode="mor", dedup_batch=False,
-        lineage_detail="global", bucket_deltas=False,
-    )
-    print(f"# cdc_ingest(mor): {ingest}", file=sys.stderr)
+    # alongside for the update-heavy-feed trade-off.  The host VM is
+    # measurably non-stationary (identical runs vary up to 1.5-3x minutes
+    # apart — see BENCH/BASELINE.md findings), so the headline is the
+    # MEDIAN of DX_BENCH_REPS identical reps, all reps reported.
+    n_reps = int(os.environ.get("DX_BENCH_REPS", "3"))
+    reps = []
+    for i in range(n_reps):
+        r = bench_cdc_ingest(
+            spark, n_events, mode="mor", dedup_batch=False,
+            lineage_detail="global", bucket_deltas=False,
+            verify=(i == n_reps - 1),  # read/compact verification once
+        )
+        reps.append(r)
+        print(f"# cdc_ingest(mor) rep {i}: {r}", file=sys.stderr)
+    rates = sorted(r["events_per_sec"] for r in reps)
+    ingest = dict(reps[-1])
+    ingest["events_per_sec"] = rates[len(rates) // 2]
+    ingest["events_per_sec_reps"] = rates
     ingest_dedup = bench_cdc_ingest(
         spark, min(n_events, 200_000), mode="mor", dedup_batch=True
     )
