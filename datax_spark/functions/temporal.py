@@ -178,6 +178,66 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def temporal_table_join(
+    facts: DataFrame,
+    dim,
+    on: list[str],
+    fact_order: str,
+    payload: list[str] | None = None,
+    suffix: str = "_dim",
+    from_version: int = 0,
+    on_rewrite: str = "error",
+    how: str = "left",
+) -> DataFrame:
+    """Enrich each fact row with a LakeTable dimension's state AS OF the
+    fact's LSN — the streaming "temporal table join" (Flink FOR SYSTEM_TIME
+    AS OF), driven by the dimension's own commit log instead of a second
+    system.
+
+    ``dim`` is a :class:`~datax_spark.lake.table.LakeTable`; its history
+    comes from ``read_changes(from_version)`` — per-commit winners at
+    commit granularity (intra-commit churn collapses, the changelog
+    contract).  A fact whose nearest-at-or-before change is a DELETE gets
+    NULL dimension values: the key did not exist at that point.  Appends
+    carry no LSN and order below every real LSN (same contract as
+    ``sync_mirror``).
+
+    Output: the fact columns, the matched payload as ``<col><suffix>``
+    (NULL when absent or deleted), ``_asof_lsn`` (the matched change's
+    LSN, including a matched delete), and ``_asof_live`` (true iff the
+    key existed).  ``how="inner"`` drops facts with NO matched change row
+    (a matched delete still passes — use ``_asof_live`` to filter).
+
+    Cost: one O(changed files) changelog scan + the asof_join shuffle on
+    the keys — the dimension snapshot is never reconstructed.
+    """
+    hist = dim.read_changes(from_version, on_rewrite=on_rewrite)
+    cols = payload if payload is not None else [
+        c for c in hist.columns
+        if c not in (*on, "_change_type", "_change_lsn", "_commit_version")
+    ]
+    right = hist.select(
+        *on,
+        F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias("__dim_lsn"),
+        F.col("_change_type").alias("__dim_type"),
+        *cols,
+    )
+    j = asof_join(
+        facts, right, on=on, left_time=fact_order, right_time="__dim_lsn",
+        how=how, suffix=suffix,
+    )
+    t = F.col(f"__dim_type{suffix}")
+    live = t.isNotNull() & (t != "delete")
+    out = j.select(
+        *facts.columns,
+        F.col(f"__dim_lsn{suffix}").alias("_asof_lsn"),
+        live.alias("_asof_live"),
+        *[F.when(live, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}")
+          for c in cols],
+    )
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -585,6 +585,50 @@ def q_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal table join (functions/temporal.temporal_table_join — Flink
+    FOR SYSTEM_TIME AS OF): click facts enriched with the CDC dimension's
+    state AS OF each fact's LSN, driven by the lake table's own commit log
+    (per-commit winners; a matched delete yields NULL values).  The oracle
+    replays the per-batch winner collapse in SQL and applies DuckDB's
+    native ASOF JOIN over it."""
+    from datax_spark.functions.temporal import temporal_table_join
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_ttj_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4), auto_compact=None
+    )
+    facts = feed.filter(F.col("event_type") == "click").select(
+        "user_id", "lsn"
+    )
+    res = temporal_table_join(
+        facts, table, on=["user_id"], fact_order="lsn",
+        payload=["event_type", "value_cents"],
+    )
+    return res.select(
+        "user_id", "lsn",
+        F.col("_asof_lsn").alias("asof_lsn"),
+        F.col("_asof_live").alias("asof_live"),
+        F.col("event_type_dim").alias("dim_event_type"),
+        F.col("value_cents_dim").alias("dim_value_cents"),
+    )
+
+
 # ========================================================== transformer chain
 def q_tx_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataX transformer chain (substr→pad→digest→filter) as one Catalyst
@@ -1392,6 +1436,29 @@ SELECT p.purchase_id AS purchase_id, CAST(count(e.ts) AS BIGINT) AS n_errors
 FROM p LEFT JOIN e ON e.ts >= p.w_start AND e.ts < p.w_end
 GROUP BY p.purchase_id
 """,
+    "temporal_dim_join": """
+WITH env AS (
+  SELECT event_id AS lsn, user_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         event_type, CAST(round(value*100) AS BIGINT) AS value_cents
+  FROM events),
+b AS (SELECT (max(lsn) + 4) // 4 AS bl FROM env),
+win AS (
+  SELECT e.*,
+         row_number() OVER (PARTITION BY e.user_id, e.lsn // b.bl
+                            ORDER BY e.lsn DESC) AS rn
+  FROM env e, b),
+hist AS (SELECT user_id, lsn, op, event_type, value_cents
+         FROM win WHERE rn = 1),
+facts AS (SELECT user_id, lsn FROM env WHERE event_type = 'click')
+SELECT f.user_id AS user_id, f.lsn AS lsn,
+       h.lsn AS asof_lsn,
+       COALESCE(h.op = 'insert', FALSE) AS asof_live,
+       CASE WHEN h.op = 'insert' THEN h.event_type END AS dim_event_type,
+       CASE WHEN h.op = 'insert' THEN h.value_cents END AS dim_value_cents
+FROM facts f ASOF LEFT JOIN hist h
+  ON f.user_id = h.user_id AND f.lsn >= h.lsn
+""",
     "tx_chain_docs": """
 SELECT doc_id, substr(text, 1, 16) AS head, lpad(lang, 8, '*') AS lang_pad,
        lower(md5(text)) AS digest
@@ -1844,6 +1911,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "asof_purchase_attrib": q_asof_purchase_attrib,
     "range_error_window": q_range_error_window,
+    "temporal_dim_join": q_temporal_dim_join,
     "tx_chain_docs": q_tx_chain_docs,
     "tx_replace": q_tx_replace,
     "tx_filter_like": q_tx_filter_like,

@@ -195,6 +195,61 @@ def test_range_join_numeric_columns(spark):
     assert got == {(1, 7)}
 
 
+def test_temporal_table_join_against_lake_history(spark, tmp_path):
+    """Facts see the dimension state as of their LSN at commit granularity:
+    earlier commits' winners, deletes → NULL values, unmatched → no row
+    history."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from datax_spark.functions.temporal import temporal_table_join
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([T.StructField("k", T.LongType()),
+                             T.StructField("name", T.StringType())]),
+        key_cols=["k"], bucket_col="k", num_buckets=4,
+    )
+
+    def bump(rows):
+        df = spark.createDataFrame(
+            [Row(k=k, name=n, lsn=lsn, op=op) for (k, n, lsn, op) in rows],
+            "k long, name string, lsn long, op string",
+        )
+        merge_into(dim, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    bump([(1, "x", 5, "insert"), (2, "y", 6, "insert")])
+    bump([(1, "x2", 10, "insert"), (2, None, 12, "delete")])
+    bump([(2, "z", 20, "insert")])
+
+    facts = spark.createDataFrame(
+        [(100, 1, 4), (101, 1, 5), (102, 1, 9), (103, 1, 15),
+         (104, 2, 11), (105, 2, 13), (106, 2, 25), (107, 3, 9)],
+        "fid long, k long, at long",
+    )
+    got = {
+        r["fid"]: (r["name_dim"], r["_asof_lsn"], r["_asof_live"])
+        for r in temporal_table_join(facts, dim, on=["k"], fact_order="at")
+        .collect()
+    }
+    assert got == {
+        100: (None, None, False),      # before any history
+        101: ("x", 5, True),           # equal LSN matches
+        102: ("x", 5, True),           # next commit's winner is at 10 > 9
+        103: ("x2", 10, True),
+        104: ("y", 6, True),
+        105: (None, 12, False),        # deleted as of 12 — matched, not live
+        106: ("z", 20, True),
+        107: (None, None, False),      # key never existed
+    }
+    inner = temporal_table_join(facts, dim, on=["k"], fact_order="at",
+                                how="inner")
+    assert {r["fid"] for r in inner.collect()} == {101, 102, 103, 104, 105, 106}
+
+
 def test_range_join_rejects_bad_args(interval_frames):
     left, right = interval_frames
     with pytest.raises(ValueError):
