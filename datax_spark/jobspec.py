@@ -114,6 +114,11 @@ class JobSpec:
     # names resolved against HOOK_REGISTRY, invoked post-job with
     # (spec, summary) — HookInvoker.java:42-89
     hooks: list[str] = field(default_factory=list)
+    # declared rollups (lake/aggview.py) maintained after every run:
+    # [{"location": ..., "dims": [...], "sums": [...], "on_rewrite": ...}].
+    # Created (bootstrapped from the post-run snapshot) on first run,
+    # incrementally refreshed from the changelog thereafter.
+    agg_views: list[dict] = field(default_factory=list)
 
     # ------------------------------------------------------------------ io
     @staticmethod
@@ -129,6 +134,7 @@ class JobSpec:
             pre_sql=list(d.get("pre_sql", [])),
             post_sql=list(d.get("post_sql", [])),
             hooks=list(d.get("hooks", [])),
+            agg_views=list(d.get("agg_views", [])),
         )
 
     @staticmethod
@@ -168,6 +174,21 @@ class JobSpec:
         for h in self.hooks:
             if h not in HOOK_REGISTRY:
                 problems.append(f"unknown hook: {h}")
+        for i, av in enumerate(self.agg_views):
+            if not av.get("location"):
+                problems.append(f"agg_views[{i}]: missing location")
+            if not av.get("dims"):
+                problems.append(f"agg_views[{i}]: missing dims")
+            for c in [*av.get("dims", []), *av.get("sums", [])]:
+                if c in ENVELOPE_COLS:
+                    problems.append(
+                        f"agg_views[{i}]: {c} is an envelope column — "
+                        "views aggregate target payload columns"
+                    )
+                elif c not in cols:
+                    problems.append(
+                        f"agg_views[{i}]: column not in feed: {c}"
+                    )
         return problems
 
 
@@ -285,6 +306,32 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
         table.create_view("target")
         for s in spec.post_sql:
             spark.sql(s).collect()
+
+    # declared aggregate views: create on first run (bootstrap from the
+    # post-run snapshot), incrementally refresh from the changelog after
+    if spec.agg_views:
+        from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+
+        results = []
+        for av in spec.agg_views:
+            loc = av["location"]
+            if not LakeTable.exists(loc):
+                view = create_agg_view(
+                    table, loc, dims=list(av["dims"]),
+                    sums=list(av.get("sums", [])),
+                )
+                res = {"location": loc, "created": True,
+                       **refresh_agg_view(
+                           table, view,
+                           on_rewrite=av.get("on_rewrite", "error"))}
+            else:
+                view = LakeTable(spark, loc)
+                res = {"location": loc, "created": False,
+                       **refresh_agg_view(
+                           table, view,
+                           on_rewrite=av.get("on_rewrite", "error"))}
+            results.append(res)
+        summary["agg_views"] = results
 
     wall = time.monotonic() - t0
     summary["wall_sec"] = round(wall, 3)

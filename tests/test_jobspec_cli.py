@@ -54,6 +54,57 @@ def test_run_incremental_from_spec(spark, tmp_path):
     assert summary2["batches"] == 0
 
 
+def test_agg_views_declared_in_spec(spark, tmp_path):
+    """A job.json can declare rollups: created on first run, incrementally
+    refreshed on later runs, always equal to the direct aggregate."""
+    from datax_spark.lake.table import LakeTable
+
+    fixtures.change_events(spark, 2000, n_keys=400, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    d = _spec_dict(tmp_path)
+    d["agg_views"] = [{"location": str(tmp_path / "vw"), "dims": ["lang"]}]
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+
+    def direct():
+        t = LakeTable(spark, spec.target.location)
+        return {
+            r["lang"]: r["n"]
+            for r in t.read().groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    def view_state():
+        v = LakeTable(spark, str(tmp_path / "vw"))
+        return {r["lang"]: r["n_rows"] for r in v.read().collect()}
+
+    s1 = run_job(spark, spec)
+    assert s1["agg_views"][0]["created"]
+    assert view_state() == direct()
+
+    s2 = run_job(spark, spec)  # no new data
+    av = s2["agg_views"][0]
+    assert not av["created"] and not av["applied"]
+
+    # feed grows (same seed → same prefix); the view follows incrementally
+    fixtures.change_events(spark, 3000, n_keys=400, seed=42) \
+        .write.mode("overwrite").parquet(str(tmp_path / "feed"))
+    s3 = run_job(spark, spec)
+    assert s3["agg_views"][0]["applied"]
+    assert view_state() == direct()
+
+    # precheck rejects malformed view specs
+    bad = JobSpec.from_dict({**d, "agg_views": [
+        {"location": str(tmp_path / "v2")},
+        {"location": str(tmp_path / "v3"), "dims": ["lsn"]},
+        {"location": str(tmp_path / "v4"), "dims": ["nope"]},
+    ]})
+    probs = bad.pre_check(spark)
+    assert any("missing dims" in p for p in probs)
+    assert any("envelope column" in p for p in probs)
+    assert any("not in feed" in p for p in probs)
+
+
 def test_spec_json_roundtrip(tmp_path):
     d = _spec_dict(tmp_path)
     p = tmp_path / "job.json"
