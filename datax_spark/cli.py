@@ -125,6 +125,7 @@ def _aggview_cmd(args) -> int:
             return 2
         view = create_agg_view(
             upstream, args.view, dims=args.dims, sums=args.sums or [],
+            mins=args.mins or [], maxs=args.maxs or [],
             version=args.bootstrap_version,
         )
         out["created"] = True
@@ -209,6 +210,13 @@ def main(argv: list[str] | None = None) -> int:
     agg.add_argument("--sums", default=None, metavar="C1,C2",
                      type=lambda v: [c for c in v.split(",") if c],
                      help="numeric columns to maintain sum_<col> for")
+    agg.add_argument("--mins", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="columns to maintain min_<col> for (departed "
+                          "extremum → group rescan)")
+    agg.add_argument("--maxs", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="columns to maintain max_<col> for")
     agg.add_argument("--bootstrap-version", type=int, default=None,
                      help="snapshot version to bootstrap from (0 = empty "
                           "view that replays the whole changelog)")

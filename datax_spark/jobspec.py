@@ -179,7 +179,8 @@ class JobSpec:
                 problems.append(f"agg_views[{i}]: missing location")
             if not av.get("dims"):
                 problems.append(f"agg_views[{i}]: missing dims")
-            for c in [*av.get("dims", []), *av.get("sums", [])]:
+            for c in [*av.get("dims", []), *av.get("sums", []),
+                      *av.get("mins", []), *av.get("maxs", [])]:
                 if c in ENVELOPE_COLS:
                     problems.append(
                         f"agg_views[{i}]: {c} is an envelope column — "
@@ -319,6 +320,8 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 view = create_agg_view(
                     table, loc, dims=list(av["dims"]),
                     sums=list(av.get("sums", [])),
+                    mins=list(av.get("mins", [])),
+                    maxs=list(av.get("maxs", [])),
                 )
                 res = {"location": loc, "created": True,
                        **refresh_agg_view(

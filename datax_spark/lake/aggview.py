@@ -10,10 +10,14 @@ each refresh consumes only the upstream commits since its watermark via
 insert/update_after rows ASSERT (+1), so counts and sums maintain exactly
 under updates and deletes.
 
-Only self-maintainable aggregates are offered: ``n_rows`` (count) and
-``sum_<col>``.  ``avg`` is a read-time division; ``min``/``max`` are NOT
-maintainable under retraction without re-scanning the group and are
-refused rather than silently approximated.
+Aggregates: ``n_rows`` (count) and ``sum_<col>`` are self-maintainable
+under retraction; ``avg`` is a read-time division.  ``min_<col>`` /
+``max_<col>`` are maintained with the textbook partial-recompute rule:
+an arriving value at-or-beyond the current extremum updates it directly,
+and ONLY a group whose current extremum actually departs (a retracted
+row held it and nothing arriving reaches it) is re-scanned — one
+semi-joined pass over just those groups' upstream rows, never the whole
+table.
 
 Exactly-once, like the mirror (``lake/mirror.py``): the view stores
 ``aggview_upstream_version`` in its own manifest properties and advances
@@ -70,6 +74,7 @@ def _sum_type(dt: T.DataType) -> T.DataType:
 def _aggregate(
     df: DataFrame, dims: list[str], sums: list[str],
     out_types: dict[str, T.DataType],
+    mins: list[str] = (), maxs: list[str] = (),
 ) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sums:
@@ -77,6 +82,10 @@ def _aggregate(
         aggs.append(
             F.coalesce(F.sum(c), F.lit(0)).cast(t).alias(f"sum_{c}")
         )
+    for c in mins:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+    for c in maxs:
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return df.groupBy(*dims).agg(*aggs)
 
 
@@ -85,34 +94,43 @@ def create_agg_view(
     location: str,
     dims: list[str],
     sums: list[str] | None = None,
+    mins: list[str] | None = None,
+    maxs: list[str] | None = None,
     num_buckets: int = 16,
     version: int | None = None,
 ) -> LakeTable:
     """Create the view table and bootstrap it with a one-shot aggregate of
     the upstream snapshot at ``version`` (default current; 0 = empty view
     that replays the whole changelog).  Schema: dims + ``n_rows`` +
-    ``sum_<col>`` per requested sum column.
+    ``sum_<col>`` / ``min_<col>`` / ``max_<col>`` per requested column.
 
     Like ``bootstrap_mirror``, bootstrap is two commits (overwrite, then
     watermark) — a crash between them leaves no watermark and bootstrap is
     simply re-run."""
     sums = list(sums or [])
+    mins = list(mins or [])
+    maxs = list(maxs or [])
     uschema = upstream.schema()
     by_name = {f.name: f for f in uschema.fields}
-    for c in [*dims, *sums]:
+    for c in [*dims, *sums, *mins, *maxs]:
         if c not in by_name:
             raise ValueError(f"column {c!r} not in upstream schema")
+    for c in [*sums, *mins, *maxs]:
+        if c in dims:
+            raise ValueError(f"column {c!r} cannot be both a dim and a measure")
     for c in sums:
         if not isinstance(by_name[c].dataType, _SUMMABLE):
             raise ValueError(
                 f"sum column {c!r} has non-numeric type {by_name[c].dataType}"
             )
-        if c in dims:
-            raise ValueError(f"column {c!r} cannot be both a dim and a sum")
     fields = [T.StructField(c, by_name[c].dataType) for c in dims]
     fields.append(T.StructField("n_rows", T.LongType()))
     for c in sums:
         fields.append(T.StructField(f"sum_{c}", _sum_type(by_name[c].dataType)))
+    for c in mins:
+        fields.append(T.StructField(f"min_{c}", by_name[c].dataType))
+    for c in maxs:
+        fields.append(T.StructField(f"max_{c}", by_name[c].dataType))
     view = LakeTable.create(
         upstream.spark,
         location,
@@ -125,11 +143,14 @@ def create_agg_view(
     if at > 0:
         out_types = {f.name: f.dataType for f in fields}
         view.overwrite(
-            _aggregate(upstream.read(version=at), dims, sums, out_types)
+            _aggregate(upstream.read(version=at), dims, sums, out_types,
+                       mins, maxs)
         )
     view.set_properties(**{
         WATERMARK_PROP: int(at),
-        SPEC_PROP: json.dumps({"dims": dims, "sums": sums}),
+        SPEC_PROP: json.dumps(
+            {"dims": dims, "sums": sums, "mins": mins, "maxs": maxs}
+        ),
     })
     return view
 
@@ -172,6 +193,8 @@ def refresh_agg_view(
     matter."""
     spec = _spec(view)
     dims, sums = spec["dims"], spec["sums"]
+    mins = spec.get("mins", [])
+    maxs = spec.get("maxs", [])
     wm = view.manifest().properties.get(WATERMARK_PROP)
     if wm is None:
         raise ValueError("view has no watermark — use create_agg_view()")
@@ -182,7 +205,7 @@ def refresh_agg_view(
                 "groups": 0, "applied": False}
 
     ukeys = list(upstream.manifest(to_v).key_cols)
-    payload_cols = list(dict.fromkeys([*dims, *sums]))
+    payload_cols = list(dict.fromkeys([*dims, *sums, *mins, *maxs]))
     order = F.struct(
         F.col("_commit_version").alias("v"),
         F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias("l"),
@@ -232,12 +255,30 @@ def refresh_agg_view(
             F.coalesce(F.sum(weight.cast(sum_t.simpleString()) * F.col(c)),
                        F.lit(0).cast(sum_t)).alias(f"__d_{c}")
         )
+    # arriving/departing extremum candidates per group for min/max upkeep
+    for c in mins:
+        delta_aggs.append(
+            F.min(F.when(weight == 1, F.col(c))).alias(f"__add_min_{c}"))
+        delta_aggs.append(
+            F.min(F.when(weight == -1, F.col(c))).alias(f"__rem_min_{c}"))
+    for c in maxs:
+        delta_aggs.append(
+            F.max(F.when(weight == 1, F.col(c))).alias(f"__add_max_{c}"))
+        delta_aggs.append(
+            F.max(F.when(weight == -1, F.col(c))).alias(f"__rem_max_{c}"))
     contrib = new_rows.unionByName(old_rows)
     # all-cancelling groups (pure churn) net to all-zero rows — drop them
-    # so untouched groups are not rewritten
+    # so untouched groups are not rewritten.  With min/max configured a
+    # zero-count/zero-sum group may still shift an extremum, so it is
+    # dropped only when the arriving and departing candidates agree (then
+    # every maintained aggregate is provably unchanged).
     keep = F.col("__d_n") != 0
     for c in sums:
         keep = keep | (F.col(f"__d_{c}") != 0)
+    for c in mins:
+        keep = keep | ~F.col(f"__add_min_{c}").eqNullSafe(F.col(f"__rem_min_{c}"))
+    for c in maxs:
+        keep = keep | ~F.col(f"__add_max_{c}").eqNullSafe(F.col(f"__rem_max_{c}"))
     deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
     try:
         bexpr = view.bucket_expr(view.manifest().bucket_col,
@@ -275,6 +316,26 @@ def refresh_agg_view(
                 (F.coalesce(cur[f"sum_{c}"], F.lit(0).cast(sum_t))
                  + F.col(f"__d_{c}")).cast(sum_t).alias(f"sum_{c}")
             )
+        # min/max: direct update when an arriving value reaches the current
+        # extremum; flag the group for rescan ONLY when the extremum
+        # departs (a retracted row held it) and nothing arriving replaces
+        # it — the partial-recompute rule.
+        rescan_any = F.lit(False)
+        for agg, cols, pick, reaches in (
+            ("min", mins, F.least, lambda a, v: a <= v),
+            ("max", maxs, F.greatest, lambda a, v: a >= v),
+        ):
+            for c in cols:
+                curv = cur[f"{agg}_{c}"]
+                addv = F.col(f"__add_{agg}_{c}")
+                remv = F.col(f"__rem_{agg}_{c}")
+                departed = curv.isNotNull() & remv.eqNullSafe(curv)
+                dominates = addv.isNotNull() & reaches(addv, curv)
+                flag = departed & ~dominates & (new_n > 0)
+                rescan_any = rescan_any | flag
+                inc = F.when(curv.isNull(), addv).otherwise(pick(curv, addv))
+                out_cols.append(inc.alias(f"{agg}_{c}"))
+        out_cols.append(rescan_any.alias("__rescan"))
         out_cols.append(
             F.when(new_n <= 0, F.lit("delete"))
             .otherwise(F.lit("upsert")).alias(_OP)
@@ -284,16 +345,72 @@ def refresh_agg_view(
         out_cols.append(F.lit(int(to_v)).alias(_ORDER))
         batch = merged.select(*out_cols)
 
-        m = merge_into(
-            view,
-            batch,
-            op_col=_OP,
-            order_col=_ORDER,
-            lineage={"batch_id": f"aggv{to_v}", "rows": n_groups, "bytes": 0},
-            mode=mode,
-            auto_compact=auto_compact,
-            properties_update={WATERMARK_PROP: int(to_v)},
-        )
+        if mins or maxs:
+            batch = batch.persist()
+            need = batch.filter(
+                F.col("__rescan") & (F.col(_OP) != "delete")
+            ).select(*dims)
+            if need.limit(1).count() > 0:
+                # exact recompute for ONLY the departed-extremum groups:
+                # one snapshot pass semi-joined to those group keys
+                snap = upstream.read(version=to_v)
+                scond = None
+                nk = need.select(
+                    *[F.col(c).alias(f"__n_{c}") for c in dims]
+                ).distinct()
+                for c in dims:
+                    e = snap[c].eqNullSafe(F.col(f"__n_{c}"))
+                    scond = e if scond is None else (scond & e)
+                rs_aggs = []
+                for c in mins:
+                    rs_aggs.append(F.min(c).alias(f"__rs_min_{c}"))
+                for c in maxs:
+                    rs_aggs.append(F.max(c).alias(f"__rs_max_{c}"))
+                rescanned = (
+                    snap.join(F.broadcast(nk), on=scond, how="left_semi")
+                    .groupBy(*dims).agg(*rs_aggs)
+                )
+                rcond = None
+                for c in dims:
+                    e = batch[c].eqNullSafe(rescanned[c])
+                    rcond = e if rcond is None else (rcond & e)
+                joined = batch.join(rescanned, on=rcond, how="left")
+                fixed = [batch[c].alias(c) for c in dims]
+                fixed.append(batch["n_rows"].alias("n_rows"))
+                for c in sums:
+                    fixed.append(batch[f"sum_{c}"].alias(f"sum_{c}"))
+                for agg, cols in (("min", mins), ("max", maxs)):
+                    for c in cols:
+                        fixed.append(
+                            F.when(batch["__rescan"],
+                                   rescanned[f"__rs_{agg}_{c}"])
+                            .otherwise(batch[f"{agg}_{c}"])
+                            .alias(f"{agg}_{c}")
+                        )
+                fixed.append(batch[_OP].alias(_OP))
+                fixed.append(batch[_ORDER].alias(_ORDER))
+                out = joined.select(*fixed)
+            else:
+                out = batch.drop("__rescan")
+        else:
+            out = batch.drop("__rescan")
+        batch_final = out.drop("__rescan") if "__rescan" in out.columns else out
+
+        try:
+            m = merge_into(
+                view,
+                batch_final,
+                op_col=_OP,
+                order_col=_ORDER,
+                lineage={"batch_id": f"aggv{to_v}", "rows": n_groups,
+                         "bytes": 0},
+                mode=mode,
+                auto_compact=auto_compact,
+                properties_update={WATERMARK_PROP: int(to_v)},
+            )
+        finally:
+            if mins or maxs:
+                batch.unpersist()
         return {"from_version": from_v, "to_version": to_v,
                 "groups": n_groups, "applied": m is not None}
     finally:

@@ -182,6 +182,7 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view = create_agg_view(
         table, vloc, dims=["event_type"], sums=["value_cents"],
+        mins=["value_cents"], maxs=["value_cents"],
         num_buckets=4, version=0,
     )
     hi = feed.agg(F.max("lsn")).collect()[0][0]
@@ -191,7 +192,10 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_batches=1, auto_compact=None,
         )
         refresh_agg_view(table, view)
-    return view.read().select("event_type", "n_rows", "sum_value_cents")
+    return view.read().select(
+        "event_type", "n_rows", "sum_value_cents",
+        "min_value_cents", "max_value_cents",
+    )
 
 
 def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,7 +1269,9 @@ WITH ranked AS (
   FROM events),
 state AS (SELECT event_type, value_cents FROM ranked WHERE rn = 1 AND NOT is_delete)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents,
+       CAST(min(value_cents) AS BIGINT) AS min_value_cents,
+       CAST(max(value_cents) AS BIGINT) AS max_value_cents
 FROM state GROUP BY event_type
 """,
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,

@@ -130,13 +130,110 @@ def test_multi_dim_and_count_only_view(spark, tmp_path):
     assert got == {("a", 10): 3}
 
 
+def _direct_mm(t):
+    return {
+        r["grp"]: (r["n"], r["mn"], r["mx"])
+        for r in t.read().groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("mn"),
+             F.max("v").alias("mx"))
+        .collect()
+    }
+
+
+def _view_mm(view):
+    return {
+        r["grp"]: (r["n_rows"], r["min_v"], r["max_v"])
+        for r in view.read().collect()
+    }
+
+
+def test_min_max_direct_update_when_arrival_dominates(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 20, 2, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           mins=["v"], maxs=["v"])
+    _apply(spark, up, [(3, "a", 5, 3, "insert"), (4, "a", 30, 4, "insert")])
+    refresh_agg_view(up, view)
+    assert _view_mm(view) == _direct_mm(up) == {"a": (4, 5, 30)}
+
+
+def test_min_max_rescan_when_extremum_departs(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 20, 2, "insert"),
+                       (3, "a", 30, 3, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           mins=["v"], maxs=["v"])
+    # delete the max holder AND the min holder in one batch: both
+    # extremes depart, nothing arriving dominates → group rescan
+    _apply(spark, up, [(3, "a", 0, 4, "delete"), (1, "a", 0, 5, "delete")])
+    refresh_agg_view(up, view)
+    assert _view_mm(view) == _direct_mm(up) == {"a": (1, 20, 20)}
+
+
+def test_min_max_duplicate_extremum_survives_one_delete(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 30, 1, "insert"), (2, "a", 30, 2, "insert"),
+                       (3, "a", 10, 3, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           maxs=["v"])
+    _apply(spark, up, [(1, "a", 0, 4, "delete")])
+    refresh_agg_view(up, view)
+    got = {r["grp"]: (r["n_rows"], r["max_v"]) for r in view.read().collect()}
+    assert got == {"a": (2, 30)}  # the twin still holds the max
+
+
+def test_min_max_randomized_parity(spark, tmp_path):
+    """Random op sequences over keys/groups/values: after every refresh the
+    view equals the direct aggregate — counts, sums, mins, maxs."""
+    import random
+
+    rnd = random.Random(23)
+    up = _mk(spark, tmp_path)
+    view = None
+    lsn = 0
+    live = {}
+    for batch_i in range(6):
+        rows = []
+        for _ in range(25):
+            lsn += 1
+            k = rnd.randrange(12)
+            if live.get(k) is not None and rnd.random() < 0.3:
+                rows.append((k, "x", 0, lsn, "delete"))
+                live[k] = None
+            else:
+                g = rnd.choice(["a", "b", "c"])
+                v = rnd.randrange(100)
+                rows.append((k, g, v, lsn, "insert"))
+                live[k] = (g, v)
+        _apply(spark, up, rows)
+        if view is None:
+            view = create_agg_view(
+                up, str(tmp_path / "vw"), dims=["grp"], sums=["v"],
+                mins=["v"], maxs=["v"],
+            )
+        else:
+            refresh_agg_view(up, view)
+        direct = {
+            r["grp"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in up.read().groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        }
+        got = {
+            r["grp"]: (r["n_rows"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in view.read().collect()
+        }
+        assert got == direct, f"diverged at batch {batch_i}"
+
+
 def test_spec_validation(spark, tmp_path):
     up = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="not in upstream"):
         create_agg_view(up, str(tmp_path / "v1"), dims=["nope"])
     with pytest.raises(ValueError, match="non-numeric"):
         create_agg_view(up, str(tmp_path / "v2"), dims=["k"], sums=["grp"])
-    with pytest.raises(ValueError, match="both a dim and a sum"):
+    with pytest.raises(ValueError, match="both a dim and a measure"):
         create_agg_view(up, str(tmp_path / "v3"), dims=["v"], sums=["v"])
     plain = _mk(spark, tmp_path, "plain")
     with pytest.raises(ValueError, match="no aggview spec"):
@@ -150,7 +247,7 @@ def test_view_survives_restart_spec_in_properties(spark, tmp_path):
     # reopen cold, as a separate process would
     reopened = LakeTable(spark, str(tmp_path / "vw"))
     spec = json.loads(reopened.manifest().properties["aggview_spec"])
-    assert spec == {"dims": ["grp"], "sums": ["v"]}
+    assert spec == {"dims": ["grp"], "sums": ["v"], "mins": [], "maxs": []}
     _apply(spark, up, [(2, "b", 1, 2, "insert")])
     refresh_agg_view(up, reopened)
     assert _view_state(reopened) == {"a": (1, 10), "b": (1, 1)}
