@@ -175,7 +175,7 @@ def main() -> None:
     # measurably non-stationary (identical runs vary up to 1.5-3x minutes
     # apart — see BENCH/BASELINE.md findings), so the headline is the
     # MEDIAN of DX_BENCH_REPS identical reps, all reps reported.
-    n_reps = int(os.environ.get("DX_BENCH_REPS", "3"))
+    n_reps = max(1, int(os.environ.get("DX_BENCH_REPS", "3")))
     reps = []
     for i in range(n_reps):
         r = bench_cdc_ingest(
@@ -185,10 +185,12 @@ def main() -> None:
         )
         reps.append(r)
         print(f"# cdc_ingest(mor) rep {i}: {r}", file=sys.stderr)
-    rates = sorted(r["events_per_sec"] for r in reps)
-    ingest = dict(reps[-1])
-    ingest["events_per_sec"] = rates[len(rates) // 2]
-    ingest["events_per_sec_reps"] = rates
+    # headline = the MEDIAN-rate rep's own numbers (rate and wall time stay
+    # mutually consistent); verify-only fields come from the last rep
+    by_rate = sorted(reps, key=lambda r: r["events_per_sec"])
+    median_rep = by_rate[len(by_rate) // 2]
+    ingest = {**reps[-1], **median_rep}
+    ingest["events_per_sec_reps"] = [r["events_per_sec"] for r in by_rate]
     ingest_dedup = bench_cdc_ingest(
         spark, min(n_events, 200_000), mode="mor", dedup_batch=True
     )

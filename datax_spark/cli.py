@@ -118,21 +118,23 @@ def _aggview_cmd(args) -> int:
     spark = get_session("datax-spark-aggview", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "view": args.view}
-    if not LakeTable.exists(args.view):
-        if not args.dims:
-            print(json.dumps({"ok": False,
-                              "error": "--dims is required to create a view"}))
-            return 2
-        view = create_agg_view(
-            upstream, args.view, dims=args.dims, sums=args.sums or [],
-            mins=args.mins or [], maxs=args.maxs or [],
-            version=args.bootstrap_version,
-        )
-        out["created"] = True
-    else:
-        view = LakeTable(spark, args.view)
-        out["created"] = False
-    res = refresh_agg_view(upstream, view, on_rewrite=args.on_rewrite)
+    try:
+        if not LakeTable.exists(args.view):
+            if not args.dims:
+                raise ValueError("--dims is required to create a view")
+            view = create_agg_view(
+                upstream, args.view, dims=args.dims, sums=args.sums or [],
+                mins=args.mins or [], maxs=args.maxs or [],
+                version=args.bootstrap_version,
+            )
+            out["created"] = True
+        else:
+            view = LakeTable(spark, args.view)
+            out["created"] = False
+        res = refresh_agg_view(upstream, view, on_rewrite=args.on_rewrite)
+    except (ValueError, FileExistsError) as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 2
     out.update(res)
     print(json.dumps(out))
     return 0

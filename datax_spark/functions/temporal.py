@@ -202,6 +202,12 @@ def temporal_table_join(
     carry no LSN and order below every real LSN (same contract as
     ``sync_mirror``).
 
+    ``from_version > 0`` additionally seeds the ``from_version`` SNAPSHOT
+    as base state at LSN -1 (one bucket-scan read), so keys unchanged
+    since then still enrich correctly instead of reading as never-existed
+    — use it when the older changelog range is compacted/expired.  Base
+    matches report ``_asof_lsn = -1``.
+
     Output: the fact columns, the matched payload as ``<col><suffix>``
     (NULL when absent or deleted), ``_asof_lsn`` (the matched change's
     LSN, including a matched delete), and ``_asof_live`` (true iff the
@@ -218,10 +224,19 @@ def temporal_table_join(
     ]
     right = hist.select(
         *on,
-        F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias("__dim_lsn"),
+        F.coalesce(F.col("_change_lsn"), F.lit(-1)).cast("long")
+        .alias("__dim_lsn"),
         F.col("_change_type").alias("__dim_type"),
         *cols,
     )
+    if from_version > 0:
+        base = dim.read(version=from_version).select(
+            *on,
+            F.lit(-1).cast("long").alias("__dim_lsn"),
+            F.lit("insert").alias("__dim_type"),
+            *cols,
+        )
+        right = right.unionByName(base)
     j = asof_join(
         facts, right, on=on, left_time=fact_order, right_time="__dim_lsn",
         how=how, suffix=suffix,

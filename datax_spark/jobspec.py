@@ -174,6 +174,23 @@ class JobSpec:
         for h in self.hooks:
             if h not in HOOK_REGISTRY:
                 problems.append(f"unknown hook: {h}")
+        if self.agg_views:
+            # refresh reads the target's changelog: only LSN-carrying
+            # commits (merge-mor from incremental/stream runs) are
+            # changelog-readable — cow/overwrite/partial histories would
+            # fail AFTER the data commit, on every run
+            if self.merge.mode != "mor":
+                problems.append(
+                    "agg_views require merge.mode='mor' (changelog-readable"
+                    f" commits); got {self.merge.mode!r}")
+            if self.run.kind == "full":
+                problems.append(
+                    "agg_views cannot follow run.kind='full' (overwrite "
+                    "commits are not a change stream)")
+            if self.merge.partial_update:
+                problems.append(
+                    "agg_views cannot follow partial_update merges (a "
+                    "partial row is not a whole-row change record)")
         for i, av in enumerate(self.agg_views):
             if not av.get("location"):
                 problems.append(f"agg_views[{i}]: missing location")
@@ -316,23 +333,25 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
         results = []
         for av in spec.agg_views:
             loc = av["location"]
-            if not LakeTable.exists(loc):
-                view = create_agg_view(
-                    table, loc, dims=list(av["dims"]),
-                    sums=list(av.get("sums", [])),
-                    mins=list(av.get("mins", [])),
-                    maxs=list(av.get("maxs", [])),
-                )
-                res = {"location": loc, "created": True,
+            # the sync itself has committed by now — a view failure is
+            # recorded per view (like hook errors), never fails the job
+            try:
+                created = not LakeTable.exists(loc)
+                if created:
+                    view = create_agg_view(
+                        table, loc, dims=list(av["dims"]),
+                        sums=list(av.get("sums", [])),
+                        mins=list(av.get("mins", [])),
+                        maxs=list(av.get("maxs", [])),
+                    )
+                else:
+                    view = LakeTable(spark, loc)
+                res = {"location": loc, "created": created,
                        **refresh_agg_view(
                            table, view,
                            on_rewrite=av.get("on_rewrite", "error"))}
-            else:
-                view = LakeTable(spark, loc)
-                res = {"location": loc, "created": False,
-                       **refresh_agg_view(
-                           table, view,
-                           on_rewrite=av.get("on_rewrite", "error"))}
+            except Exception as e:  # noqa: BLE001 — mirror hook capture
+                res = {"location": loc, "error": str(e)}
             results.append(res)
         summary["agg_views"] = results
 

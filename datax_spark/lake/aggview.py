@@ -15,9 +15,12 @@ under retraction; ``avg`` is a read-time division.  ``min_<col>`` /
 ``max_<col>`` are maintained with the textbook partial-recompute rule:
 an arriving value at-or-beyond the current extremum updates it directly,
 and ONLY a group whose current extremum actually departs (a retracted
-row held it and nothing arriving reaches it) is re-scanned — one
-semi-joined pass over just those groups' upstream rows, never the whole
-table.
+row held it and nothing arriving reaches it) triggers a recompute — one
+snapshot pass filtered to just those groups (their keys are pushed into
+the scan as an ``isin`` predicate when few, and a broadcast semi join
+restricts the rows either way; dims are not the upstream bucket key, so
+file-level pruning beyond row-group stats is not available on this
+pass).  No extremum departure → no snapshot pass at all.
 
 Exactly-once, like the mirror (``lake/mirror.py``): the view stores
 ``aggview_upstream_version`` in its own manifest properties and advances
@@ -46,6 +49,10 @@ WATERMARK_PROP = "aggview_upstream_version"
 SPEC_PROP = "aggview_spec"
 _OP = "__aggview_op"
 _ORDER = "__aggview_order"
+# rescan groups at or under this count get their keys pushed into the
+# snapshot scan as an isin() filter (row-group pruning); above it, the
+# broadcast semi join alone restricts the pass
+_RESCAN_PUSHDOWN_CAP = 256
 
 _SUMMABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -131,14 +138,25 @@ def create_agg_view(
         fields.append(T.StructField(f"min_{c}", by_name[c].dataType))
     for c in maxs:
         fields.append(T.StructField(f"max_{c}", by_name[c].dataType))
-    view = LakeTable.create(
-        upstream.spark,
-        location,
-        schema=T.StructType(fields),
-        key_cols=list(dims),
-        bucket_col=dims[0],
-        num_buckets=num_buckets,
-    )
+    try:
+        view = LakeTable.create(
+            upstream.spark,
+            location,
+            schema=T.StructType(fields),
+            key_cols=list(dims),
+            bucket_col=dims[0],
+            num_buckets=num_buckets,
+        )
+    except FileExistsError:
+        # a prior bootstrap crashed between overwrite and the spec/
+        # watermark commit: the table exists but carries no spec — resume
+        # the bootstrap on it.  A table WITH a spec is a live view and
+        # re-creating it is refused.
+        view = LakeTable(upstream.spark, location)
+        if view.manifest().properties.get(SPEC_PROP) is not None:
+            raise FileExistsError(
+                f"aggregate view already exists at {location}"
+            ) from None
     at = upstream.current_version() if version is None else version
     if at > 0:
         out_types = {f.name: f.dataType for f in fields}
@@ -231,56 +249,62 @@ def refresh_agg_view(
         F.lit(1).alias("__w"),
     )
 
-    m_from = upstream.manifest(from_v)
-    fb = upstream.bucket_expr(m_from.bucket_col, m_from.num_buckets)
-    touched_b = [
-        r[0]
-        for r in changed.select(fb.cast("int").alias("b")).distinct().collect()
-        if r[0] is not None
-    ]
-    snap = upstream.read(version=from_v, buckets=touched_b)
-    cond = None
-    for c in ukeys:
-        e = snap[c].eqNullSafe(changed[c])
-        cond = e if cond is None else (cond & e)
-    old_rows = snap.join(changed, on=cond, how="left_semi").select(
-        *payload_cols, F.lit(-1).alias("__w")
-    )
-
-    weight = F.col("__w")
-    delta_aggs = [F.sum(weight).cast("long").alias("__d_n")]
-    for c in sums:
-        sum_t = view.schema()[f"sum_{c}"].dataType
-        delta_aggs.append(
-            F.coalesce(F.sum(weight.cast(sum_t.simpleString()) * F.col(c)),
-                       F.lit(0).cast(sum_t)).alias(f"__d_{c}")
-        )
-    # arriving/departing extremum candidates per group for min/max upkeep
-    for c in mins:
-        delta_aggs.append(
-            F.min(F.when(weight == 1, F.col(c))).alias(f"__add_min_{c}"))
-        delta_aggs.append(
-            F.min(F.when(weight == -1, F.col(c))).alias(f"__rem_min_{c}"))
-    for c in maxs:
-        delta_aggs.append(
-            F.max(F.when(weight == 1, F.col(c))).alias(f"__add_max_{c}"))
-        delta_aggs.append(
-            F.max(F.when(weight == -1, F.col(c))).alias(f"__rem_max_{c}"))
-    contrib = new_rows.unionByName(old_rows)
-    # all-cancelling groups (pure churn) net to all-zero rows — drop them
-    # so untouched groups are not rewritten.  With min/max configured a
-    # zero-count/zero-sum group may still shift an extremum, so it is
-    # dropped only when the arriving and departing candidates agree (then
-    # every maintained aggregate is provably unchanged).
-    keep = F.col("__d_n") != 0
-    for c in sums:
-        keep = keep | (F.col(f"__d_{c}") != 0)
-    for c in mins:
-        keep = keep | ~F.col(f"__add_min_{c}").eqNullSafe(F.col(f"__rem_min_{c}"))
-    for c in maxs:
-        keep = keep | ~F.col(f"__add_max_{c}").eqNullSafe(F.col(f"__rem_max_{c}"))
-    deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
+    deltas = None
     try:
+        m_from = upstream.manifest(from_v)
+        fb = upstream.bucket_expr(m_from.bucket_col, m_from.num_buckets)
+        touched_b = [
+            r[0]
+            for r in changed.select(fb.cast("int").alias("b"))
+            .distinct().collect()
+            if r[0] is not None
+        ]
+        snap = upstream.read(version=from_v, buckets=touched_b)
+        cond = None
+        for c in ukeys:
+            e = snap[c].eqNullSafe(changed[c])
+            cond = e if cond is None else (cond & e)
+        old_rows = snap.join(changed, on=cond, how="left_semi").select(
+            *payload_cols, F.lit(-1).alias("__w")
+        )
+
+        weight = F.col("__w")
+        delta_aggs = [F.sum(weight).cast("long").alias("__d_n")]
+        for c in sums:
+            sum_t = view.schema()[f"sum_{c}"].dataType
+            delta_aggs.append(
+                F.coalesce(
+                    F.sum(weight.cast(sum_t.simpleString()) * F.col(c)),
+                    F.lit(0).cast(sum_t)).alias(f"__d_{c}")
+            )
+        # arriving/departing extremum candidates per group for min/max
+        for c in mins:
+            delta_aggs.append(
+                F.min(F.when(weight == 1, F.col(c))).alias(f"__add_min_{c}"))
+            delta_aggs.append(
+                F.min(F.when(weight == -1, F.col(c))).alias(f"__rem_min_{c}"))
+        for c in maxs:
+            delta_aggs.append(
+                F.max(F.when(weight == 1, F.col(c))).alias(f"__add_max_{c}"))
+            delta_aggs.append(
+                F.max(F.when(weight == -1, F.col(c))).alias(f"__rem_max_{c}"))
+        contrib = new_rows.unionByName(old_rows)
+        # all-cancelling groups (pure churn) net to all-zero rows — drop
+        # them so untouched groups are not rewritten.  With min/max
+        # configured a zero-count/zero-sum group may still shift an
+        # extremum, so it is dropped only when the arriving and departing
+        # candidates agree (then every maintained aggregate is provably
+        # unchanged).
+        keep = F.col("__d_n") != 0
+        for c in sums:
+            keep = keep | (F.col(f"__d_{c}") != 0)
+        for c in mins:
+            keep = keep | ~F.col(f"__add_min_{c}").eqNullSafe(
+                F.col(f"__rem_min_{c}"))
+        for c in maxs:
+            keep = keep | ~F.col(f"__add_max_{c}").eqNullSafe(
+                F.col(f"__rem_max_{c}"))
+        deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
         bexpr = view.bucket_expr(view.manifest().bucket_col,
                                  view.manifest().num_buckets)
         head = deltas.agg(
@@ -347,17 +371,39 @@ def refresh_agg_view(
 
         if mins or maxs:
             batch = batch.persist()
-            need = batch.filter(
-                F.col("__rescan") & (F.col(_OP) != "delete")
-            ).select(*dims)
-            if need.limit(1).count() > 0:
-                # exact recompute for ONLY the departed-extremum groups:
-                # one snapshot pass semi-joined to those group keys
+            # collect the departed-extremum group keys (bounded by the
+            # refresh's group count; capped collect — beyond the cap the
+            # semi join alone filters).  The collected keys double as an
+            # isin() pushdown so the snapshot scan row-group-prunes on
+            # the dim columns instead of reading every row.
+            need = (
+                batch.filter(F.col("__rescan") & (F.col(_OP) != "delete"))
+                .select(*dims).distinct()
+            )
+            need_rows = need.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
+            if need_rows:
+                # exact recompute for ONLY those groups: one snapshot
+                # pass, dim-pushdown-filtered when few groups, semi-joined
+                # to the group keys either way.  NOTE: this pass scans the
+                # snapshot's files (dims are not the upstream bucket key,
+                # so manifest bucket pruning cannot apply) — the filter
+                # prunes row groups and rows, and it only runs at all when
+                # an extremum actually departed.
                 snap = upstream.read(version=to_v)
-                scond = None
+                few = (len(need_rows) <= _RESCAN_PUSHDOWN_CAP
+                       and not any(v is None for r in need_rows for v in r))
+                if few:
+                    if len(dims) == 1:
+                        snap = snap.filter(
+                            F.col(dims[0]).isin([r[0] for r in need_rows]))
+                    else:
+                        snap = snap.filter(
+                            F.struct(*[F.col(c) for c in dims]).isin(
+                                [tuple(r) for r in need_rows]))
                 nk = need.select(
                     *[F.col(c).alias(f"__n_{c}") for c in dims]
-                ).distinct()
+                )
+                scond = None
                 for c in dims:
                     e = snap[c].eqNullSafe(F.col(f"__n_{c}"))
                     scond = e if scond is None else (scond & e)
@@ -394,7 +440,7 @@ def refresh_agg_view(
                 out = batch.drop("__rescan")
         else:
             out = batch.drop("__rescan")
-        batch_final = out.drop("__rescan") if "__rescan" in out.columns else out
+        batch_final = out
 
         try:
             m = merge_into(
@@ -414,5 +460,6 @@ def refresh_agg_view(
         return {"from_version": from_v, "to_version": to_v,
                 "groups": n_groups, "applied": m is not None}
     finally:
-        deltas.unpersist()
+        if deltas is not None:
+            deltas.unpersist()
         winners.unpersist()

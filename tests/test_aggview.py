@@ -240,6 +240,29 @@ def test_spec_validation(spark, tmp_path):
         refresh_agg_view(up, plain)
 
 
+def test_crashed_bootstrap_is_resumable(spark, tmp_path):
+    """A crash between the bootstrap overwrite and the spec/watermark
+    commit leaves a spec-less table; re-running create_agg_view resumes
+    the bootstrap.  A table WITH a spec refuses re-creation."""
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert")])
+    # simulate the crash: table exists, bootstrap data maybe written, but
+    # no spec/watermark properties ever committed
+    LakeTable.create(
+        spark, str(tmp_path / "vw"),
+        schema=T.StructType([
+            T.StructField("grp", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("sum_v", T.LongType()),
+        ]),
+        key_cols=["grp"], bucket_col="grp", num_buckets=4,
+    )
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    assert _view_state(view) == {"a": (1, 10)}
+    with pytest.raises(FileExistsError, match="already exists"):
+        create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+
+
 def test_view_survives_restart_spec_in_properties(spark, tmp_path):
     up = _mk(spark, tmp_path)
     _apply(spark, up, [(1, "a", 10, 1, "insert")])

@@ -104,6 +104,16 @@ def test_agg_views_declared_in_spec(spark, tmp_path):
     assert any("envelope column" in p for p in probs)
     assert any("not in feed" in p for p in probs)
 
+    # ... and configurations whose commits are not changelog-readable
+    # (the refresh would fail AFTER the data commit, on every run)
+    cow = JobSpec.from_dict({**d, "merge": {"mode": "cow"}})
+    assert any("merge.mode='mor'" in p for p in cow.pre_check(spark))
+    full = JobSpec.from_dict({**d, "run": {"kind": "full"}})
+    assert any("run.kind='full'" in p for p in full.pre_check(spark))
+    part = JobSpec.from_dict(
+        {**d, "merge": {"mode": "mor", "partial_update": True}})
+    assert any("partial_update" in p for p in part.pre_check(spark))
+
 
 def test_spec_json_roundtrip(tmp_path):
     d = _spec_dict(tmp_path)
@@ -318,6 +328,10 @@ def test_cli_aggview_create_refresh_idempotent(spark, tmp_path, capsys):
     rc, out = _cli(capsys, "aggview", tmp_path / "up", tmp_path / "vw2",
                    "--cores", 4)
     assert rc == 2 and not out["ok"]
+    # ... and so is a bad column name
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", tmp_path / "vw3",
+                   "--dims", "nosuchcol", "--cores", 4)
+    assert rc == 2 and not out["ok"] and "nosuchcol" in out["error"]
 
 
 def test_cli_maintain_tag_and_rollback(spark, tmp_path, capsys):

@@ -249,6 +249,21 @@ def test_temporal_table_join_against_lake_history(spark, tmp_path):
                                 how="inner")
     assert {r["fid"] for r in inner.collect()} == {101, 102, 103, 104, 105, 106}
 
+    # from_version > 0: the snapshot seeds base state at LSN -1, so keys
+    # unchanged since then still enrich (instead of reading never-existed)
+    seeded = {
+        r["fid"]: (r["name_dim"], r["_asof_lsn"], r["_asof_live"])
+        for r in temporal_table_join(
+            facts, dim, on=["k"], fact_order="at", from_version=2,
+        ).collect()
+    }
+    # at v2 the snapshot is {1: x2, 2: deleted}; only commit 3 (k=2→z at
+    # lsn 20) remains as changelog history
+    assert seeded[100] == ("x2", -1, True)   # base state, even pre-history
+    assert seeded[103] == ("x2", -1, True)
+    assert seeded[106] == ("z", 20, True)
+    assert seeded[104] == (None, None, False)  # k=2 absent from v2 base
+
 
 def test_range_join_rejects_bad_args(interval_frames):
     left, right = interval_frames
