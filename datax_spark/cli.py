@@ -94,6 +94,12 @@ def _relay_cmd(args) -> int:
     spark = get_session("datax-spark-relay", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "mirror": args.mirror}
+    if args.lag:
+        from datax_spark.lake.mirror import mirror_lag
+
+        out["lag"] = mirror_lag(upstream, LakeTable(spark, args.mirror))
+        print(json.dumps(out))
+        return 0
     if not LakeTable.exists(args.mirror):
         mirror = bootstrap_mirror(upstream, args.mirror,
                                   version=args.bootstrap_version)
@@ -118,6 +124,12 @@ def _aggview_cmd(args) -> int:
     spark = get_session("datax-spark-aggview", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "view": args.view}
+    if args.lag:
+        from datax_spark.lake.aggview import view_lag
+
+        out["lag"] = view_lag(upstream, LakeTable(spark, args.view))
+        print(json.dumps(out))
+        return 0
     try:
         if not LakeTable.exists(args.view):
             if not args.dims:
@@ -199,6 +211,9 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["error", "skip"],
                      help="changelog behavior across compaction/rewrite "
                           "commits")
+    rel.add_argument("--lag", action="store_true",
+                     help="report staleness (versions/seconds behind "
+                          "upstream) without syncing")
     rel.add_argument("--cores", default=None)
 
     agg = sub.add_parser(
@@ -225,6 +240,9 @@ def main(argv: list[str] | None = None) -> int:
     agg.add_argument("--on-rewrite", default="error",
                      choices=["error", "skip"],
                      help="changelog behavior across state-rewrite commits")
+    agg.add_argument("--lag", action="store_true",
+                     help="report staleness (versions/seconds behind "
+                          "upstream) without refreshing")
     agg.add_argument("--cores", default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -173,6 +173,15 @@ def create_agg_view(
     return view
 
 
+def view_lag(upstream: LakeTable, view: LakeTable) -> dict:
+    """Staleness of the view vs its upstream: watermark, versions behind,
+    and seconds behind (commit-timestamp delta).  Monitoring surface for
+    refresh scheduling."""
+    _spec(view)  # raises on non-view tables
+    wm = int(view.manifest().properties[WATERMARK_PROP])
+    return {"view_watermark": wm, **upstream.commit_lag(wm)}
+
+
 def refresh_agg_view(
     upstream: LakeTable,
     view: LakeTable,

@@ -66,6 +66,17 @@ def bootstrap_mirror(
     return mirror
 
 
+def mirror_lag(upstream: LakeTable, mirror: LakeTable) -> dict:
+    """Staleness of the mirror vs its upstream: watermark, versions
+    behind, and seconds behind (commit-timestamp delta)."""
+    wm = mirror.manifest().properties.get(WATERMARK_PROP)
+    if wm is None:
+        raise ValueError(
+            "mirror has no watermark — create it with bootstrap_mirror()"
+        )
+    return {"mirror_watermark": int(wm), **upstream.commit_lag(int(wm))}
+
+
 def sync_mirror(
     upstream: LakeTable,
     mirror: LakeTable,

@@ -707,6 +707,28 @@ class LakeTable:
             out = out.drop(DV_FILE_COL, DV_POS_COL)
         return out, any_delta
 
+    def commit_lag(self, from_version: int) -> dict:
+        """How far ``from_version`` trails the current head: versions
+        behind and wall-clock seconds between the two commits (0 when
+        caught up).  The freshness/staleness metric for anything keyed to
+        a version watermark — mirrors, aggregate views, external CDC
+        consumers.  O(2 manifest reads), no data touched."""
+        head = self.current_version()
+        behind = head - int(from_version)
+        if behind <= 0:
+            return {"head_version": head, "versions_behind": 0,
+                    "seconds_behind": 0.0}
+        t_head = self.manifest(head).committed_at
+        t_from = self.manifest(int(from_version)).committed_at
+        sec = (t_head - t_from) if (t_head is not None
+                                    and t_from is not None) else None
+        return {
+            "head_version": head,
+            "versions_behind": behind,
+            "seconds_behind": (round(max(0.0, sec), 3)
+                               if sec is not None else None),
+        }
+
     def version_as_of(self, ts: float) -> int:
         """Newest version committed at or before epoch-seconds ``ts``
         (Iceberg snapshot-as-of-timestamp analogue).  Expired (deleted)

@@ -240,6 +240,23 @@ def test_spec_validation(spark, tmp_path):
         refresh_agg_view(up, plain)
 
 
+def test_view_lag_reports_staleness(spark, tmp_path):
+    from datax_spark.lake.aggview import view_lag
+
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    assert view_lag(up, view)["versions_behind"] == 0
+    _apply(spark, up, [(2, "b", 5, 2, "insert")])
+    lag = view_lag(up, view)
+    assert lag["versions_behind"] == 1 and lag["seconds_behind"] >= 0.0
+    refresh_agg_view(up, view)
+    assert view_lag(up, view)["versions_behind"] == 0
+    plain = _mk(spark, tmp_path, "plain2")
+    with pytest.raises(ValueError, match="no aggview spec"):
+        view_lag(up, plain)
+
+
 def test_crashed_bootstrap_is_resumable(spark, tmp_path):
     """A crash between the bootstrap overwrite and the spec/watermark
     commit leaves a spec-less table; re-running create_agg_view resumes

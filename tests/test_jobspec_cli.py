@@ -283,6 +283,12 @@ def test_cli_relay_bootstrap_sync_idempotent(spark, tmp_path, capsys):
     rc, out = _cli(capsys, "relay", tmp_path / "up", mir, "--cores", 4)
     assert not out["applied"] and out["rows"] == 0  # exactly-once
 
+    # --lag reports staleness without syncing
+    bump([(4, 40, "insert")], 20)
+    rc, out = _cli(capsys, "relay", tmp_path / "up", mir, "--lag",
+                   "--cores", 4)
+    assert rc == 0 and out["lag"]["versions_behind"] == 1
+
 
 def test_cli_aggview_create_refresh_idempotent(spark, tmp_path, capsys):
     """`aggview` creates the rollup on first call (with --dims), then
@@ -323,6 +329,12 @@ def test_cli_aggview_create_refresh_idempotent(spark, tmp_path, capsys):
 
     rc, out = _cli(capsys, "aggview", tmp_path / "up", vw, "--cores", 4)
     assert not out["applied"] and out["groups"] == 0  # exactly-once
+
+    # --lag reports staleness without refreshing
+    bump([(3, "c", 9, "insert")], 20)
+    rc, out = _cli(capsys, "aggview", tmp_path / "up", vw, "--lag",
+                   "--cores", 4)
+    assert rc == 0 and out["lag"]["versions_behind"] == 1
 
     # creating without --dims is a clean CLI error, not a stack trace
     rc, out = _cli(capsys, "aggview", tmp_path / "up", tmp_path / "vw2",
