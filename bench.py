@@ -139,7 +139,9 @@ BENCH_QUERIES = [
     "cdc_wap_publish",
     # round-2 fifth pass: temporal joins + incremental aggregate view
     "asof_purchase_attrib",
+    "asof_forward_next_purchase",
     "range_error_window",
+    "temporal_dim_join",
     "cdc_agg_view",
 ]
 

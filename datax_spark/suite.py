@@ -557,6 +557,38 @@ def q_asof_purchase_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each signup matched to the same user's FIRST
+    purchase at-or-after it, within 7 days.  The oracle runs DuckDB's
+    (backward-only) ASOF JOIN over negated integer-µs timestamps — time
+    reversal turns 'oldest at-or-after' into 'newest at-or-before'."""
+    from datax_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("event_id").alias("purchase_id"),
+        _cents("value").alias("purchase_cents"),
+    )
+    res = asof_join(
+        signups, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        how="inner", direction="forward", tolerance=7 * 86400.0,
+        right_order="purchase_id",
+    )
+    return res.select(
+        "event_id", "user_id",
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.col("purchase_cents_r").alias("purchase_cents"),
+        (
+            F.unix_micros(F.col("ts_r").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("lead_us"),
+    )
+
+
 def q_range_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval range join (functions/temporal.range_join): platform-wide
     error count inside each purchase's 10-minute window — a PURE non-equi
@@ -1433,6 +1465,19 @@ SELECT e.event_id AS event_id, e.user_id AS user_id,
 FROM e ASOF JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
 WHERE epoch_us(e.ts) - epoch_us(p.ts) <= 259200000000
 """,
+    "asof_forward_next_purchase": """
+WITH s AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS neg
+           FROM events WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts, -epoch_us(ts) AS neg, event_id AS purchase_id,
+             CAST(round(value*100) AS BIGINT) AS purchase_cents
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id ASC) = 1)
+SELECT s.event_id AS event_id, s.user_id AS user_id,
+       p.purchase_id AS purchase_id, p.purchase_cents AS purchase_cents,
+       CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS lead_us
+FROM s ASOF JOIN p ON s.user_id = p.user_id AND s.neg >= p.neg
+WHERE epoch_us(p.ts) - epoch_us(s.ts) <= 604800000000
+""",
     "range_error_window": """
 WITH e AS (SELECT ts FROM events WHERE event_type = 'error'),
 p AS (SELECT event_id AS purchase_id, ts AS w_start,
@@ -1916,6 +1961,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_agg": q_skew_salted_agg,
     "events_sessionize": q_events_sessionize,
     "asof_purchase_attrib": q_asof_purchase_attrib,
+    "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
     "temporal_dim_join": q_temporal_dim_join,
     "tx_chain_docs": q_tx_chain_docs,
