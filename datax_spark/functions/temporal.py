@@ -111,11 +111,26 @@ def asof_join(
     )
     rv_type = right.select(rv.alias("__rv")).schema["__rv"].dataType
 
-    tie = (
-        F.col(right_order).cast("double")
-        if right_order is not None
-        else F.lit(0.0)
-    )
+    # Tie column keeps its NATIVE type: casting to double would null out
+    # string orders (silently disabling the tie-break — the exact hazard
+    # the parameter documents fixing) and lose precision on int64 beyond
+    # 2^53.  Non-orderable types raise instead of silently degrading.
+    if right_order is not None:
+        tdt = right.schema[right_order].dataType
+        if not isinstance(
+            tdt,
+            (T.NumericType, T.StringType, T.DateType, T.BooleanType,
+             T.BinaryType, *_TIME_TYPES),
+        ):
+            raise ValueError(
+                f"asof_join right_order={right_order!r} has non-orderable "
+                f"type {tdt}; use an atomic orderable column"
+            )
+        tie = F.col(right_order)
+        probe_tie = F.lit(None).cast(tdt)
+    else:
+        tie = F.lit(0)
+        probe_tie = F.lit(0)
     rf = right.select(
         *[F.col(k) for k in on],
         _time_value(right, right_time).alias("__t"),
@@ -130,18 +145,24 @@ def asof_join(
         *[F.col(k) for k in on],
         _time_value(left, left_time).alias("__t"),
         F.lit(1).alias("__side"),
-        F.lit(0.0).alias("__tie"),
+        probe_tie.alias("__tie"),
         F.lit(None).cast(rv_type).alias("__rv"),
         F.struct(*left.columns).alias("__lv"),
     )
 
     # Window order: probes sort AFTER builds at equal time (side 1 > 0), so
     # a build row at exactly the probe's timestamp is visible to it; among
-    # equal-time build rows the largest __tie sorts last and wins.
+    # equal-time build rows the winning one sorts LAST (max tie for
+    # backward, min for forward).  NULL ties sort first in both directions
+    # so a row with a real tie value always outranks one without; the
+    # probe rows' own tie is never compared against a build's (side
+    # differs), so its value is irrelevant.
     if direction == "backward":
-        order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc()]
+        order = [F.col("__t").asc(), F.col("__side").asc(),
+                 F.col("__tie").asc_nulls_first()]
     else:
-        order = [F.col("__t").desc(), F.col("__side").asc(), F.col("__tie").desc()]
+        order = [F.col("__t").desc(), F.col("__side").asc(),
+                 F.col("__tie").desc_nulls_first()]
     w = (
         Window.partitionBy(*[F.col(k) for k in on])
         .orderBy(*order)

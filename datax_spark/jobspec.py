@@ -69,6 +69,10 @@ class RunSpec:
     # stream-only rate/health knobs (Channel.java byte cap;
     # TaskMonitor.java hung-task expiry)
     max_bytes_per_trigger: int | None = None
+    # records-per-trigger cap (the tps half of Channel.java:148-204 —
+    # the reference throttles bytes AND records); derived from parquet
+    # footer row counts, see streaming.runner.files_per_trigger_for_rows
+    max_rows_per_trigger: int | None = None
     stall_timeout_sec: float | None = None
 
 
@@ -294,6 +298,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             spark, spec.source.path, table,
             max_files_per_trigger=spec.run.max_files_per_trigger,
             max_bytes_per_trigger=spec.run.max_bytes_per_trigger,
+            max_rows_per_trigger=spec.run.max_rows_per_trigger,
             stall_timeout_sec=spec.run.stall_timeout_sec,
             transform=(
                 (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))

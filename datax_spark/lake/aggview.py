@@ -406,9 +406,19 @@ def refresh_agg_view(
                         snap = snap.filter(
                             F.col(dims[0]).isin([r[0] for r in need_rows]))
                     else:
-                        snap = snap.filter(
-                            F.struct(*[F.col(c) for c in dims]).isin(
-                                [tuple(r) for r in need_rows]))
+                        # OR-of-AND literal predicate: struct(...).isin on
+                        # Python tuples is unsupported (PySpark cannot build
+                        # struct literals from tuples), and the disjunction
+                        # of per-column conjunctions pushes down to parquet
+                        # row-group stats where a struct compare would not.
+                        pred = None
+                        for r in need_rows:
+                            clause = None
+                            for c, v in zip(dims, r):
+                                e = F.col(c) == F.lit(v)
+                                clause = e if clause is None else (clause & e)
+                            pred = clause if pred is None else (pred | clause)
+                        snap = snap.filter(pred)
                 nk = need.select(
                     *[F.col(c).alias(f"__n_{c}") for c in dims]
                 )

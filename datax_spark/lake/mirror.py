@@ -87,11 +87,19 @@ def sync_mirror(
     """Apply upstream commits (watermark, current] to the mirror; returns
     ``{"from_version", "to_version", "rows", "applied"}``.
 
-    Change rows are merged last-writer-wins ordered by ``_change_lsn``
-    (append rows, which carry no LSN, order below every real LSN — they are
-    fresh-key inserts by the changelog contract).  Deletes propagate as
-    tombstones.  Re-running after success is a no-op (replay guard); a
-    concurrent upstream commit simply shifts to the next sync."""
+    Change rows are merged last-writer-wins ordered by ``(_commit_version,
+    _change_lsn)`` — commit order first, so a commit that follows a
+    compaction always outranks tombstones the mirror retained from BEFORE
+    that compaction.  (Ordering by raw LSN alone diverges on the sequence
+    MOR delete(k) → compact → append re-inserting k: the append carries no
+    LSN while the mirror's retained tombstone carries a real one, so k
+    would stay deleted in the mirror while live upstream.)  The per-key
+    winner over the sync range is folded here with one hash-agg and the
+    stored order value is the winning commit version — monotone across
+    syncs, so cross-sync LWW in the mirror's own MOR reconstruction stays
+    correct.  Deletes propagate as tombstones.  Re-running after success
+    is a no-op (replay guard); a concurrent upstream commit simply shifts
+    to the next sync."""
     wm = mirror.manifest().properties.get(WATERMARK_PROP)
     if wm is None:
         raise ValueError(
@@ -103,13 +111,28 @@ def sync_mirror(
         return {"from_version": from_v, "to_version": from_v,
                 "rows": 0, "applied": False}
     changes = upstream.read_changes(from_v, to_v, on_rewrite=on_rewrite)
-    payload = [f.name for f in upstream.manifest(to_v).schema.fields]
-    batch = changes.select(
-        *payload,
-        F.when(F.col("_change_type") == "delete", F.lit("delete"))
+    um = upstream.manifest(to_v)
+    payload = [f.name for f in um.schema.fields]
+    order = F.struct(
+        F.col("_commit_version").alias("v"),
+        F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias("l"),
+    )
+    win = changes.groupBy(*[F.col(c) for c in um.key_cols]).agg(
+        F.max_by(
+            F.struct(
+                *[F.col(c).alias(c) for c in payload],
+                F.col("_change_type").alias("__t"),
+                F.col("_commit_version").alias("__v"),
+            ),
+            order,
+        ).alias("__w")
+    )
+    batch = win.select(
+        *[F.col(f"__w.{c}").alias(c) for c in payload],
+        F.when(F.col("__w.__t") == "delete", F.lit("delete"))
         .otherwise(F.lit("upsert"))
         .alias(_OP),
-        F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias(_ORDER),
+        F.col("__w.__v").alias(_ORDER),
     )
     n = batch.count()
     if n == 0:
@@ -127,6 +150,7 @@ def sync_mirror(
         lineage={"batch_id": f"mirror{to_v}", "rows": n, "bytes": 0},
         mode=mode,
         auto_compact=auto_compact,
+        dedup_batch=False,  # batch is already one winner per key
         properties_update={WATERMARK_PROP: int(to_v)},
     )
     return {"from_version": from_v, "to_version": to_v,

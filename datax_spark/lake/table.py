@@ -1669,9 +1669,17 @@ class LakeTable:
         m = self.manifest()
         if not m.files:
             return None
+        # BASE bytes only (matching compaction_candidates' accounting): a
+        # delta/dv-heavy table wants compaction, not a premature full-table
+        # rebucket rewrite triggered by transient delta mass.
         total = sum(
-            self._entry_bytes(e) for entries in m.files.values() for e in entries
+            self._entry_bytes(e)
+            for entries in m.files.values()
+            for e in entries
+            if not (len(e) > 2 and e[2] in (*DELTA_KINDS, "dv"))
         )
+        if total == 0:
+            return None
         n = m.num_buckets
         while total / n > target_bucket_bytes:
             n *= 2

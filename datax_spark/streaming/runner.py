@@ -79,18 +79,47 @@ def files_per_trigger_for_bytes(feed_dir: str, max_bytes: int) -> int:
         if f.endswith(".parquet")
     ]
     sizes = [s for _, _, s in sorted(entries)]
-    if not sizes:
+    return _largest_chunk_within(sizes, max_bytes)
+
+
+def _largest_chunk_within(weights: list[int], budget: int) -> int:
+    """Largest N such that every chunk of N consecutive weights stays within
+    ``budget`` (≥1: an oversized single unit is admitted alone — the cap
+    bounds batch size, it cannot split a file)."""
+    if not weights:
         return 1
     best = 1
-    for n in range(2, len(sizes) + 1):
+    for n in range(2, len(weights) + 1):
         if all(
-            sum(sizes[i : i + n]) <= max_bytes
-            for i in range(0, len(sizes), n)
+            sum(weights[i : i + n]) <= budget
+            for i in range(0, len(weights), n)
         ):
             best = n
         else:
             break
     return best
+
+
+def files_per_trigger_for_rows(feed_dir: str, max_rows: int) -> int:
+    """Record-rate admission — the tps half of the reference's channel
+    throttle (core/.../transport/channel/Channel.java:148-204 computes BOTH
+    byteSpeed and recordSpeed and sleeps on whichever is exceeded; the byte
+    cap alone is the wrong knob for feeds with wildly varying row widths).
+
+    Row counts come from parquet footers (no data read), pre-scanned in
+    modification-time order exactly like ``files_per_trigger_for_bytes``
+    pre-scans sizes; returns the largest N such that every chunk of N
+    consecutive files stays within ``max_rows``."""
+    import pyarrow.parquet as pq
+
+    entries = [
+        (os.path.getmtime(os.path.join(feed_dir, f)), f,
+         pq.read_metadata(os.path.join(feed_dir, f)).num_rows)
+        for f in os.listdir(feed_dir)
+        if f.endswith(".parquet")
+    ]
+    rows = [r for _, _, r in sorted(entries)]
+    return _largest_chunk_within(rows, max_rows)
 
 
 def run_available_now(
@@ -101,6 +130,7 @@ def run_available_now(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     max_bytes_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
     timeout_sec: int = 600,
     stall_timeout_sec: float | None = None,
     filter_watermark: bool = True,
@@ -125,7 +155,10 @@ def run_available_now(
 
     ``max_bytes_per_trigger`` caps each micro-batch by cumulative file
     bytes (pre-scanned; see files_per_trigger_for_bytes) — the knob that
-    matters when a 100-TB backfill shares a cluster.  ``stall_timeout_sec``
+    matters when a 100-TB backfill shares a cluster.
+    ``max_rows_per_trigger`` caps by cumulative footer row counts (the
+    reference throttles bytes AND records; see files_per_trigger_for_rows)
+    — both caps given, the stricter file count wins.  ``stall_timeout_sec``
     fails the drain when no batch completes for that long while the query
     is active (≈ the reference's hung-task expiry, TaskMonitor.java:80-97)
     — distinct from ``timeout_sec``, the bound on TOTAL drain time."""
@@ -133,10 +166,19 @@ def run_available_now(
         feed_schema = spark.read.parquet(feed_dir).schema
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(table.location, "_stream_checkpoint")
-    if max_bytes_per_trigger is not None and max_files_per_trigger is None:
-        max_files_per_trigger = files_per_trigger_for_bytes(
-            feed_dir, max_bytes_per_trigger
-        )
+    if max_bytes_per_trigger is not None or max_rows_per_trigger is not None:
+        derived = []
+        if max_bytes_per_trigger is not None:
+            derived.append(
+                files_per_trigger_for_bytes(feed_dir, max_bytes_per_trigger)
+            )
+        if max_rows_per_trigger is not None:
+            derived.append(
+                files_per_trigger_for_rows(feed_dir, max_rows_per_trigger)
+            )
+        if max_files_per_trigger is not None:
+            derived.append(max_files_per_trigger)
+        max_files_per_trigger = min(derived)
 
     reader = spark.readStream.schema(feed_schema)
     if max_files_per_trigger is not None:

@@ -291,3 +291,39 @@ def test_view_survives_restart_spec_in_properties(spark, tmp_path):
     _apply(spark, up, [(2, "b", 1, 2, "insert")])
     refresh_agg_view(up, reopened)
     assert _view_state(reopened) == {"a": (1, 10), "b": (1, 1)}
+
+
+def test_multi_dim_min_max_rescan(spark, tmp_path):
+    """Departed extremum on a view with >=2 dims: the rescan pushdown must
+    build literal predicates per dim (struct(...).isin(tuple) is not a
+    supported literal in PySpark and crashed mid-refresh)."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("g1", T.StringType()),
+        T.StructField("g2", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    up = LakeTable.create(
+        spark, str(tmp_path / "up2"), schema=schema, key_cols=["k"],
+        bucket_col="k", num_buckets=4,
+    )
+
+    def ap(rows):
+        df = spark.createDataFrame(
+            [Row(k=k, g1=a, g2=b, v=v, lsn=lsn, op=op)
+             for (k, a, b, v, lsn, op) in rows],
+            "k long, g1 string, g2 string, v long, lsn long, op string",
+        )
+        merge_into(up, df, op_col="op", order_col="lsn", mode="mor")
+
+    ap([(1, "a", "x", 10, 1, "insert"), (2, "a", "x", 30, 2, "insert"),
+        (3, "a", "y", 7, 3, "insert"), (4, "b", "x", 50, 4, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw2"), dims=["g1", "g2"],
+                           mins=["v"], maxs=["v"])
+    # delete the (a,x) max holder AND the (b,x) only row: one group needs a
+    # two-dim rescan, the other is deleted outright
+    ap([(2, "a", "x", 0, 5, "delete"), (4, "b", "x", 0, 6, "delete")])
+    refresh_agg_view(up, view)
+    got = {(r["g1"], r["g2"]): (r["n_rows"], r["min_v"], r["max_v"])
+           for r in view.read().collect()}
+    assert got == {("a", "x"): (1, 10, 10), ("a", "y"): (1, 7, 7)}

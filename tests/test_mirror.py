@@ -138,3 +138,38 @@ def test_schema_evolution_propagates(spark, tmp_path):
     assert "extra" in [f.name for f in mirror.manifest().schema.fields]
     got = {r["k"]: (r["v"], r["extra"]) for r in mirror.read().collect()}
     assert got == {1: (10, None), 2: (20, "x")}
+
+
+def test_reinsert_after_upstream_compact_outranks_retained_tombstone(
+    spark, tmp_path
+):
+    """MOR delete(k) upstream → mirror syncs the tombstone → upstream
+    compacts (tombstone folded away, skipped by the changelog) → upstream
+    appends k as a fresh key.  The mirror's retained tombstone carries a
+    real LSN while the append carries none — ordering by commit version
+    makes the later commit's insert win; raw-LSN ordering would leave k
+    silently deleted in the mirror while live upstream."""
+    up = _mk_upstream(spark, tmp_path)
+    _merge(up, [(1, 10, "insert"), (2, 20, "insert")], lsn0=0)
+    mirror = bootstrap_mirror(up, str(tmp_path / "mir"), version=0)
+    _merge(up, [(1, 0, "delete")], lsn0=100)  # tombstone at a real LSN
+    sync_mirror(up, mirror)  # mirror retains the tombstone in its MOR delta
+    assert _state(mirror) == _state(up) == [(2, 20)]
+    up.compact()  # folds the tombstone away upstream
+    up.append(spark.createDataFrame([Row(k=1, v=99)], SCHEMA))
+    sync_mirror(up, mirror)
+    assert _state(mirror) == _state(up) == [(1, 99), (2, 20)]
+
+
+def test_mirror_winner_spans_commits_in_one_sync(spark, tmp_path):
+    """A sync range covering several commits must apply each key's single
+    (commit, LSN)-max winner — including a later-commit delete overriding
+    an earlier-commit insert, and vice versa."""
+    up = _mk_upstream(spark, tmp_path)
+    mirror = bootstrap_mirror(up, str(tmp_path / "mir"))
+    _merge(up, [(1, 10, "insert"), (2, 20, "insert")], lsn0=0)
+    _merge(up, [(1, 0, "delete"), (3, 30, "insert")], lsn0=10)
+    _merge(up, [(2, 22, "insert")], lsn0=20)
+    out = sync_mirror(up, mirror)
+    assert out["applied"]
+    assert _state(mirror) == _state(up) == [(2, 22), (3, 30)]

@@ -70,6 +70,7 @@ def test_suggest_num_buckets_and_noop(spark, tmp_path):
     fixtures.change_events(spark, 1000, n_keys=300, seed=42).write.parquet(feed_path)
     t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=4)
     run_incremental(t, spark.read.parquet(feed_path), batch_lsns=1000)
+    t.compact()  # advice is on BASE bytes — fold deltas first
     total = t.file_stats()["bytes"]
     # generous target: layout fine, rebucket is a no-op
     assert t.suggest_num_buckets(total) is None
@@ -86,6 +87,7 @@ def test_cli_maintain_rebucket(spark, tmp_path, capsys):
     fixtures.change_events(spark, 1000, n_keys=300, seed=42).write.parquet(feed_path)
     t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=4)
     run_incremental(t, spark.read.parquet(feed_path), batch_lsns=1000)
+    t.compact()  # advice is on BASE bytes — fold deltas first
     total = t.file_stats()["bytes"]
     rc = cli.main(
         ["maintain", str(tmp_path / "t"),
@@ -95,3 +97,36 @@ def test_cli_maintain_rebucket(spark, tmp_path, capsys):
     assert rc == 0 and out["ok"] and out["rebucketed"]
     assert out["num_buckets"] == 16
     assert LakeTable(spark, str(tmp_path / "t")).manifest().num_buckets == 16
+
+
+def test_suggest_num_buckets_ignores_delta_and_dv_bytes(spark, tmp_path):
+    """A delta-heavy table must not trigger a premature full-table rebucket:
+    the advice contract is average BASE bytes per bucket (delta mass is
+    transient — compaction's job, not rebucket's)."""
+    from pyspark.sql import Row
+
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "dd"),
+        schema=T.StructType([
+            T.StructField("k", T.LongType()), T.StructField("v", T.StringType()),
+        ]),
+        key_cols=["k"], bucket_col="k", num_buckets=2,
+    )
+    t.append(spark.createDataFrame([Row(k=i, v="x" * 10) for i in range(50)]))
+    base_bytes = t.file_stats()["bytes"]
+    # pile on deltas worth several times the base without compacting
+    for b in range(6):
+        df = spark.createDataFrame(
+            [Row(k=i, v="y" * 200, op="insert", lsn=b * 100 + i)
+             for i in range(50)]
+        )
+        merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+    stats = t.file_stats()
+    assert stats["bytes"] > 2 * base_bytes  # deltas dominate
+    # target sized between base and total: base-only accounting says fine
+    assert t.suggest_num_buckets(base_bytes) is None

@@ -126,6 +126,67 @@ def test_stream_byte_cap_bounds_batches(spark, tmp_path):
     _parity(t, feed_path)
 
 
+def test_files_per_trigger_for_rows(tmp_path):
+    """Record-rate admission reads parquet FOOTER row counts (no data
+    read) in mtime order, mirroring the byte pre-scan."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datax_spark.streaming.runner import files_per_trigger_for_rows
+
+    d = tmp_path / "rowed"
+    d.mkdir()
+    # 6 files of 50 rows each, ascending mtimes
+    for i in range(6):
+        p = str(d / f"part-{i}.parquet")
+        pq.write_table(pa.table({"a": list(range(50))}), p)
+        os.utime(p, (1_000_000 + i, 1_000_000 + i))
+    f = files_per_trigger_for_rows
+    assert f(str(d), 50) == 1
+    assert f(str(d), 120) == 2
+    assert f(str(d), 1000) == 6
+    # cap below the smallest file still admits one file per batch
+    assert f(str(d), 10) == 1
+    e = tmp_path / "empty_r"
+    e.mkdir()
+    assert f(str(e), 100) == 1
+
+
+def test_stream_row_cap_bounds_batches(spark, tmp_path):
+    """max_rows_per_trigger: every micro-batch's applied row total stays
+    within the cap (the tps half of the reference's channel throttle)."""
+    feed_path = _feed(spark, tmp_path, n_files=6)
+    per_file = N // 6
+    cap = per_file * 2 + 10  # admits exactly 2 files per batch
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    applied = run_available_now(
+        spark, feed_path, t, max_rows_per_trigger=cap
+    )
+    assert sum(l["rows"] for l in applied) == N
+    assert len(applied) == 3  # 6 files / 2 per batch
+    assert all(l["rows"] <= cap for l in applied)
+    _parity(t, feed_path)
+
+
+def test_stream_row_and_byte_caps_stricter_wins(spark, tmp_path):
+    """Both caps given: the stricter derived file count governs."""
+    feed_path = _feed(spark, tmp_path, n_files=6)
+    per_file = N // 6
+    sizes = sorted(
+        os.path.getsize(os.path.join(feed_path, f))
+        for f in os.listdir(feed_path) if f.endswith(".parquet")
+    )
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    applied = run_available_now(
+        spark, feed_path, t,
+        max_bytes_per_trigger=sizes[-1] * 6,   # permissive: all 6 at once
+        max_rows_per_trigger=per_file + 5,     # strict: 1 file per batch
+    )
+    assert sum(l["rows"] for l in applied) == N
+    assert len(applied) == 6
+    _parity(t, feed_path)
+
+
 def test_stall_watchdog_fires_on_hung_batch(spark, tmp_path):
     import time as _time
 

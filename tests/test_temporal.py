@@ -271,3 +271,39 @@ def test_range_join_rejects_bad_args(interval_frames):
         range_join(left, right, "t", "s", "e")  # no band width
     with pytest.raises(ValueError):
         range_join(left, right, "t", "s", "e", band_width=600.0, how="full")
+
+
+def test_asof_tie_break_keeps_native_type(spark):
+    """String and >2^53 int64 right_order columns must break ties in their
+    native type — the old double cast nulled strings (arbitrary winner)
+    and rounded big longs."""
+    t = _ts(100)
+    left = spark.createDataFrame([(1, 0, t)], "pid long, k long, t timestamp")
+    big = 2**60
+    right_str = spark.createDataFrame(
+        [("alpha", 0, t), ("beta", 0, t)], "tag string, k long, t timestamp"
+    )
+    row = asof_join(
+        left, right_str, on=["k"], left_time="t", right_time="t",
+        right_order="tag",
+    ).collect()[0]
+    assert row["tag_r"] == "beta"  # lexicographic max, not arbitrary
+    right_big = spark.createDataFrame(
+        [(big + 1, 0, t), (big + 2, 0, t)], "rid long, k long, t timestamp"
+    )
+    row = asof_join(
+        left, right_big, on=["k"], left_time="t", right_time="t",
+        right_order="rid",
+    ).collect()[0]
+    assert row["rid_r"] == big + 2  # exact — double would collapse the tie
+
+
+def test_asof_non_orderable_right_order_raises(spark):
+    t = _ts(100)
+    left = spark.createDataFrame([(1, 0, t)], "pid long, k long, t timestamp")
+    right = spark.createDataFrame(
+        [([1, 2], 0, t)], "arr array<long>, k long, t timestamp"
+    )
+    with pytest.raises(ValueError, match="non-orderable"):
+        asof_join(left, right, on=["k"], left_time="t", right_time="t",
+                  right_order="arr")
