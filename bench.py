@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "range_error_window",
     "temporal_dim_join",
     "cdc_agg_view",
+    # round-3: real BMP decode through the Arrow kernel
+    "multimodal_decode_image",
 ]
 
 
@@ -198,21 +200,35 @@ def main() -> None:
     )
     print(f"# cdc_ingest(mor+dedup): {ingest_dedup}", file=sys.stderr)
 
+    # per-query numbers are MEDIANS of DX_BENCH_QUERY_REPS reps (same
+    # host-noise rationale as the headline: the 1.5-3x drift band makes a
+    # single sample indistinguishable from a real regression); all reps
+    # ride along under "query_reps" so the drift stays visible.
+    q_reps = max(1, int(os.environ.get("DX_BENCH_QUERY_REPS", "3")))
+    query_reps: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {qtimes[name]}s ({n} rows)", file=sys.stderr)
-        # dedup/similarity ops cache their (small) result frames; drop them
-        # so later timings never ride an earlier query's cache
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(q_reps):
+            t0 = time.monotonic()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            samples.append(round(time.monotonic() - t0, 3))
+            # dedup/similarity ops cache their (small) result frames; drop
+            # them so later timings never ride an earlier query's cache —
+            # and so each rep re-executes the full plan
+            spark.catalog.clearCache()
+        samples.sort()
+        query_reps[name] = samples
+        qtimes[name] = samples[len(samples) // 2]
+        print(f"# {name}: {qtimes[name]}s median of {samples} ({n} rows)",
+              file=sys.stderr)
 
     out = {
         "metric": "cdc_upsert_events_per_sec",
         "value": ingest["events_per_sec"],
         "unit": "events/sec",
         "queries": qtimes,
+        "query_reps": query_reps,
         "sf": sf,
         "cdc_ingest": ingest,
         "cdc_ingest_dedup_batch": ingest_dedup,

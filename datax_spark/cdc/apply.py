@@ -40,7 +40,7 @@ class CdcApplier:
         auto_compact: int | None = 8,
         dedup_batch: bool = True,
         lineage_detail: str = "shards",
-        bucket_deltas: bool = True,
+        bucket_deltas: bool | str = "auto",
         compact_ratio: float | None = None,
         partial_update: bool = False,
         present_col: str | None = None,
@@ -64,7 +64,7 @@ class CdcApplier:
         self.table = table
         self.files_per_bucket = files_per_bucket
         self.mode = mode
-        if not bucket_deltas and auto_compact is not None:
+        if bucket_deltas is False and auto_compact is not None:
             # L0 appends produce ~input-partition-count files per batch and
             # every L0 file counts against every bucket's budget — a
             # per-bucket threshold sized for bucketed deltas (8) would

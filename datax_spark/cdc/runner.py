@@ -63,7 +63,7 @@ def run_incremental(
     auto_compact: int | None = 8,
     dedup_batch: bool = True,
     lineage_detail: str = "shards",
-    bucket_deltas: bool = True,
+    bucket_deltas: bool | str = "auto",
     compact_ratio: float | None = None,
     partial_update: bool = False,
     present_col: str | None = None,

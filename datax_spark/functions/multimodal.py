@@ -8,10 +8,13 @@ frame-sample) runs as Arrow-batched ``mapInPandas`` — the batch boundary is
 the Arrow record batch, so one Python invocation amortizes over thousands
 of items and the plan stays vectorized (never per-row Python).
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are gated behind import-try and raise NotImplementedError;
-``fake_decode_meta`` is the deterministic stand-in the tests drive the
-plumbing with (schema, partitioning, UDF signature, batch shape are real).
+Codecs: 24-bit BI_RGB BMP decodes NATIVELY (pure numpy header parse +
+bottom-up/stride/BGR handling — ``bmp_decode``), so ``decode_image`` is a
+real end-to-end decode path; compressed formats (JPEG/PNG/ffmpeg/
+torchaudio) need libraries this container does not ship and raise
+NotImplementedError behind an import-try rather than guessing.
+``fake_decode_meta`` remains the format-agnostic stand-in for plumbing
+tests (schema, partitioning, UDF signature, batch shape are real).
 
 Scale notes:
 - binary payloads skew partition sizes — ``rebalance_by_bytes`` salts the
@@ -74,14 +77,150 @@ def rebalance_by_bytes(
     return df.repartition(n, F.spark_partition_id(), F.monotonically_increasing_id())
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real decode path — requires PIL; absent in this container."""
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL; this environment ships no codecs — "
-            "use fake_decode_meta for plumbing tests"
+# ------------------------------------------------------- BMP codec (numpy)
+# 24-bit uncompressed BI_RGB Windows BMP — the format is public knowledge
+# and dependency-free, so unlike JPEG/PNG (which need PIL, absent here) the
+# decode path is REAL: header parse, bottom-up row order, 4-byte row stride,
+# BGR channel order.  One honest codec end-to-end beats a stub.
+
+_BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def _bmp_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+
+
+def bmp_encode(rgb_row_major: bytes, width: int) -> bytes:
+    """Encode RGB row-major pixel bytes (len = width*height*3) as a 24-bit
+    BI_RGB BMP.  Pure stdlib/numpy — the fixture side of the real codec."""
+    import struct
+
+    import numpy as np
+
+    if width <= 0 or len(rgb_row_major) % (3 * width):
+        raise ValueError("pixel buffer is not width*height*3 bytes")
+    height = len(rgb_row_major) // (3 * width)
+    stride = _bmp_stride(width)
+    img_size = stride * height
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", _BMP_HEADER_BYTES + img_size, 0, 0, _BMP_HEADER_BYTES,
+        40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0,
+    )
+    px = np.frombuffer(rgb_row_major, dtype=np.uint8).reshape(height, width, 3)
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = px[::-1, :, ::-1].reshape(height, width * 3)
+    return header + rows.tobytes()
+
+
+def bmp_decode(payload: bytes):
+    """Parse a 24-bit BI_RGB BMP to an RGB row-major uint8 array of shape
+    (height, width, 3).  Validates magic/bpp/compression and handles the
+    bottom-up row order and 4-byte stride a real file carries."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < _BMP_HEADER_BYTES:
+        raise ValueError("truncated BMP: missing header")
+    magic, _, _, _, data_off = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP payload (magic {magic!r})")
+    (hdr_sz, width, height, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if hdr_sz < 40 or bpp != 24 or comp != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={comp}); "
+            "only 24-bit BI_RGB is implemented"
         )
-    raise NotImplementedError("PIL decode kernel intentionally not shipped yet")
+    flipped = height < 0  # negative height = top-down rows
+    height = abs(height)
+    stride = _bmp_stride(width)
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP: pixel data shorter than header claims")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if not flipped:
+        px = px[::-1]  # bottom-up storage → row-major
+    return px[:, :, ::-1]  # BGR → RGB
+
+
+DECODE_IMAGE_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode image payloads and emit per-image stats (dimensions + exact
+    per-channel byte sums — integer, hence value-oracle-stable).
+
+    BMP payloads decode natively (pure numpy, see ``bmp_decode``); other
+    formats need PIL, which this container does not ship — they raise
+    NotImplementedError rather than guessing.  Arrow-batched mapInPandas:
+    one Python invocation per record batch, payload dropped on output."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col], "width": [], "height": [],
+                   "sum_r": [], "sum_g": [], "sum_b": []}
+            for b in pdf[payload_col]:
+                if b is not None and bytes(b[:2]) == b"BM":
+                    px = bmp_decode(bytes(b))
+                    s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+                elif _HAVE_PIL:  # pragma: no cover - PIL absent here
+                    raise NotImplementedError(
+                        "non-BMP decode via PIL not shipped yet"
+                    )
+                else:
+                    raise NotImplementedError(
+                        "non-BMP image decode requires PIL; this "
+                        "environment ships no codecs"
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, DECODE_IMAGE_SCHEMA
+    )
+
+
+def attach_bmp_binary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Deterministic REAL-image fixture: each row's utf-8 text bytes become
+    RGB row-major pixels (zero-padded to a whole width×height raster) and
+    are encoded as an actual 24-bit BMP file.  decode_image() over this
+    payload must recover exactly (width, height, per-channel sums of the
+    padded text bytes) — the contract the DuckDB oracle recomputes from
+    the text alone."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = (s or "").encode("utf-8")
+                px_per_row = 3 * width
+                height = max(1, -(-len(raw) // px_per_row))
+                raw = raw.ljust(px_per_row * height, b"\x00")
+                payloads.append(bmp_encode(raw, width))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, payload binary"
+    )
 
 
 FAKE_DECODE_SCHEMA = "doc_id long, mime string, n_bytes long, checksum long"

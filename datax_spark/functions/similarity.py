@@ -12,6 +12,8 @@ queries are broadcast to it — the join reads each corpus partition once.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -161,6 +163,82 @@ def probe_centroids(vec_dbl, centroids, nprobe: int) -> F.Column:
     return F.transform(ranked, lambda s: s["cid"])
 
 
+# expression-tree argmin is O(k*dim) literals in the plan — fine to here;
+# beyond it the vectorized pandas path (one BLAS matmul per Arrow batch)
+# scores centroids without bloating the plan
+_EXPR_ARGMIN_MAX_K = 64
+
+
+def _centroid_matrix(centroids: list[tuple[int, list[float]]]):
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cc = (cmat * cmat).sum(axis=1)
+    return cids, cmat, cc
+
+
+def nearest_centroid_pandas(vec_col, centroids) -> F.Column:
+    """Large-k argmin as a vectorized pandas UDF: per Arrow batch, stack the
+    vectors into an (n, dim) float64 matrix and score every centroid with
+    one BLAS matmul (score = |c|^2 - 2 v.c, same argmin as the expression
+    path).  Ties break to the lowest cid (np.argmin keeps the first
+    minimum and centroids are cid-ordered).  Scores differ from the
+    sequential-fold expression path only by float64 summation order
+    (~1e-15) — irrelevant for ANN partitioning, which is why the
+    ORACLE-verified small-k path keeps the bit-exact expression tree."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cmat, cc = _centroid_matrix(centroids)
+
+    @pandas_udf("long")
+    def _argmin(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        scores = cc[None, :] - 2.0 * (mat @ cmat.T)
+        return pd.Series(cids[np.argmin(scores, axis=1)])
+
+    return _argmin(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
+def probe_centroids_pandas(vec_col, centroids, nprobe: int) -> F.Column:
+    """Large-k probe list (nprobe nearest cids) via the same batched matmul;
+    stable argsort keeps ties in cid order like the expression path."""
+    from pyspark.sql.functions import pandas_udf
+
+    cids, cmat, cc = _centroid_matrix(centroids)
+
+    @pandas_udf("array<long>")
+    def _probe(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        scores = cc[None, :] - 2.0 * (mat @ cmat.T)
+        idx = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([cids[row].tolist() for row in idx])
+
+    return _probe(vec_col if not isinstance(vec_col, str) else F.col(vec_col))
+
+
+def _pick_method(method: str, centroids) -> str:
+    if method == "auto":
+        return "expr" if len(centroids) <= _EXPR_ARGMIN_MAX_K else "pandas"
+    if method not in ("expr", "pandas"):
+        raise ValueError(f"unknown centroid-scoring method {method!r}")
+    return method
+
+
+def _nearest(vec_dbl, centroids, method: str) -> F.Column:
+    if _pick_method(method, centroids) == "expr":
+        return nearest_centroid(vec_dbl, centroids)
+    return nearest_centroid_pandas(vec_dbl, centroids)
+
+
+def _probe_list(vec_dbl, centroids, nprobe: int, method: str) -> F.Column:
+    if _pick_method(method, centroids) == "expr":
+        return probe_centroids(vec_dbl, centroids, nprobe)
+    return probe_centroids_pandas(vec_dbl, centroids, nprobe)
+
+
 def kmeans_lite(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -168,6 +246,7 @@ def kmeans_lite(
     k: int = 8,
     n_iters: int = 2,
     scale: int = 1_000_000,
+    method: str = "auto",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means over an embedding column — the trained
     partition function for IVF ANN (upgrade over ``sign_bucket``).
@@ -183,10 +262,12 @@ def kmeans_lite(
     Scale shape: each iteration is one hash-agg over posexplode(dim) —
     shuffle of k*dim longs per partition after map-side partials — plus a
     driver collect of k*dim stats (bounded planning data, like bucket ids
-    in merge.py).  Centroids travel back as literals (broadcast by plan),
-    so the corpus is scanned, never shuffled by row.  The expression-tree
-    argmin is O(k*dim) literals — right for k up to ~64; beyond that chunk
-    the centroid set or move the argmin into a vectorized pandas UDF.
+    in merge.py).  Centroids travel back as literals / a closure constant
+    (broadcast by plan), so the corpus is scanned, never shuffled by row.
+    ``method``: "expr" = bit-exact expression-tree argmin (the
+    oracle-matchable path, plans O(k*dim) literals — capped at
+    ``_EXPR_ARGMIN_MAX_K``); "pandas" = batched-BLAS argmin for large k;
+    "auto" (default) picks by k.
     """
     v = _as_double(vec_col)
     init = (
@@ -202,7 +283,8 @@ def kmeans_lite(
     )
     for _ in range(n_iters):
         stats = (
-            base.withColumn("__cluster", nearest_centroid(F.col("__v"), centroids))
+            base.withColumn("__cluster",
+                            _nearest(F.col("__v"), centroids, method))
             .select("__cluster", F.posexplode("__fv").alias("pos", "val"))
             .groupBy("__cluster", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -225,11 +307,12 @@ def kmeans_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """(id, cluster) assignment of every vector to its nearest centroid."""
     return df.select(
         F.col(id_col),
-        nearest_centroid(_as_double(vec_col), centroids).alias("cluster"),
+        _nearest(_as_double(vec_col), centroids, method).alias("cluster"),
     )
 
 
@@ -243,6 +326,7 @@ def ivf_topk(
     n_iters: int = 2,
     nprobe: int = 1,
     centroids: list[tuple[int, list[float]]] | None = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Approximate top-k with TRAINED IVF partitions (vs ``ann_bucketed_topk``
     whose buckets are untrained sign bits).
@@ -250,20 +334,23 @@ def ivf_topk(
     The corpus is assigned once to its nearest centroid (the inverted
     lists); each query probes its ``nprobe`` nearest centroids and ranks
     exact cosine inside those lists only — ~nprobe/k of the corpus per
-    query.  Recall grows with nprobe; nprobe=k is exact search."""
+    query.  Recall grows with nprobe; nprobe=k is exact search.
+    ``method``: centroid scoring — "expr" (bit-exact, k ≤ 64) / "pandas"
+    (batched BLAS, any k) / "auto"."""
     if centroids is None:
-        centroids = kmeans_lite(corpus, id_col, vec_col, n_centroids, n_iters)
+        centroids = kmeans_lite(corpus, id_col, vec_col, n_centroids,
+                                n_iters, method=method)
     c = with_unit_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor"),
-        nearest_centroid(F.col("__vec"), centroids).alias("cluster"),
+        _nearest(F.col("__vec"), centroids, method).alias("cluster"),
         "__vec",
         "__norm",
     )
     q = with_unit_norm(queries, vec_col).select(
         F.col(id_col).alias("q"),
-        F.explode(probe_centroids(F.col("__vec"), centroids, nprobe)).alias(
-            "cluster"
-        ),
+        F.explode(
+            _probe_list(F.col("__vec"), centroids, nprobe, method)
+        ).alias("cluster"),
         F.col("__vec").alias("__qvec"),
         F.col("__norm").alias("__qnorm"),
     )

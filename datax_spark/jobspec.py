@@ -59,6 +59,11 @@ class MergeSpec:
     # DataX writeMode=update: batch columns are SET on conflict (explicit
     # NULLs win), unmapped target columns keep their previous value
     partial_update: bool = False
+    # MOR delta placement: True = bucket-partitioned delta files, False =
+    # unbucketed L0 (no shuffle, max throughput), "auto" (default) = pick
+    # per batch from measured lineage bytes/rows (lake/merge.py
+    # _resolve_bucket_deltas) — small batches go to L0, big ones bucket
+    bucket_deltas: bool | str = "auto"
 
 
 @dataclass
@@ -279,6 +284,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             dedup_batch=spec.merge.dedup_batch,
             compact_ratio=spec.merge.compact_ratio,
             partial_update=spec.merge.partial_update,
+            bucket_deltas=spec.merge.bucket_deltas,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
@@ -315,6 +321,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             files_per_bucket=spec.merge.files_per_bucket,
             compact_ratio=spec.merge.compact_ratio,
             partial_update=spec.merge.partial_update,
+            bucket_deltas=spec.merge.bucket_deltas,
         )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))

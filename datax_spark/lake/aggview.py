@@ -16,11 +16,14 @@ under retraction; ``avg`` is a read-time division.  ``min_<col>`` /
 an arriving value at-or-beyond the current extremum updates it directly,
 and ONLY a group whose current extremum actually departs (a retracted
 row held it and nothing arriving reaches it) triggers a recompute — one
-snapshot pass filtered to just those groups (their keys are pushed into
-the scan as an ``isin`` predicate when few, and a broadcast semi join
-restricts the rows either way; dims are not the upstream bucket key, so
-file-level pruning beyond row-group stats is not available on this
-pass).  No extremum departure → no snapshot pass at all.
+snapshot pass filtered to just those groups.  Their dim values are
+pushed into the scan as per-dim IN predicates via ``read(where=...)``,
+so the upstream manifest's ZONE MAPS skip whole files before any are
+opened; keep a hot upstream dim-clustered with
+``compact(sort_cols=dims)`` and the rescan costs O(matching files),
+not O(snapshot) — the refresh result reports the pruning decision under
+``"rescan"``.  A broadcast semi join restores group-exactness either
+way.  No extremum departure → no snapshot pass at all.
 
 Exactly-once, like the mirror (``lake/mirror.py``): the view stores
 ``aggview_upstream_version`` in its own manifest properties and advances
@@ -229,7 +232,7 @@ def refresh_agg_view(
     to_v = upstream.current_version()
     if to_v <= from_v:
         return {"from_version": from_v, "to_version": from_v,
-                "groups": 0, "applied": False}
+                "groups": 0, "applied": False, "rescan": None}
 
     ukeys = list(upstream.manifest(to_v).key_cols)
     payload_cols = list(dict.fromkeys([*dims, *sums, *mins, *maxs]))
@@ -324,7 +327,7 @@ def refresh_agg_view(
         if n_groups == 0:
             view.set_properties(**{WATERMARK_PROP: int(to_v)})
             return {"from_version": from_v, "to_version": to_v,
-                    "groups": 0, "applied": False}
+                    "groups": 0, "applied": False, "rescan": None}
         cur = view.read(buckets=[b for b in touched if b is not None])
         cond = None
         keys = deltas.select(
@@ -378,6 +381,7 @@ def refresh_agg_view(
         out_cols.append(F.lit(int(to_v)).alias(_ORDER))
         batch = merged.select(*out_cols)
 
+        rescan_plan = None  # scan_plan() of the departed-extremum pass
         if mins or maxs:
             batch = batch.persist()
             # collect the departed-extremum group keys (bounded by the
@@ -391,34 +395,30 @@ def refresh_agg_view(
             )
             need_rows = need.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
             if need_rows:
-                # exact recompute for ONLY those groups: one snapshot
-                # pass, dim-pushdown-filtered when few groups, semi-joined
-                # to the group keys either way.  NOTE: this pass scans the
-                # snapshot's files (dims are not the upstream bucket key,
-                # so manifest bucket pruning cannot apply) — the filter
-                # prunes row groups and rows, and it only runs at all when
-                # an extremum actually departed.
-                snap = upstream.read(version=to_v)
+                # exact recompute for ONLY those groups: one snapshot pass,
+                # dim-pushdown-filtered when few groups, semi-joined to the
+                # group keys either way.  The pushdown is a per-dim IN
+                # conjunction handed to read(where=...) so the MANIFEST
+                # ZONE MAPS skip whole files before any are opened — on an
+                # upstream kept dim-clustered via compact(sort_cols=dims)
+                # each file covers a narrow dim range and a hot-retraction
+                # pattern rescans O(matching files), not O(snapshot).  The
+                # conjunction over-approximates the exact group set
+                # (dim1 IN (..) AND dim2 IN (..) admits cross products);
+                # the broadcast semi join below restores exactness.
+                # Un-compacted (delta-holding) snapshots skip no files
+                # (non-key preds are MOR-unsafe, see _select_entries) —
+                # there the residual filter still prunes rows.
                 few = (len(need_rows) <= _RESCAN_PUSHDOWN_CAP
                        and not any(v is None for r in need_rows for v in r))
-                if few:
-                    if len(dims) == 1:
-                        snap = snap.filter(
-                            F.col(dims[0]).isin([r[0] for r in need_rows]))
-                    else:
-                        # OR-of-AND literal predicate: struct(...).isin on
-                        # Python tuples is unsupported (PySpark cannot build
-                        # struct literals from tuples), and the disjunction
-                        # of per-column conjunctions pushes down to parquet
-                        # row-group stats where a struct compare would not.
-                        pred = None
-                        for r in need_rows:
-                            clause = None
-                            for c, v in zip(dims, r):
-                                e = F.col(c) == F.lit(v)
-                                clause = e if clause is None else (clause & e)
-                            pred = clause if pred is None else (pred | clause)
-                        snap = snap.filter(pred)
+                snap_where = (
+                    [(c, "in", sorted({r[i] for r in need_rows}))
+                     for i, c in enumerate(dims)]
+                    if few else None
+                )
+                rescan_plan = upstream.scan_plan(
+                    where=snap_where, version=to_v)
+                snap = upstream.read(version=to_v, where=snap_where)
                 nk = need.select(
                     *[F.col(c).alias(f"__n_{c}") for c in dims]
                 )
@@ -477,7 +477,8 @@ def refresh_agg_view(
             if mins or maxs:
                 batch.unpersist()
         return {"from_version": from_v, "to_version": to_v,
-                "groups": n_groups, "applied": m is not None}
+                "groups": n_groups, "applied": m is not None,
+                "rescan": rescan_plan}
     finally:
         if deltas is not None:
             deltas.unpersist()

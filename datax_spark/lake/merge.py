@@ -43,6 +43,41 @@ from datax_spark.lake.table import (
 OP_COL_DEFAULT = "op"
 DELETE_OP = "delete"
 
+# bucket_deltas="auto" placement threshold: bucket the delta write only when
+# the batch is big enough that the per-bucket delta files it would produce
+# are non-trivial (>= this many bytes each ON AVERAGE).  Below it, a
+# bucketed write is pure small-file pollution — 64 tiny files plus a
+# 64-task dynamic-partition write per micro-batch — so the batch goes to
+# L0 (LSM level-0: unbucketed, no shuffle, AQE-coalesced to ~1 file) and
+# compaction re-buckets it.  At production batch sizes (GBs) auto always
+# buckets, preserving per-bucket delta pruning at the 100-TB design point.
+L0_AUTO_BYTES_PER_BUCKET = 4 << 20
+# rows-only lineage (bytes unmeasured, e.g. aggview/mirror pass bytes=0):
+# conservative per-row byte estimate for the placement decision
+L0_AUTO_EST_ROW_BYTES = 256
+
+
+def _resolve_bucket_deltas(bucket_deltas, base: Manifest,
+                           lineage: dict | None) -> bool:
+    """Resolve ``bucket_deltas="auto"`` to a concrete placement for this
+    batch.  The signal is the caller-measured lineage (rows/bytes are
+    computed BEFORE the merge in lineage_detail="shards" and by
+    aggview/mirror refreshes); deferred metrics (``_resolve``) or absent
+    lineage keep today's bucketed default — auto never guesses."""
+    if bucket_deltas != "auto":
+        return bool(bucket_deltas)
+    if lineage is None:
+        return True
+    rows = lineage.get("rows")
+    nbytes = lineage.get("bytes")
+    if not isinstance(rows, int) and not isinstance(nbytes, int):
+        return True
+    est = max(
+        int(nbytes) if isinstance(nbytes, int) else 0,
+        (int(rows) if isinstance(rows, int) else 0) * L0_AUTO_EST_ROW_BYTES,
+    )
+    return est >= base.num_buckets * L0_AUTO_BYTES_PER_BUCKET
+
 
 def dedup_last_per_key(
     df: DataFrame, key_cols: list[str], order_col: str
@@ -101,7 +136,7 @@ def merge_into(
     mode: str = "cow",
     auto_compact: int | None = None,
     dedup_batch: bool = True,
-    bucket_deltas: bool = True,
+    bucket_deltas: bool | str = "auto",
     broadcast_key_limit: int = 1_000_000,
     compact_ratio: float | None = None,
     properties_update: dict | None = None,
@@ -148,6 +183,14 @@ def merge_into(
     EVENT sets (Debezium-style patch events; null = all batch columns) —
     without it, presence is the batch's column set, the DataX
     job-level-column-mapping shape.
+
+    ``bucket_deltas`` (MOR only): True appends bucket-partitioned delta
+    files (per-bucket pruning, the big-batch shape); False appends
+    unbucketed L0 files with no shuffle (max-throughput ingest); "auto"
+    (default) picks per batch from the lineage's measured rows/bytes —
+    small batches go to L0 (one tiny file instead of a num_buckets-file
+    dynamic-partition write), big ones stay bucketed.  See
+    ``_resolve_bucket_deltas``.
     """
     if mode not in ("cow", "mor", "dv"):
         raise ValueError(f"unknown merge mode {mode!r}")
@@ -578,7 +621,7 @@ def _merge_mor(
     auto_compact: int | None,
     t0: float,
     compact_ratio: float | None = None,
-    bucket_deltas: bool = True,
+    bucket_deltas: bool | str = "auto",
     properties_update: dict | None = None,
     partial: bool = False,
 ) -> Manifest:
@@ -592,6 +635,7 @@ def _merge_mor(
     ``partial``: files are tagged kind="pdelta" and carry ``__present`` (the
     batch's column set, constant per batch → dictionary-encoded to ~nothing)
     so the read-side fold knows which columns each event SETS vs preserves."""
+    bucket_deltas = _resolve_bucket_deltas(bucket_deltas, base, lineage)
     data_cols = [
         c for c in batch.columns if c not in (op_col, LSN_COL, PRESENT_COL)
     ]

@@ -536,13 +536,27 @@ class LakeTable:
         zone-map (per-file min/max) predicate skipping.  Returns
         (kept data-file entries, dv paths, plan info).
 
-        MOR safety: when the selection holds delta files, only predicates on
-        KEY columns may skip files.  Key values are immutable per logical
-        row, so skipping files whose key range can't match is exact; a
-        non-key predicate could skip the file holding a key's NEWEST version
-        while an older version elsewhere still matches — reconstruction
-        would then resurrect stale state.  Pure-base selections (the
-        post-compaction fast path) prune on any column."""
+        MOR safety — which predicates may skip which files:
+
+        - KEY-column predicates skip ANY file.  Key values are immutable
+          per logical row, so a file whose key range can't match holds no
+          needed version of any matching key.
+        - Non-key predicates never skip DELTA files: a key's versions are
+          spread across deltas, and skipping the file holding its NEWEST
+          version while an older one elsewhere still matches would
+          resurrect stale state through the LWW reconstruction.
+        - Non-key predicates MAY skip BASE files (Iceberg's rule: data
+          predicates prune data files, never delete files).  Base rows
+          carry ``__lsn = -1`` and always lose the reconstruction to any
+          delta row of the same key, so dropping a base row can never flip
+          a winner — it only removes rows the residual filter would drop
+          anyway.  Exception: pdelta (partial-update) selections fold
+          COLUMN-WISE from the base row, so there base files are as
+          LWW-sensitive as deltas and only key predicates skip.
+
+        This is what makes a dim-clustered table's zone maps useful MID
+        ingest: a selective non-key read right after a delta commit still
+        skips the clustered base mass."""
         preds = _normalize_preds(where)
         want = None if buckets is None else {str(b) for b in buckets}
         candidates: list[list] = []
@@ -560,22 +574,27 @@ class LakeTable:
         any_delta = any(
             len(e) > 2 and e[2] in DELTA_KINDS for e in candidates
         )
-        usable = (
-            [p for p in preds if p[0] in m.key_cols] if any_delta else preds
+        any_pdelta = any(
+            len(e) > 2 and e[2] == "pdelta" for e in candidates
         )
-        kept = [
-            e
-            for e in candidates
-            if not usable
-            or _file_may_match(e[5] if len(e) > 5 else None, usable)
-        ]
+        key_preds = [p for p in preds if p[0] in m.key_cols]
+        kept = []
+        for e in candidates:
+            kind = e[2] if len(e) > 2 else "base"
+            usable = (
+                key_preds if (kind in DELTA_KINDS or any_pdelta) else preds
+            )
+            if not usable or _file_may_match(
+                e[5] if len(e) > 5 else None, usable
+            ):
+                kept.append(e)
         info = {
             "files_total": len(candidates),
             "files_kept": len(kept),
             "files_skipped": len(candidates) - len(kept),
             "dv_files": len(dv_paths),
             "any_delta": any_delta,
-            "preds_used": len(usable),
+            "preds_used": len(key_preds if any_pdelta else preds),
         }
         return kept, dv_paths, info
 

@@ -85,6 +85,27 @@ def read_sequence_text(
     )
 
 
+def read_rcfile(spark: SparkSession, path: str, **_kwargs) -> DataFrame:
+    """RCFile (the RC branch of hdfsreader, HdfsReader.java:80-86):
+    FORMALLY UNSUPPORTED — decided wontfix, not pending.
+
+    RCFile is a Hive-era columnar container readable only through Hive's
+    ``RCFileInputFormat`` + ``ColumnarSerDe``; neither Hive jars nor a
+    metastore ship in this engine's runtime, and the format has been
+    deprecated in favor of ORC since Hive 0.12 (2013).  Every modern
+    migration path (Hive's own included) rewrites RC data to ORC/parquet
+    — both first-class here.  This stub exists so the failure is a loud,
+    actionable contract instead of a ClassNotFoundException deep inside a
+    Spark job."""
+    raise NotImplementedError(
+        "RCFile is not supported: reading it requires Hive's "
+        "RCFileInputFormat/ColumnarSerDe, which this runtime does not "
+        "ship and the engine does not depend on.  Convert the data once "
+        "with Hive/Spark-with-Hive (`CREATE TABLE ... STORED AS ORC AS "
+        "SELECT * FROM rc_table`) and read it via the ORC/parquet path."
+    )
+
+
 def _read_csv_like(
     spark: SparkSession,
     source,  # path str, or RDD[str] of raw lines (SEQ values)

@@ -1246,6 +1246,19 @@ def q_multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.fake_decode_meta(docs)
 
 
+def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: each doc's utf-8 bytes are laid out as
+    RGB pixels and encoded as an actual 24-bit BI_RGB BMP file; the decode
+    kernel (pure-numpy header parse, bottom-up rows, stride padding, BGR
+    flip — functions/multimodal.py bmp_decode) recovers dimensions + exact
+    per-channel sums.  The oracle recomputes them from the text bytes, so
+    any header/stride/channel-order bug breaks the value hash."""
+    from datax_spark.functions import multimodal as MM
+
+    docs = MM.attach_bmp_binary(_t(spark, sf_dir, "documents"), "text")
+    return MM.decode_image(docs)
+
+
 # ================================================================= registry
 _DOC_SHINGLES_3 = r"""
 w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -1941,6 +1954,27 @@ SELECT b.doc_id, 'application/x-fake' AS mime,
        coalesce(s.checksum, 0) AS checksum
 FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 """,
+    # decode_image contract: pixels are the utf-8 text bytes RGB row-major,
+    # zero-padded to an 8-wide raster — so dims + channel sums recompute
+    # from the text alone (1-based byte i feeds channel (i-1)%3; pads add 0)
+    "multimodal_decode_image": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+bytes AS (SELECT doc_id, i, ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
+          FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t),
+s AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=0 THEN v END), 0) AS BIGINT) AS sum_r,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=1 THEN v END), 0) AS BIGINT) AS sum_g,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=2 THEN v END), 0) AS BIGINT) AS sum_b
+      FROM bytes GROUP BY doc_id)
+SELECT b.doc_id, CAST(8 AS INT) AS width,
+       CAST(greatest(1, ceil(n / 24.0)) AS INT) AS height,
+       coalesce(s.sum_r, 0) AS sum_r,
+       coalesce(s.sum_g, 0) AS sum_g,
+       coalesce(s.sum_b, 0) AS sum_b
+FROM b LEFT JOIN s ON s.doc_id = b.doc_id
+""",
 }
 
 # Registry order matters: the driver gate evaluates the FIRST 50 entries
@@ -1998,6 +2032,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dup": q_embed_near_dup,
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_meta": q_multimodal_decode_meta,
+    "multimodal_decode_image": q_multimodal_decode_image,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "semi_join_shipped_orders": q_semi_join_shipped_orders,
     "anti_join_idle_customers": q_anti_join_idle_customers,

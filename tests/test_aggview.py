@@ -293,6 +293,44 @@ def test_view_survives_restart_spec_in_properties(spark, tmp_path):
     assert _view_state(reopened) == {"a": (1, 10), "b": (1, 1)}
 
 
+def test_rescan_prunes_files_on_dim_clustered_upstream(spark, tmp_path):
+    """Departed-extremum rescan over an upstream kept dim-clustered with
+    compact(sort_cols=dims): the per-dim IN pushdown reaches
+    read(where=...) and the manifest zone maps skip files — even though
+    the retraction itself just landed as a MOR delta (base files are
+    non-key-prunable, see lake/table._select_entries).  The refresh
+    reports the pruning decision under "rescan"."""
+    up = _mk(spark, tmp_path)
+    # 32 groups × 8 rows, dims scattered across hash buckets
+    rows = [(g * 8 + i, f"g{g:02d}", (g * 8 + i) % 100, g * 8 + i, "insert")
+            for g in range(32) for i in range(8)]
+    _apply(spark, up, rows)
+    # maintenance: dim-clustered rewrite → each file covers a narrow grp
+    # range and the view's rescan can zone-map-prune
+    up.compact(sort_cols=["grp"], files_per_bucket=8)
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           sums=["v"], maxs=["v"])
+    # retract the max holder of ONE group → a rescan for just that group
+    victim = 5 * 8 + 7  # key of g05's max row (v = 47)
+    _apply(spark, up, [(victim, "g05", 0, 10_000, "delete")])
+    out = refresh_agg_view(up, view)
+    assert out["applied"]
+    assert out["rescan"] is not None
+    assert out["rescan"]["files_skipped"] >= 1, out["rescan"]
+    got = {r["grp"]: (r["n_rows"], r["max_v"])
+           for r in view.read().filter(F.col("grp") == "g05").collect()}
+    assert got == {"g05": (7, 46)}
+    # full view still matches a direct aggregate
+    direct = {
+        r["grp"]: (r["n"], r["mx"])
+        for r in up.read().groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("mx")).collect()
+    }
+    view_state = {r["grp"]: (r["n_rows"], r["max_v"])
+                  for r in view.read().collect()}
+    assert view_state == direct
+
+
 def test_multi_dim_min_max_rescan(spark, tmp_path):
     """Departed extremum on a view with >=2 dims: the rescan pushdown must
     build literal predicates per dim (struct(...).isin(tuple) is not a

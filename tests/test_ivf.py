@@ -57,3 +57,57 @@ def test_ivf_nprobe_full_equals_exact(emb):
 def test_ivf_topk_no_row_python(emb):
     df = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=2, n_iters=1)
     assert_no_python_row_udf(df)
+
+
+def test_pandas_scoring_agrees_with_expression_path(emb):
+    """Same centroids, same assignments: the batched-BLAS argmin must agree
+    with the bit-exact expression tree everywhere the scores aren't
+    degenerate (separated centroids → 1e-15 fold-order noise can't flip)."""
+    cents = SIM.kmeans_lite(emb, k=8, n_iters=2)
+    a = {r.vec_id: r.cluster
+         for r in SIM.kmeans_assign(emb, cents, method="expr").collect()}
+    b = {r.vec_id: r.cluster
+         for r in SIM.kmeans_assign(emb, cents, method="pandas").collect()}
+    assert a == b
+
+
+def test_large_k_trains_and_probes_beyond_expression_cap(emb):
+    """k=128 > _EXPR_ARGMIN_MAX_K: auto routes to the pandas path; training
+    completes, every vector lands in a real cluster, and nprobe=2 IVF
+    reaches a sane recall floor vs brute force."""
+    k = 128
+    cents = SIM.kmeans_lite(emb, k=k, n_iters=1)
+    assert len(cents) <= k  # empty clusters drop out
+    assigned = SIM.kmeans_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.q, r.neighbor)
+        for r in SIM.cosine_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r.q, r.neighbor)
+        for r in SIM.ivf_topk(
+            emb, queries, k=3, nprobe=2, centroids=cents
+        ).collect()
+    }
+    # ANN contract: nprobe=2 of 128 lists still recalls a meaningful share
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, recall
+    # and nprobe = n_lists is exact even on the pandas path
+    full = {
+        (r.q, r.neighbor)
+        for r in SIM.ivf_topk(
+            emb, queries, k=3, nprobe=len(cents), centroids=cents
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_method_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown centroid-scoring"):
+        SIM._pick_method("bogus", [(0, [0.0])])

@@ -47,9 +47,78 @@ def test_kernels_are_arrow_not_row_python(docs):
     checks.assert_no_python_row_udf(MM.fake_decode_meta(docs))
 
 
-def test_real_decode_is_gated(docs):
-    with pytest.raises(NotImplementedError, match="PIL|codec"):
-        MM.decode_image(docs)
+def test_non_bmp_decode_is_gated(docs):
+    """Compressed formats still need PIL (absent here): a non-BMP payload
+    fails loudly inside the kernel rather than guessing."""
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="PIL|codec"):
+        MM.decode_image(docs).collect()
+
+
+# --------------------------------------------------------- real BMP codec
+def test_bmp_round_trip_with_stride_padding():
+    """width=3 → 9 pixel bytes/row but 12-byte file stride: the decoder
+    must honor the 4-byte row padding and the bottom-up BGR layout."""
+    import numpy as np
+
+    raw = bytes(range(3 * 3 * 5))  # 3 wide, 5 tall
+    payload = MM.bmp_encode(raw, width=3)
+    px = MM.bmp_decode(payload)
+    assert px.shape == (5, 3, 3)
+    assert px.reshape(-1).tobytes() == raw
+    assert isinstance(px, np.ndarray)
+
+
+def test_bmp_decode_top_down_variant():
+    """Negative biHeight = top-down row order — a real-world variant the
+    parser must handle (struct round trip built by hand)."""
+    import struct
+
+    raw = bytes(range(3 * 2 * 2))
+    payload = bytearray(MM.bmp_encode(raw, width=2))
+    # flip to top-down: negate height and reverse the stored row order
+    (h,) = struct.unpack_from("<i", payload, 22)
+    struct.pack_into("<i", payload, 22, -h)
+    stride = 8  # width 2 → 6 pixel bytes → padded to 8
+    rows = [payload[54 + i * stride: 54 + (i + 1) * stride] for i in range(h)]
+    payload[54:] = b"".join(reversed(rows))
+    assert MM.bmp_decode(bytes(payload)).reshape(-1).tobytes() == raw
+
+
+def test_bmp_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="magic|truncated"):
+        MM.bmp_decode(b"JUNK" * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        MM.bmp_decode(b"BM")
+    # 8-bit palette BMP: unsupported variant, loud error
+    import struct
+
+    p = bytearray(MM.bmp_encode(bytes(12), width=2))
+    struct.pack_into("<H", p, 28, 8)
+    with pytest.raises(ValueError, match="unsupported"):
+        MM.bmp_decode(bytes(p))
+
+
+def test_decode_image_end_to_end_matches_text_bytes(spark):
+    """attach_bmp_binary → decode_image recovers (8, ceil(n/24), channel
+    sums of the zero-padded utf-8 bytes) — the exact oracle contract."""
+    df = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    out = {r.doc_id: r for r in
+           MM.decode_image(MM.attach_bmp_binary(df, "text")).collect()}
+    src = {r.doc_id: r.text for r in df.select("doc_id", "text").collect()}
+    assert len(out) == len(src)
+    for did, text in src.items():
+        raw = (text or "").encode("utf-8")
+        h = max(1, -(-len(raw) // 24))
+        padded = raw.ljust(24 * h, b"\x00")
+        r = out[did]
+        assert (r.width, r.height) == (8, h)
+        assert r.sum_r == sum(padded[0::3])
+        assert r.sum_g == sum(padded[1::3])
+        assert r.sum_b == sum(padded[2::3])
 
 
 def test_frame_sample_plan_counts(docs):

@@ -35,8 +35,12 @@ def test_salted_write_bounds_max_file(spark, tmp_path):
     feed.write.parquet(fp)
     feed = spark.read.parquet(fp)
 
+    # bucket_deltas pinned True: the salting under test is a property of
+    # the BUCKETED write layout (auto placement would route a batch this
+    # small to a single L0 file, where skew is moot by construction)
     t1 = create_repo_table(spark, str(tmp_path / "plain"), num_buckets=8)
-    run_incremental(t1, feed, batch_lsns=8000, mode="mor", auto_compact=None)
+    run_incremental(t1, feed, batch_lsns=8000, mode="mor", auto_compact=None,
+                    bucket_deltas=True)
     plain = _file_rows(t1)
     assert max(plain) > 2 * (sum(plain) / len(plain))  # skew visible
 
@@ -44,7 +48,8 @@ def test_salted_write_bounds_max_file(spark, tmp_path):
     t5 = create_repo_table(spark, str(tmp_path / "salted"), num_buckets=8)
     from datax_spark.cdc.apply import CdcApplier
 
-    CdcApplier(t5, files_per_bucket=4, auto_compact=None).apply_batch(feed, 0)
+    CdcApplier(t5, files_per_bucket=4, auto_compact=None,
+               bucket_deltas=True).apply_batch(feed, 0)
     salted = _file_rows(t5)
     assert len(salted) > len(plain)
     # max file shrinks materially vs the unsalted hot bucket

@@ -308,3 +308,14 @@ def test_read_sequence_text_roundtrip(spark, tmp_path):
     assert dict(out.dtypes) == {
         "id": "bigint", "name": "string", "score": "double", "src": "string"
     }
+
+
+def test_rcfile_raises_actionable_error(spark):
+    """RC is formally wontfix (needs Hive SerDes this runtime doesn't
+    ship): the error must name the blocker and the migration path."""
+    import pytest as _pytest
+
+    from datax_spark.sources import file as FS
+
+    with _pytest.raises(NotImplementedError, match="RCFile.*ORC"):
+        FS.read_rcfile(spark, "/tmp/whatever.rc")

@@ -3,9 +3,11 @@ lower_bounds/upper_bounds + data-skipping analogue).
 
 Correctness contract under test: read(where=...) ALWAYS equals
 read().filter(pred) — pruning may only skip files whose min/max prove no
-match — and with live MOR deltas only key-column predicates prune (a
-non-key predicate could skip the file holding a key's newest version and
-resurrect stale state).
+match.  MOR rule: key predicates skip any file; non-key predicates skip
+BASE files (base rows always lose LWW to deltas) but never DELTA files
+(skipping the file with a key's newest version would resurrect stale
+state), and pdelta selections restrict to key predicates entirely (the
+column-wise fold preserves values from base rows).
 """
 
 import pytest
@@ -137,22 +139,31 @@ def test_read_where_equals_filter(spark, tmp_path):
         assert got == want, where
 
 
-def test_mor_delta_blocks_nonkey_pruning(spark, tmp_path):
-    """The stale-resurrection trap: base has (k=1, v=100); a MOR delta
-    updates it to v=999.  A non-key predicate v=100 must NOT prune the
-    delta-bearing selection — read(where v=100) must be empty, not the
-    stale base row."""
+def test_mor_nonkey_pruning_skips_base_never_deltas(spark, tmp_path):
+    """Refined MOR pruning rule (Iceberg's: data predicates prune data
+    files, never delete files).  Base rows always lose the LWW
+    reconstruction to any delta row of their key (__lsn=-1), so non-key
+    predicates may skip BASE files; DELTA files are never non-key-skipped.
+    The stale-resurrection trap stays closed: base has (k=1, v=100), a MOR
+    delta updates it to v=999 — read(where v=100) must be empty."""
     t = _mk(spark, tmp_path, [{"k": 1, "v": 100, "s": "a"},
                               {"k": 2, "v": 200, "s": "b"}])
     upd = t.spark.createDataFrame(
         [Row(k=1, v=999, s="a2", lsn=10, op="insert")],
     )
-    merge_into(t, upd, op_col="op", order_col="lsn", mode="mor")
+    merge_into(t, upd, op_col="op", order_col="lsn", mode="mor",
+               bucket_deltas=True)
+    m = t.manifest()
+    n_delta = sum(1 for es in m.files.values() for e in es
+                  if len(e) > 2 and e[2] == "delta")
+    assert n_delta >= 1
     plan = t.scan_plan(where=[("v", "=", 100)])
     assert plan["any_delta"] is True
-    assert plan["preds_used"] == 0          # non-key pred unusable
-    assert plan["files_skipped"] == 0
-    assert t.read(where=[("v", "=", 100)]).count() == 0
+    assert plan["preds_used"] == 1
+    # the (k=2, v=200) base file is skipped; every delta file is kept
+    assert plan["files_skipped"] >= 1
+    assert plan["files_kept"] >= n_delta + 1  # deltas + the v=100 base file
+    assert t.read(where=[("v", "=", 100)]).count() == 0  # no resurrection
     # key predicates still prune with deltas live, and stay exact
     assert t.read(where=[("k", "=", 1)]).collect()[0]["v"] == 999
     # after compaction the non-key predicate both prunes and is exact
@@ -162,6 +173,40 @@ def test_mor_delta_blocks_nonkey_pruning(spark, tmp_path):
     assert plan2["preds_used"] == 1
     assert t.read(where=[("v", "=", 100)]).count() == 0
     assert t.read(where=[("v", "=", 999)]).collect()[0]["k"] == 1
+
+
+def test_mor_multi_delta_stale_trap_stays_closed(spark, tmp_path):
+    """The trap the delta rule exists for: two delta versions of one key —
+    lsn 5 sets v=100, lsn 10 sets v=999.  Pruning with v=100 must keep the
+    lsn-10 delta file (else reconstruction resurrects the lsn-5 row)."""
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 1, "s": "a"}])
+    for lsn, v in ((5, 100), (10, 999)):
+        merge_into(
+            t,
+            t.spark.createDataFrame([Row(k=1, v=v, s="x", lsn=lsn,
+                                         op="insert")]),
+            op_col="op", order_col="lsn", mode="mor", bucket_deltas=True,
+        )
+    assert t.read(where=[("v", "=", 100)]).count() == 0
+    assert t.read(where=[("v", "=", 999)]).collect()[0]["k"] == 1
+
+
+def test_pdelta_blocks_nonkey_base_pruning(spark, tmp_path):
+    """Partial-update (pdelta) folds COLUMN-WISE from the base row, so base
+    files are LWW-sensitive there: only key predicates may skip.  Base has
+    (k=1, v=100, s='a'); a pdelta patches only s.  Pruning v=999 must not
+    skip the base file — the fold needs its preserved v."""
+    t = _mk(spark, tmp_path, [{"k": 1, "v": 100, "s": "a"},
+                              {"k": 2, "v": 200, "s": "b"}])
+    patch = t.spark.createDataFrame([Row(k=1, s="patched", lsn=10,
+                                         op="insert")])
+    merge_into(t, patch, op_col="op", order_col="lsn", mode="mor",
+               partial_update=True, bucket_deltas=True)
+    plan = t.scan_plan(where=[("v", "=", 100)])
+    assert plan["preds_used"] == 0  # non-key pred unusable with pdelta live
+    assert plan["files_skipped"] == 0
+    row = t.read(where=[("v", "=", 100)]).collect()
+    assert len(row) == 1 and row[0]["s"] == "patched"
 
 
 def test_where_validates_ops(spark, tmp_path):
