@@ -26,6 +26,20 @@ from datax_spark.lake.table import LakeTable
 
 ENVELOPE_COLS = ("lsn", "shard", "ts", "op")
 
+# lineage_detail="shards" fused-metrics cap: per-shard conditional
+# aggregates ride the write job as 3 observe columns per shard; past this
+# many shards the expression set bloats codegen and the dedicated
+# aggregation job is the better plan again
+FUSED_SHARDS_MAX = 64
+# fuse only when the trailing batch is big enough that re-scanning it for
+# the stats pass is real I/O: MEASURED on this box, fusion is neutral at
+# 30-60MB batches (page cache makes the second scan free; the fixed
+# CollectMetrics codegen ~0.1s/batch slightly loses) and the dedicated agg
+# job wins below that.  The fused path pays off when the batch's second
+# read would come from cold/object storage — production-sized batches —
+# so the gate is deliberately above anything the local bench reaches.
+FUSED_MIN_BYTES = 256 << 20
+
 
 class CdcApplier:
     """Applies normalized change batches to a LakeTable with exactly-once
@@ -52,10 +66,12 @@ class CdcApplier:
         ``dedup_batch=False`` (MOR only) skips the in-batch key dedup
         shuffle — reconstruction collapses duplicates by LSN anyway; worth
         it for insert-heavy feeds where dedup saves little.
-        ``lineage_detail``: "shards" records per-shard rows/bytes/last-LSN
-        (one extra aggregation job per batch); "global" fuses the metrics
-        into the write job via DataFrame.observe — half the jobs, a single
-        global LSN watermark (valid for feeds consumed in LSN order).
+        ``lineage_detail``: "shards" records per-shard rows/bytes/last-LSN —
+        the first batch pays one aggregation job to discover the shard set,
+        steady-state batches fuse the same per-shard metrics into the write
+        job via DataFrame.observe (one Spark job per batch; see
+        ``_apply_shards_fused``); "global" keeps a single global LSN
+        watermark instead (valid for feeds consumed in LSN order).
         ``bucket_deltas=False`` writes unbucketed L0 delta files with NO
         shuffle at all (LSM level-0 append; compaction re-buckets) — the
         maximum-throughput ingest shape."""
@@ -82,6 +98,17 @@ class CdcApplier:
         # present_col names an optional array<string> per-event column set
         self.partial_update = partial_update
         self.present_col = present_col
+        # fused per-shard lineage state (lineage_detail="shards"): the first
+        # batch discovers the shard set with a dedicated aggregation job;
+        # steady-state batches fuse the same per-shard metrics into the
+        # write job via DataFrame.observe (one Spark job per batch, like
+        # DataX's Communication counters riding the transport itself).  A
+        # new shard mid-run (shard split) is counted by an unknown-shard
+        # guard metric and back-filled with one extra filtered aggregation.
+        self._known_shards: list[int] | None = None
+        # trailing batch size (rows, bytes) — feeds bucket_deltas="auto"
+        # placement when metrics are deferred into the write job
+        self._last_batch_size: tuple[int, int] | None = None
 
     # -------------------------------------------------------------- recovery
     def filter_already_applied(self, feed: DataFrame) -> DataFrame:
@@ -101,6 +128,19 @@ class CdcApplier:
             feed = feed.filter(F.col("lsn") > F.lit(int(global_wm)))
         if not shard_lsns:
             return feed
+        if len(shard_lsns) <= FUSED_SHARDS_MAX:
+            # literal per-shard predicate instead of a broadcast join: no
+            # watermark-frame job, no exchange riding every downstream
+            # action, and the OR-of-AND literals reach parquet row-group
+            # stats — on resume, fully-applied row groups never leave the
+            # scan.  Shards with no watermark (new splits) pass whole.
+            keep = ~F.col("shard").isin([int(s) for s in shard_lsns])
+            for s, l in shard_lsns.items():
+                keep = keep | (
+                    (F.col("shard") == F.lit(int(s)))
+                    & (F.col("lsn") > F.lit(int(l)))
+                )
+            return feed.filter(keep)
         wm = self.table.spark.createDataFrame(
             [(int(s), int(l)) for s, l in shard_lsns.items()],
             "shard int, __applied_lsn long",
@@ -136,8 +176,15 @@ class CdcApplier:
         if self.lineage_detail == "global":
             return self._apply_global(batch, batch_id, byte_expr)
 
-        # one aggregate pass for lineage: per-shard consumption metrics
-        # (≈ DataX Communication counters, core/.../statistics/communication/
+        if (self._known_shards is not None
+                and len(self._known_shards) <= FUSED_SHARDS_MAX
+                and self._last_batch_size is not None
+                and self._last_batch_size[1] >= FUSED_MIN_BYTES):
+            return self._apply_shards_fused(batch, batch_id, byte_expr)
+
+        # shard-discovery batch (or >cap shard counts): one aggregate pass
+        # for lineage — per-shard consumption metrics (≈ DataX Communication
+        # counters, core/.../statistics/communication/
         # CommunicationTool.java:17-53, merged task→job)
         stats = (
             batch.groupBy("shard")
@@ -184,7 +231,126 @@ class CdcApplier:
             partial_update=self.partial_update,
             present_col=self.present_col,
         )
+        self._known_shards = sorted(
+            set(self._known_shards or []) | set(lineage["shard_lsns"])
+        )
+        self._last_batch_size = (lineage["rows"], lineage["bytes"])
         return lineage
+
+    def _apply_shards_fused(
+        self, batch: DataFrame, batch_id, byte_expr
+    ) -> dict | None:
+        """Steady-state shards-detail apply: the SAME per-shard metrics the
+        aggregation pass computes, fused into the write job as conditional
+        aggregates over the known shard set (3 observe columns per shard)
+        plus an unknown-shard guard.  One Spark job per batch; a shard
+        split (rows outside the known set) costs one extra filtered
+        aggregation for exactly those rows — rare by construction."""
+        from pyspark.sql import Observation
+
+        known = list(self._known_shards or [])
+        sh = F.col("shard")
+        metrics = [
+            F.count(F.when(~sh.isin(known), F.lit(1))).alias("__unknown"),
+        ]
+        for s in known:
+            hit = sh == F.lit(s)
+            metrics += [
+                F.max(F.when(hit, F.col("lsn"))).alias(f"lsn_{s}"),
+                F.count(F.when(hit, F.lit(1))).alias(f"rows_{s}"),
+                F.sum(F.when(hit, byte_expr)).alias(f"bytes_{s}"),
+            ]
+        obs = Observation()
+        observed = batch.observe(obs, *metrics)
+        cache: dict = {}
+
+        def resolve() -> dict:
+            # memoized: called by _resolve_lineage (inside the merge) and by
+            # the return path below; the unknown-shard back-fill job must
+            # run at most once
+            if cache:
+                return dict(cache)
+            m = obs.get
+            parts = [
+                {
+                    "partition_id": int(s),
+                    "last_lsn": int(m[f"lsn_{s}"]),
+                    "rows": int(m[f"rows_{s}"]),
+                    "bytes": int(m[f"bytes_{s}"] or 0),
+                }
+                for s in known
+                if m[f"rows_{s}"]
+            ]
+            if int(m["__unknown"] or 0):
+                extra = (
+                    batch.filter(~sh.isin(known))
+                    .groupBy("shard")
+                    .agg(
+                        F.max("lsn").alias("last_lsn"),
+                        F.count(F.lit(1)).alias("rows"),
+                        F.sum(byte_expr).alias("bytes"),
+                    )
+                    .collect()
+                )
+                parts += [
+                    {
+                        "partition_id": int(r["shard"]),
+                        "last_lsn": int(r["last_lsn"]),
+                        "rows": int(r["rows"]),
+                        "bytes": int(r["bytes"]),
+                    }
+                    for r in extra
+                ]
+                self._known_shards = sorted(
+                    set(known) | {p["partition_id"] for p in parts}
+                )
+            cache.update({
+                "rows": int(sum(p["rows"] for p in parts)),
+                "bytes": int(sum(p["bytes"] for p in parts)),
+                "shard_lsns": {
+                    p["partition_id"]: p["last_lsn"] for p in parts
+                },
+                "partitions": parts,
+            })
+            return dict(cache)
+
+        lineage = {
+            "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
+            "_resolve": resolve,
+        }
+        if self._last_batch_size is not None:
+            # bucket_deltas="auto" placement hint: trailing batch size (the
+            # actual metrics resolve only after the write job runs)
+            lineage["_est_rows"] = self._last_batch_size[0]
+            lineage["_est_bytes"] = self._last_batch_size[1]
+        payload = [c for c in batch.columns
+                   if c not in ENVELOPE_COLS and c != self.present_col]
+        m = merge_into(
+            self.table,
+            observed,
+            op_col="op",
+            order_col="lsn",
+            payload_cols=payload,
+            lineage=lineage,
+            evolve_schema=True,
+            files_per_bucket=self.files_per_bucket,
+            mode=self.mode,
+            auto_compact=self.auto_compact,
+            dedup_batch=self.dedup_batch,
+            bucket_deltas=self.bucket_deltas,
+            compact_ratio=self.compact_ratio,
+            partial_update=self.partial_update,
+            present_col=self.present_col,
+        )
+        if m is None:
+            # replay detected inside the merge (concurrent writer applied
+            # this batch id): no job ran, so the observation never resolves
+            return None
+        resolved = resolve()
+        if resolved["rows"] == 0:
+            return None
+        self._last_batch_size = (resolved["rows"], resolved["bytes"])
+        return {"batch_id": lineage["batch_id"], **resolved}
 
     def _apply_global(self, batch: DataFrame, batch_id, byte_expr) -> dict | None:
         """Single-job apply: lineage metrics ride the write job via

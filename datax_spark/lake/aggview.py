@@ -34,7 +34,12 @@ Scale: a refresh costs O(changed rows) + one bucket-pruned read of the
 CURRENT view restricted to the touched groups (delta group keys are
 collected — bounded by the batch's distinct dims, the same planning-scan
 bound as COW merge) — never O(view) and never O(upstream).  The upstream
-fact table is read only through its commit-log file diff.
+fact table is read only through its commit-log file diff; the buckets its
+changed keys live in come straight from that diff's file entries
+(``LakeTable.changed_buckets`` — zero Spark jobs).  Views under
+``_SMALL_VIEW_FUSED_BYTES`` take a 2-action refresh (one fused planning
+aggregate + the merge); bigger views keep the bucket-pruned 3-action
+path.
 """
 
 from __future__ import annotations
@@ -56,6 +61,14 @@ _ORDER = "__aggview_order"
 # snapshot scan as an isin() filter (row-group pruning); above it, the
 # broadcast semi join alone restricts the pass
 _RESCAN_PUSHDOWN_CAP = 256
+
+# views at or under this many manifest bytes take the FUSED-STATS refresh:
+# the whole (tiny) view is read unpruned and one aggregate action yields
+# group count + touched buckets + departed-extremum keys together — two
+# Spark actions per refresh instead of three.  Bigger views keep the
+# bucket-pruned 3-action path (reading an unpruned big view would cost
+# more than the extra action saves).
+_SMALL_VIEW_FUSED_BYTES = 64 << 20
 
 _SUMMABLE = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -263,14 +276,13 @@ def refresh_agg_view(
 
     deltas = None
     try:
-        m_from = upstream.manifest(from_v)
-        fb = upstream.bucket_expr(m_from.bucket_col, m_from.num_buckets)
-        touched_b = [
-            r[0]
-            for r in changed.select(fb.cast("int").alias("b"))
-            .distinct().collect()
-            if r[0] is not None
-        ]
+        # buckets holding the changed keys, from the MANIFEST DIFF alone
+        # (zero Spark jobs): bucketed delta/append files land in their
+        # keys' bucket, so the range's added-file bucket set IS the
+        # changed-key bucket set; None (L0 placement / rebucket in range)
+        # reads every bucket — exactly what the old key-collect pass
+        # would have returned at that point anyway
+        touched_b = upstream.changed_buckets(from_v, to_v)
         snap = upstream.read(version=from_v, buckets=touched_b)
         cond = None
         for c in ukeys:
@@ -317,18 +329,32 @@ def refresh_agg_view(
             keep = keep | ~F.col(f"__add_max_{c}").eqNullSafe(
                 F.col(f"__rem_max_{c}"))
         deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
-        bexpr = view.bucket_expr(view.manifest().bucket_col,
-                                 view.manifest().num_buckets)
-        head = deltas.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.collect_set(bexpr.cast("int")).alias("bs"),
-        ).first()
-        n_groups, touched = int(head["n"]), list(head["bs"])
-        if n_groups == 0:
-            view.set_properties(**{WATERMARK_PROP: int(to_v)})
-            return {"from_version": from_v, "to_version": to_v,
-                    "groups": 0, "applied": False, "rescan": None}
-        cur = view.read(buckets=[b for b in touched if b is not None])
+        m_view = view.manifest()
+        bexpr = view.bucket_expr(m_view.bucket_col, m_view.num_buckets)
+        view_bytes = sum(
+            view._entry_bytes(e)
+            for entries in m_view.files.values()
+            for e in entries
+        )
+        fused_stats = view_bytes <= _SMALL_VIEW_FUSED_BYTES
+        n_groups: int | None = None
+        touched: list | None = None
+        if fused_stats:
+            # tiny view: read it whole (the broadcast semi join below still
+            # restricts the join) and defer ALL planning stats to one
+            # aggregate over the merged batch — see _SMALL_VIEW_FUSED_BYTES
+            cur = view.read()
+        else:
+            head = deltas.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(bexpr.cast("int")).alias("bs"),
+            ).first()
+            n_groups, touched = int(head["n"]), list(head["bs"])
+            if n_groups == 0:
+                view.set_properties(**{WATERMARK_PROP: int(to_v)})
+                return {"from_version": from_v, "to_version": to_v,
+                        "groups": 0, "applied": False, "rescan": None}
+            cur = view.read(buckets=[b for b in touched if b is not None])
         cond = None
         keys = deltas.select(
             *[F.col(c).alias(f"__k_{c}") for c in dims]
@@ -382,18 +408,51 @@ def refresh_agg_view(
         batch = merged.select(*out_cols)
 
         rescan_plan = None  # scan_plan() of the departed-extremum pass
-        if mins or maxs:
+        batch_persisted = fused_stats or bool(mins or maxs)
+        if batch_persisted:
             batch = batch.persist()
-            # collect the departed-extremum group keys (bounded by the
-            # refresh's group count; capped collect — beyond the cap the
-            # semi join alone filters).  The collected keys double as an
-            # isin() pushdown so the snapshot scan row-group-prunes on
-            # the dim columns instead of reading every row.
+        if fused_stats:
+            # ONE aggregate action yields every planning stat the refresh
+            # needs: group count (early exit), the batch's view buckets
+            # (merge pruning), and — when min/max are maintained — the
+            # capped departed-extremum key list (batch rows are unique per
+            # group, so collect_list is already distinct)
+            stat_aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(bexpr.cast("int")).alias("bs"),
+            ]
+            if mins or maxs:
+                stat_aggs.append(
+                    F.slice(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rescan") & (F.col(_OP) != "delete"),
+                                F.struct(*[F.col(c) for c in dims]),
+                            )
+                        ),
+                        1, _RESCAN_PUSHDOWN_CAP + 1,
+                    ).alias("need")
+                )
+            head = batch.agg(*stat_aggs).first()
+            n_groups, touched = int(head["n"]), list(head["bs"])
+            if n_groups == 0:
+                batch.unpersist()
+                view.set_properties(**{WATERMARK_PROP: int(to_v)})
+                return {"from_version": from_v, "to_version": to_v,
+                        "groups": 0, "applied": False, "rescan": None}
+        if mins or maxs:
+            # the departed-extremum group keys (bounded by the refresh's
+            # group count; capped — beyond the cap the semi join alone
+            # filters).  The collected keys double as an IN pushdown so
+            # the snapshot scan file-skips on the dim columns.
             need = (
                 batch.filter(F.col("__rescan") & (F.col(_OP) != "delete"))
                 .select(*dims).distinct()
             )
-            need_rows = need.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
+            need_rows = (
+                list(head["need"]) if fused_stats
+                else need.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
+            )
             if need_rows:
                 # exact recompute for ONLY those groups: one snapshot pass,
                 # dim-pushdown-filtered when few groups, semi-joined to the
@@ -472,9 +531,16 @@ def refresh_agg_view(
                 mode=mode,
                 auto_compact=auto_compact,
                 properties_update={WATERMARK_PROP: int(to_v)},
+                # one row per group key by construction (groupBy dims) →
+                # the COW in-batch dedup would be a no-op shuffle; and the
+                # head aggregate above already collected the batch's view
+                # buckets, so the merge's planning collect is redundant
+                keys_unique=True,
+                known_buckets=(touched if all(b is not None for b in touched)
+                               else None),
             )
         finally:
-            if mins or maxs:
+            if batch_persisted:
                 batch.unpersist()
         return {"from_version": from_v, "to_version": to_v,
                 "groups": n_groups, "applied": m is not None,

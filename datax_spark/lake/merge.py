@@ -62,14 +62,17 @@ def _resolve_bucket_deltas(bucket_deltas, base: Manifest,
     """Resolve ``bucket_deltas="auto"`` to a concrete placement for this
     batch.  The signal is the caller-measured lineage (rows/bytes are
     computed BEFORE the merge in lineage_detail="shards" and by
-    aggview/mirror refreshes); deferred metrics (``_resolve``) or absent
-    lineage keep today's bucketed default — auto never guesses."""
+    aggview/mirror refreshes).  Fused-metrics batches (``_resolve``) carry
+    the TRAILING batch's measured size as ``_est_rows``/``_est_bytes`` —
+    steady-state CDC batch sizes are stable, and a stale estimate only
+    costs one batch a suboptimal (still correct) layout.  No signal at
+    all keeps today's bucketed default — auto never guesses."""
     if bucket_deltas != "auto":
         return bool(bucket_deltas)
     if lineage is None:
         return True
-    rows = lineage.get("rows")
-    nbytes = lineage.get("bytes")
+    rows = lineage.get("rows", lineage.get("_est_rows"))
+    nbytes = lineage.get("bytes", lineage.get("_est_bytes"))
     if not isinstance(rows, int) and not isinstance(nbytes, int):
         return True
     est = max(
@@ -142,6 +145,8 @@ def merge_into(
     properties_update: dict | None = None,
     partial_update: bool = False,
     present_col: str | None = None,
+    keys_unique: bool = False,
+    known_buckets: list | None = None,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -183,6 +188,13 @@ def merge_into(
     EVENT sets (Debezium-style patch events; null = all batch columns) —
     without it, presence is the batch's column set, the DataX
     job-level-column-mapping shape.
+
+    ``keys_unique=True``: caller guarantees at most one event per key in
+    the batch (e.g. a groupBy output) — skips the in-batch LWW dedup
+    shuffle that would otherwise be forced for COW/DV.  ``known_buckets``:
+    caller-computed bucket ids covering EVERY key in the batch (COW only)
+    — skips the planning collect; an under-covering list would duplicate
+    rows, so pass it only from code that derived it from the batch itself.
 
     ``bucket_deltas`` (MOR only): True appends bucket-partitioned delta
     files (per-bucket pruning, the big-batch shape); False appends
@@ -230,12 +242,14 @@ def merge_into(
         partial_update = False  # batch is whole-row now; proceed normally
     elif order_col is not None and not partial_update and (
         dedup_batch or mode in ("cow", "dv")
-    ):
+    ) and not keys_unique:
         # COW/DV require the dedup (whole-row replace has no LSN at read);
         # MOR may skip it — reconstruction collapses duplicates by __lsn.
         # Partial MOR MUST skip it: dropping a delete that precedes a
         # partial update would resurrect the wiped columns (the read-side
-        # fold needs the full event sequence).
+        # fold needs the full event sequence).  ``keys_unique=True`` is the
+        # caller GUARANTEEING one event per key (e.g. a groupBy output) —
+        # the dedup window would be a no-op shuffle, so it is skipped.
         batch = dedup_last_per_key(batch, key_cols, order_col)
     lsn_col = (
         [F.col(order_col).cast("long").alias(LSN_COL)]
@@ -294,10 +308,15 @@ def merge_into(
         )
 
         bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
-        touched = [
-            r[0]
-            for r in batch.select(bexpr.alias("b")).distinct().collect()
-        ]
+        if known_buckets is not None:
+            # caller-supplied bucket ids (e.g. aggview refresh already
+            # aggregated them) — skips the planning collect job
+            touched = [int(b) for b in known_buckets]
+        else:
+            touched = [
+                r[0]
+                for r in batch.select(bexpr.alias("b")).distinct().collect()
+            ]
         current = table.read(buckets=touched)  # bucket-pruned scan
         # cast current state up to the evolved schema (column-add → null)
         have = set(current.columns)
@@ -604,7 +623,7 @@ def _resolve_lineage(lineage: dict | None) -> dict | None:
     separate aggregation job."""
     if lineage is None or "_resolve" not in lineage:
         return lineage
-    lineage = dict(lineage)
+    lineage = {k: v for k, v in lineage.items() if not k.startswith("_est_")}
     resolve = lineage.pop("_resolve")
     lineage.update(resolve())
     return lineage

@@ -939,10 +939,13 @@ class LakeTable:
             for fn in sorted(os.listdir(staging)):
                 if not fn.endswith(".parquet"):
                     continue
+                src = os.path.join(staging, fn)
+                md = pq.read_metadata(src)
+                if md.num_rows == 0:
+                    continue  # empty batch/partition — nothing to register
                 new_name = f"{uuid.uuid4().hex}.parquet"
                 dst = os.path.join(bdir, new_name)
-                os.rename(os.path.join(staging, fn), dst)
-                md = pq.read_metadata(dst)
+                os.rename(src, dst)
                 frag.setdefault(L0_BUCKET, []).append(
                     [os.path.join("data", f"b={L0_BUCKET}", new_name),
                      m.current_schema_id, kind,
@@ -987,14 +990,17 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(staging, entry))):
                 if not fn.endswith(".parquet"):
                     continue
-                new_name = f"{uuid.uuid4().hex}.parquet"
-                dst = os.path.join(bdir, new_name)
-                os.rename(os.path.join(staging, entry, fn), dst)
+                src = os.path.join(staging, entry, fn)
                 # size + row count + column min/max zone maps ride in the
                 # manifest (Iceberg's file_size_in_bytes / record_count /
                 # lower_bounds / upper_bounds): compaction planning and
                 # predicate file-skipping never re-list or re-read footers
-                md = pq.read_metadata(dst)
+                md = pq.read_metadata(src)
+                if md.num_rows == 0:
+                    continue  # empty partition — nothing to register
+                new_name = f"{uuid.uuid4().hex}.parquet"
+                dst = os.path.join(bdir, new_name)
+                os.rename(src, dst)
                 frag.setdefault(bucket, []).append(
                     [os.path.join("data", f"b={bucket}", new_name), schema_id,
                      kind, os.path.getsize(dst), md.num_rows,
@@ -1153,6 +1159,45 @@ class LakeTable:
         )
         self._write_manifest(m)
         return m
+
+    def changed_buckets(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[int] | None:
+        """Bucket ids whose logical state may have changed in
+        ``(from_version, to_version]`` — derived purely from the manifest
+        diff, ZERO Spark jobs (the metadata-side mate of ``read_changes``:
+        bucketed delta/append files land in their keys' bucket, so the
+        added-file bucket set IS the changed-key bucket set).
+
+        Returns None ("all buckets") when placement is unknown: a change
+        landed in an unbucketed L0 file, or the bucket count changed
+        inside the range (rebucket) so ids across the range don't map to
+        one layout.  Physical rewrites (compact/rebucket/properties) add
+        no logical change and are skipped, as in ``read_changes``."""
+        to_v = self.current_version() if to_version is None else to_version
+        n_buckets = self.manifest(from_version).num_buckets
+        out: set[int] = set()
+        for v in range(from_version + 1, to_v + 1):
+            m = self.manifest(v)
+            if m.num_buckets != n_buckets:
+                return None  # layout changed mid-range — ids don't map
+            if m.operation in ("create", "properties", "compact", "rebucket"):
+                continue
+            prev_files = {
+                e[0]
+                for entries in self.manifest(v - 1).files.values()
+                for e in entries
+            }
+            for b, entries in m.files.items():
+                for e in entries:
+                    if e[0] in prev_files:
+                        continue
+                    if len(e) > 2 and e[2] == "dv":
+                        continue
+                    if str(b) == L0_BUCKET:
+                        return None  # unbucketed placement — no pruning
+                    out.add(int(b))
+        return sorted(out)
 
     # --------------------------------------------------------------- lineage
     def is_batch_applied(self, batch_id: int | str) -> bool:

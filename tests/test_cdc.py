@@ -139,3 +139,82 @@ def test_lineage_df_shape(spark, tmp_path):
     for _, grp in itertools.groupby(rows, key=lambda r: r.partition_id):
         lsns = [r.last_lsn for r in grp]
         assert lsns == sorted(lsns)
+
+
+def _run_with_fusion(monkeypatch, spark, tmp_path, sub, min_bytes=0):
+    """run_incremental with the fused shards-detail path forced on
+    (FUSED_MIN_BYTES=0 → every post-discovery batch fuses)."""
+    import datax_spark.cdc.apply as AP
+
+    monkeypatch.setattr(AP, "FUSED_MIN_BYTES", min_bytes)
+    feed, feed_path = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / sub), num_buckets=8)
+    lineages = run_incremental(t, feed, batch_lsns=1000)
+    return t, feed_path, lineages
+
+
+def test_fused_shard_lineage_matches_agg_exactly(spark, tmp_path, monkeypatch):
+    """lineage_detail="shards" fused path (metrics riding the write job via
+    observe) must produce BIT-IDENTICAL lineage to the dedicated
+    aggregation pass — per-shard rows, bytes, last_lsn, and table state."""
+    t_f, feed_path, lin_f = _run_with_fusion(monkeypatch, spark, tmp_path, "tf")
+    import datax_spark.cdc.apply as AP
+
+    monkeypatch.setattr(AP, "FUSED_MIN_BYTES", 1 << 60)  # never fuse
+    feed, _ = _feed(spark, tmp_path)
+    t_a = create_repo_table(spark, str(tmp_path / "ta"), num_buckets=8)
+    lin_a = run_incremental(t_a, feed, batch_lsns=1000)
+
+    def norm(ls):
+        return [
+            {
+                "batch_id": l["batch_id"], "rows": l["rows"],
+                "bytes": l["bytes"], "shard_lsns": l["shard_lsns"],
+                "partitions": sorted(
+                    (tuple(sorted(p.items())) for p in l["partitions"]),
+                ),
+            }
+            for l in ls
+        ]
+
+    assert norm(lin_f) == norm(lin_a)
+    _assert_parity(t_f, feed_path)
+    # manifests carry the same per-shard watermarks (and no _est_ leakage)
+    assert t_f.manifest().shard_lsns == t_a.manifest().shard_lsns
+    for info in t_f.manifest().applied_batches.values():
+        assert not any(k.startswith("_") for k in info)
+
+
+def test_fused_path_discovers_new_shard_mid_run(spark, tmp_path, monkeypatch):
+    """A shard that first appears AFTER discovery (split) is back-filled by
+    the unknown-shard guard: its watermark and metrics are exact."""
+    import datax_spark.cdc.apply as AP
+
+    monkeypatch.setattr(AP, "FUSED_MIN_BYTES", 0)
+    feed, feed_path = _feed(spark, tmp_path)
+    # shard 9 exists only in the last LSN quarter — absent from batch 0
+    late = feed.filter(F.col("lsn") >= 3000).limit(50) \
+        .withColumn("shard", F.lit(9))
+    feed2 = feed.unionByName(late)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    lineages = run_incremental(t, feed2, batch_lsns=1000)
+    last = lineages[-1]
+    assert 9 in last["shard_lsns"]
+    expect_rows = late.count()
+    got = [p for p in last["partitions"] if p["partition_id"] == 9]
+    assert got and got[0]["rows"] == expect_rows
+    assert t.manifest().shard_lsns.get("9") is not None
+
+
+def test_fused_path_replay_is_noop(spark, tmp_path, monkeypatch):
+    import datax_spark.cdc.apply as AP
+
+    monkeypatch.setattr(AP, "FUSED_MIN_BYTES", 0)
+    feed, feed_path = _feed(spark, tmp_path)
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    run_incremental(t, feed, batch_lsns=1000, max_batches=3)
+    v_mid = t.current_version()
+    lineages = run_incremental(t, feed, batch_lsns=1000)
+    assert t.current_version() == v_mid + 1
+    assert [l["batch_id"] for l in lineages] == [3]
+    _assert_parity(t, feed_path)

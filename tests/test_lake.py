@@ -171,3 +171,50 @@ def test_sql_view_over_lake_table(spark, tmp_path):
     ).collect()[0]["n"]
     n_df = t.read().filter("lang = 'python'").count()
     assert n_sql == n_df and n_sql > 0
+
+
+def test_changed_buckets_from_manifest_diff(spark, tmp_path):
+    """changed_buckets derives the changed-key bucket set from the manifest
+    diff alone: bucketed deltas → their bucket ids; L0 placement → None
+    (all buckets); physical rewrites contribute nothing; a rebucket in
+    range → None (ids don't map to one layout)."""
+    rows = [
+        {"repo": f"r{i}", "path": "p", "commit": "c", "lang": "py",
+         "content": "x"}
+        for i in range(40)
+    ]
+    t = _mk(spark, tmp_path, rows, num_buckets=4)
+    v0 = t.current_version()
+
+    def upd(i, lsn, **kw):
+        from pyspark.sql import Row
+        return spark.createDataFrame(
+            [Row(repo=f"r{i}", path="p", commit="c", lang="py",
+                 content=f"v{lsn}", lsn=lsn, op="insert")]
+        )
+
+    merge_into(t, upd(3, 10), op_col="op", order_col="lsn", mode="mor",
+               bucket_deltas=True)
+    v1 = t.current_version()
+    got = t.changed_buckets(v0, v1)
+    bexpr = t.bucket_expr("repo", 4)
+    want = spark.createDataFrame([("r3",)], "repo string") \
+        .select(bexpr.alias("b")).collect()[0]["b"]
+    assert got == [int(want)]
+
+    # a compaction (physical rewrite) adds no changed bucket
+    t.compact()
+    assert t.changed_buckets(v1) == []
+
+    # L0 placement → unknown → None
+    merge_into(t, upd(7, 20), op_col="op", order_col="lsn", mode="mor",
+               bucket_deltas=False)
+    assert t.changed_buckets(v1) is None
+
+    # bucket-count evolution inside the range → None
+    t.compact()
+    v2 = t.current_version()
+    t.rebucket(num_buckets=8)
+    merge_into(t, upd(9, 30), op_col="op", order_col="lsn", mode="mor",
+               bucket_deltas=True)
+    assert t.changed_buckets(v2) is None
