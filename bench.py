@@ -223,6 +223,43 @@ def main() -> None:
         print(f"# {name}: {qtimes[name]}s median of {samples} ({n} rows)",
               file=sys.stderr)
 
+    # LSH-vs-exact crossover point (round-3 done-bar): a boilerplate-heavy
+    # corpus (scaled_documents) in EXACT-FIDELITY mode (max_df=None — no
+    # hub cap, full jaccard against every shingle) where the exact shingle
+    # self-join goes quadratic on the high-df shingles while the MinHash-
+    # band prefilter stays linear.  The suite default remains the exact
+    # variant WITH the hub cap, which is linear and faster at sf0.1 — this
+    # section demonstrates the regime where the prefilter is the only
+    # viable plan.  Pair counts differ by design: banded LSH recall is
+    # 1-(1-j^r)^b, so low-jaccard boilerplate pairs are skipped.
+    crossover = None
+    x_copies = int(os.environ.get("DX_BENCH_CROSSOVER_COPIES", "3"))
+    if x_copies > 0:
+        from datax_spark import fixtures
+        from datax_spark.functions import dedup as DD
+
+        corpus = fixtures.scaled_documents(
+            spark, spark.read.parquet(os.path.join(sf_dir,
+                                                   "documents.parquet")),
+            x_copies, boilerplate="standard header notice applies here",
+        ).persist()
+        n_docs = corpus.count()
+        xres = {}
+        for tag, kw in (("lsh_sec", dict(prefilter_k=8, prefilter_bands=4)),
+                        ("exact_sec", {})):
+            t0 = time.monotonic()
+            xres[tag.replace("_sec", "_pairs")] = DD.ngram_jaccard_pairs(
+                corpus, "doc_id", "text", n=3, threshold=0.12, max_df=None,
+                **kw).count()
+            xres[tag] = round(time.monotonic() - t0, 2)
+            spark.catalog.clearCache()
+            corpus = corpus.persist()
+            corpus.count()
+        corpus.unpersist()
+        crossover = {"copies": x_copies, "docs": n_docs, **xres,
+                     "speedup": round(xres["exact_sec"] / xres["lsh_sec"], 2)}
+        print(f"# ngram jaccard crossover: {crossover}", file=sys.stderr)
+
     out = {
         "metric": "cdc_upsert_events_per_sec",
         "value": ingest["events_per_sec"],
@@ -232,6 +269,7 @@ def main() -> None:
         "sf": sf,
         "cdc_ingest": ingest,
         "cdc_ingest_dedup_batch": ingest_dedup,
+        "ngram_lsh_crossover": crossover,
         "cores": int(cpus) if str(cpus).isdigit() else cpus,
     }
     print(json.dumps(out))

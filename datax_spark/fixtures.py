@@ -199,3 +199,58 @@ def expected_state(events_parquet_dir: str) -> dict[tuple, dict]:
                 **{c: r.get(c) for c in extra},
             }
     return state
+
+
+def scaled_documents(
+    spark: SparkSession,
+    documents: DataFrame,
+    copies: int,
+    every: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    boilerplate: str | None = None,
+) -> DataFrame:
+    """Deterministically scale a documents table ``copies``× for dedup
+    crossover benches — the boilerplate/template regime where the exact
+    shingle self-join goes quadratic while LSH-then-verify stays linear.
+
+    Copy ``c`` of a doc replaces every ``every``-th word with a
+    copy-unique token (``c<c>w<pos>``): within a copy the original
+    near-dup structure is preserved exactly (both sides perturbed
+    identically), while across ANY two copies the shared 3-shingles are
+    only the windows containing no replaced position — at every=4 that is
+    windows starting at 1 (mod 4), 1/4 of all shingles, so cross-copy
+    Jaccard is 0.25/(2-0.25) ≈ 0.143 (below typical thresholds) yet those
+    shared shingles' document frequency grows ``copies``× — the quadratic
+    join-mass driver.  ``boilerplate`` prepends a constant phrase to every
+    doc (shingle df = corpus size — the uncapped-exact killer).
+
+    One plan for any ``copies`` (explode over a copy sequence, transform
+    with the copy column); pure column expressions; ids shift by c·10^9.
+    """
+    c = F.col("__copy")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    perturbed = F.array_join(
+        F.transform(
+            words,
+            lambda w, i: F.when(
+                i % F.lit(every) == 0,
+                F.concat(F.lit("c"), c.cast("string"), F.lit("w"),
+                         i.cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    if boilerplate:
+        perturbed = F.concat(F.lit(boilerplate + " "), perturbed)
+    return (
+        documents.select(
+            id_col, text_col,
+            F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("__copy"),
+        )
+        .select(
+            (F.col(id_col) + c.cast("long") * F.lit(1_000_000_000))
+            .alias(id_col),
+            perturbed.alias(text_col),
+        )
+    )

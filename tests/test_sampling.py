@@ -142,3 +142,34 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert set(by_doc) == {d for d, n in toks.items() if n > 0}
     with pytest.raises(ValueError, match="overlap"):
         SMP.chunk_documents(docs, "text", chunk_tokens=10, overlap=10)
+
+
+def test_scaled_documents_shape_and_structure(spark):
+    """scaled_documents: copies× rows, ids shifted by c·1e9, within-copy
+    texts perturbed identically (near-dup structure preserved), cross-copy
+    texts share only non-replaced windows, boilerplate prepends."""
+    from datax_spark import fixtures
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(20)
+    base = {r.doc_id: r.text for r in docs.collect()}
+    out = fixtures.scaled_documents(spark, docs, 3, boilerplate="hdr x")
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert len(rows) == 3 * len(base)
+    for did, text in base.items():
+        for c in range(3):
+            t = rows[did + c * 1_000_000_000]
+            assert t.startswith("hdr x ")
+            words = t.split()[2:]  # strip boilerplate
+            orig = text.split()
+            assert len(words) == len(orig)
+            for i, w in enumerate(words):
+                if i % 4 == 0:
+                    assert w == f"c{c}w{i}"
+                else:
+                    assert w == orig[i]
+    # determinism
+    again = {r.doc_id: r.text
+             for r in fixtures.scaled_documents(
+                 spark, docs, 3, boilerplate="hdr x").collect()}
+    assert again == rows
