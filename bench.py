@@ -179,7 +179,10 @@ def main() -> None:
     # measurably non-stationary (identical runs vary up to 1.5-3x minutes
     # apart — see BENCH/BASELINE.md findings), so the headline is the
     # MEDIAN of DX_BENCH_REPS identical reps, all reps reported.
-    n_reps = max(1, int(os.environ.get("DX_BENCH_REPS", "3")))
+    # 5 reps (was 3): this host's weather swings single reps 1.5-4x —
+    # with 5, the cold-JVM first rep AND one bad-weather window both fall
+    # out of the median (r3 saw reps [78k, 169k, 287k] in one run)
+    n_reps = max(1, int(os.environ.get("DX_BENCH_REPS", "5")))
     reps = []
     for i in range(n_reps):
         r = bench_cdc_ingest(

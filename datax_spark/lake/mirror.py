@@ -151,6 +151,7 @@ def sync_mirror(
         mode=mode,
         auto_compact=auto_compact,
         dedup_batch=False,  # batch is already one winner per key
+        keys_unique=True,   # … so COW/DV modes may skip the forced dedup too
         properties_update={WATERMARK_PROP: int(to_v)},
     )
     return {"from_version": from_v, "to_version": to_v,
