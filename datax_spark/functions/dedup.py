@@ -388,3 +388,115 @@ def simhash_pairs(
         .select("a", "b", "hamming")
     )
     return _finalize(out, fp)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → ``(id, component)``
+    where ``component`` is the smallest id reachable from ``id``.
+
+    The missing end of the dedup ladder: pair emitters (jaccard / LSH /
+    simhash / embedding) give EDGES, but "keep one doc per duplicate
+    cluster" needs the transitive closure.  Implemented as min-label
+    propagation (the MapReduce-CC family, cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): every node repeatedly adopts
+    the smallest label in its neighborhood; iterate until a fixpoint.
+    Each iteration is ONE hash-agg + ONE join on the label graph — O(E)
+    shuffle, no driver-side graph, no GraphFrames dependency
+    (a near-dup cluster's diameter is small by construction —
+    similarity is near-transitive).  Plain propagation converges in
+    O(diameter) iterations — the right trade for dedup graphs, whose
+    clusters are shallow; a social-graph-scale CC would want the
+    large-star/small-star alternation's O(log n).  The fixpoint test
+    costs one count per iteration on the joined label frame.
+
+    Deterministic output: min-id labels do not depend on partitioning or
+    iteration order.  ``max_iters`` bounds pathological chains; hitting
+    it raises rather than returning a half-merged clustering.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    # undirected: both directions + self-loop so isolated-in-one-direction
+    # nodes keep their own label
+    sym = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    # localCheckpoint (not persist): each iteration must TRUNCATE the
+    # logical plan, or the nested join lineage grows linearly and the
+    # driver's analyzer OOMs after a few dozen iterations — the standard
+    # iterative-algorithm discipline (GraphFrames does the same)
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy("s")
+        .agg(F.least(F.min("d"), F.min("s")).alias("label"))
+        .select(F.col("s").alias("id"), "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # propagate: my new label = min(my label, min over neighbors'
+        # labels); one join edge→label + one hash-agg
+        prop = (
+            sym.join(labels, sym["d"] == labels["id"], "inner")
+            .select(sym["s"].alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        nxt = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "— pathological chain graph; raise max_iters"
+    )
+
+
+def dedup_keep_one(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Corpus minus near-duplicates: for every connected component of the
+    pair graph, keep ONLY the smallest-id doc; docs in no pair survive
+    untouched.  Returns df's full rows plus ``component`` (= kept doc's
+    component id; equals the doc's own id for singletons) and ``n_dups``
+    (cluster size; 1 for singletons) — the provenance columns a training-
+    data pipeline audits dedup rates with."""
+    comp = connected_components(pairs, a_col, b_col)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_dups"))
+    keep = (
+        comp.join(sizes, "component")
+        .filter(F.col("id") == F.col("component"))
+        .select(F.col("id").alias(id_col), "component", "n_dups")
+    )
+    # comp spans only docs that appear in some pair — usually a small
+    # fraction of the corpus, but not guaranteed broadcastable at 100 TB:
+    # leave join strategy to AQE (it broadcasts when sizes allow)
+    return (
+        df.join(comp.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        .withColumn("component", F.col(id_col))
+        .withColumn("n_dups", F.lit(1).cast("long"))
+        .unionByName(df.join(keep, id_col, "inner"))
+    )

@@ -400,3 +400,56 @@ def cosine_pairs(
     return sim.filter(F.col("cosine") >= threshold).select(
         "a", "b", F.round("cosine", 6).alias("cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage cut
+    a vector corpus takes before ANN indexing (q = round(127·x/max|x|),
+    dequantize x̂ = q·max_abs/127; cosine error bounded by the per-dim
+    quantization step).
+
+    Returns (id, max_abs double, q_vec array<int> in [-127, 127]).
+    Rounding is floor(x+0.5) — HALF-UP for negatives too, chosen over
+    round() because Spark (HALF_UP) and DuckDB (banker's in some builds)
+    disagree on .5 ties while floor is IEEE-exact everywhere, which keeps
+    the value oracle bit-identical.  Pure column expressions
+    (transform/aggregate) — no Python, no shuffle; zero vectors quantize
+    to zeros via the 1e-30 floor."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-30),
+    )
+    q = F.transform(
+        v, lambda x: F.floor(x * F.lit(127.0) / F.col("__max_abs") + F.lit(0.5))
+        .cast("int")
+    )
+    return (
+        df.withColumn("__max_abs", max_abs)
+        .select(
+            F.col(id_col),
+            F.col("__max_abs").alias("max_abs"),
+            q.alias("q_vec"),
+        )
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    qvec_col: str = "q_vec",
+    scale_col: str = "max_abs",
+) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x̂ = q·max_abs/127 as
+    array<double> — feed straight back into cosine_topk/ivf_topk."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(qvec_col),
+            lambda q: q.cast("double") * F.col(scale_col) / F.lit(127.0),
+        ).alias("embedding"),
+    )

@@ -1115,6 +1115,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: near-dup pairs (exact jaccard, same
+    params as dedup_ngram_jaccard) → connected components (distributed
+    min-label propagation, functions/dedup.connected_components) → one
+    surviving doc per cluster + (component, n_dups) provenance.  The
+    oracle recomputes the transitive closure with a DuckDB RECURSIVE CTE
+    — an entirely independent implementation of reachability."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.12, max_df=100
+    )
+    return DD.dedup_keep_one(docs, pairs, "doc_id").select(
+        "doc_id", "component", "n_dups"
+    )
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4x storage cut a vector
+    corpus takes before ANN indexing): per-vector max-abs scale, values →
+    round(x*127/max_abs) via floor(x+0.5) — floor keeps Spark and DuckDB
+    bit-identical where banker's-vs-half-up round() would drift.  The
+    vector is emitted as a canonical comma string so the driver hash
+    compares scalars."""
+    from datax_spark.functions import similarity as SIM
+
+    q = SIM.quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
+    return q.select(
+        "vec_id",
+        F.col("max_abs"),
+        F.concat_ws(",", F.col("q_vec").cast("array<string>"))
+        .alias("q_vec_str"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -1737,6 +1773,47 @@ SELECT a, b, n_common,
 FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
 WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12
 """,
+    # transitive closure via RECURSIVE CTE — an independent reachability
+    # implementation checking the engine's distributed label propagation
+    "dedup_cluster_keep_one": f"""
+WITH RECURSIVE {_DOC_SHINGLES_3},
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+p0 AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+       FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+pairs AS (SELECT a, b FROM p0 JOIN cnt ca ON ca.doc_id = a
+          JOIN cnt cb ON cb.doc_id = b
+          WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12),
+edges AS (SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT s AS id, d AS r FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r
+),
+comp AS (SELECT id, least(min(r), id) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_dups
+          FROM comp GROUP BY component)
+SELECT d.doc_id, d.doc_id AS component, CAST(1 AS BIGINT) AS n_dups
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id WHERE c.id IS NULL
+UNION ALL
+SELECT c.id AS doc_id, c.component, s.n_dups
+FROM comp c JOIN sizes s USING (component) WHERE c.id = c.component
+""",
+    "embed_quantize": """
+WITH m AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS max_abs
+  FROM embeddings)
+SELECT vec_id, max_abs,
+       array_to_string(list_transform(embedding,
+         x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / max_abs + 0.5)
+                        AS INT) AS VARCHAR)), ',') AS q_vec_str
+FROM m
+""",
     "dedup_ngram_jaccard_lsh": f"""
 WITH {_DOC_SHINGLES_3},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2010,8 +2087,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_quantile_pk": q_split_quantile_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_shipping": q_q3_top_shipping,
-    "events_rollup": q_events_rollup,
-    "events_funnel": q_events_funnel,
+    "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
+    "embed_quantize": q_embed_quantize,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2046,6 +2123,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_segment": q_top_orders_per_segment,
     "q22_rich_idle_customers": q_q22_rich_idle_customers,
     "events_tumbling_window": q_events_tumbling_window,
+    "events_rollup": q_events_rollup,
+    "events_funnel": q_events_funnel,
 }
 
 

@@ -111,3 +111,34 @@ def test_method_validation():
 
     with _pytest.raises(ValueError, match="unknown centroid-scoring"):
         SIM._pick_method("bogus", [(0, [0.0])])
+
+
+def test_quantize_dequantize_roundtrip(emb):
+    """int8 quantization: values in [-127,127], max_abs positive, and the
+    dequantized vectors' cosine similarity to the originals stays >0.999
+    (the error is bounded by the per-dim step)."""
+    import math
+
+    q = SIM.quantize_embeddings(emb)
+    rows = {r.vec_id: r for r in q.collect()}
+    orig = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    assert set(rows) == set(orig)
+    for vid, r in rows.items():
+        assert r.max_abs > 0
+        assert all(-127 <= v <= 127 for v in r.q_vec)
+    deq = {r.vec_id: r.embedding
+           for r in SIM.dequantize_embeddings(q).collect()}
+    for vid, v in orig.items():
+        w = deq[vid]
+        dot = sum(a * b for a, b in zip(v, w))
+        nv = math.sqrt(sum(a * a for a in v))
+        nw = math.sqrt(sum(b * b for b in w))
+        if nv > 0 and nw > 0:
+            assert dot / (nv * nw) > 0.999, vid
+
+
+def test_quantize_plan_stays_jvm(emb):
+    from datax_spark.plans import checks
+
+    checks.assert_no_python_row_udf(SIM.quantize_embeddings(emb))
