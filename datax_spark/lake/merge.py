@@ -716,3 +716,131 @@ def _merge_mor(
         if heavy:
             m = table.compact(heavy)
     return m
+
+
+# ------------------------------------------------------------- row-level DML
+# reserved lineage shard for DML commits: each delete_where/update_where
+# advances last_lsn() through it, so consecutive DML statements strictly
+# order against each other AND against everything the feed has applied.
+# Negative and distinct from -1 (the global watermark), it can never match
+# a real feed shard, so resume filtering ignores it.
+DML_SHARD = -2
+
+
+def _dml_lineage(table: LakeTable, lsn: int, n: int) -> dict:
+    return {"batch_id": f"dml{lsn}", "rows": int(n), "bytes": 0,
+            "shard_lsns": {DML_SHARD: int(lsn)}}
+
+
+def delete_where(
+    table: LakeTable,
+    where,
+    lineage: dict | None = None,
+    mode: str = "mor",
+    auto_compact: int | None = None,
+) -> int:
+    """``DELETE FROM table WHERE ...`` — the row-level delete surface the
+    reference only reaches through preSql (`WriterUtil.java:78-108`
+    executes raw DELETE statements before a sync; here the delete is an
+    ACID commit with lineage like any merge).
+
+    Plan: one zone-map-pruned scan of the CURRENT state for matching rows
+    (``read(where=...)`` — with a dim-clustered layout whole files skip),
+    keys only, then a MOR tombstone merge (O(matching rows) appended, no
+    bucket rewrite).  The batch's keys are unique by construction (they
+    come from reconstructed state), so the merge skips the dedup shuffle.
+    Returns the number of rows deleted.  ``where`` takes the
+    ``read(where=...)`` predicate list or a boolean Column."""
+    m = table.manifest()
+    cur = table.read(where=where) if not _is_column(where) \
+        else table.read().filter(where)
+    lsn = table.last_lsn() + 1
+    batch = cur.select(
+        *[F.col(c) for c in m.key_cols],
+        F.lit("delete").alias("__dml_op"),
+        F.lit(lsn).cast("long").alias("__dml_lsn"),
+    ).persist()
+    n = batch.count()
+    if n == 0:
+        batch.unpersist()
+        return 0
+    try:
+        merge_into(
+            table,
+            batch,
+            op_col="__dml_op",
+            order_col="__dml_lsn",
+            payload_cols=list(m.key_cols),
+            lineage=lineage or _dml_lineage(table, lsn, n),
+            evolve_schema=False,
+            mode=mode,
+            auto_compact=auto_compact,
+            keys_unique=True,
+        )
+    finally:
+        batch.unpersist()
+    return n
+
+
+def update_where(
+    table: LakeTable,
+    where,
+    set_exprs: dict,
+    lineage: dict | None = None,
+    mode: str = "mor",
+    auto_compact: int | None = None,
+) -> int:
+    """``UPDATE table SET col = expr WHERE ...`` — row-level update as an
+    ACID merge: one pruned scan of matching CURRENT rows, SET expressions
+    applied column-wise (values are Columns — which see the row's current
+    values — or plain literals; pass F.expr(...) explicitly for SQL
+    strings, a bare str is a LITERAL), then an upsert merge of the
+    rewritten whole rows.  O(matching rows); returns how many."""
+    m = table.manifest()
+    cur = table.read(where=where) if not _is_column(where) \
+        else table.read().filter(where)
+    bad = set(set_exprs) - {f.name for f in m.schema.fields}
+    if bad:
+        raise ValueError(f"update_where SET of unknown columns: {sorted(bad)}")
+    if set(set_exprs) & set(m.key_cols):
+        raise ValueError(
+            "update_where cannot SET key columns — delete + re-insert "
+            "instead (a key change is a different logical row)"
+        )
+
+    def as_col(v):
+        return v if isinstance(v, F.Column) else F.lit(v)
+
+    lsn = table.last_lsn() + 1
+    batch = cur.select(
+        *[
+            (as_col(set_exprs[f.name]).cast(f.dataType)
+             if f.name in set_exprs else F.col(f.name)).alias(f.name)
+            for f in m.schema.fields
+        ],
+        F.lit("insert").alias("__dml_op"),
+        F.lit(lsn).cast("long").alias("__dml_lsn"),
+    ).persist()
+    n = batch.count()
+    if n == 0:
+        batch.unpersist()
+        return 0
+    try:
+        merge_into(
+            table,
+            batch,
+            op_col="__dml_op",
+            order_col="__dml_lsn",
+            lineage=lineage or _dml_lineage(table, lsn, n),
+            evolve_schema=False,
+            mode=mode,
+            auto_compact=auto_compact,
+            keys_unique=True,
+        )
+    finally:
+        batch.unpersist()
+    return n
+
+
+def _is_column(where) -> bool:
+    return isinstance(where, F.Column)

@@ -44,13 +44,20 @@ def get_session(
     """Build (or reuse) a SparkSession.
 
     ``cores``: int N → ``local[N]``; "*" → all cores; None → env
-    ``SPARK_GRAFT_CPUS`` or all cores.  On a real cluster the master is taken
-    from spark-submit and this argument is ignored by Spark.
+    ``SPARK_GRAFT_CPUS`` or all cores.  Under ``spark-submit --master ...``
+    the submitted master WINS: a programmatic .master() would override
+    spark-submit's (builder conf beats system properties), so the local[N]
+    default is applied only when no ``spark.master`` arrived from the
+    launcher — the same code runs unchanged on a multi-executor cluster
+    (``spark-submit --py-files dist/datax_spark.zip submit.py job.json``).
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    from pyspark import SparkConf
+
+    if not SparkConf(loadDefaults=True).contains("spark.master"):
+        builder = builder.master(f"local[{cores}]")
     conf = dict(_BASE_CONF)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)

@@ -448,6 +448,42 @@ FROM ranked WHERE rn = 1 AND NOT is_delete
 """
 
 
+def q_cdc_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DML over the ingested table (lake/merge.delete_where /
+    update_where — the DELETE FROM / UPDATE surface the reference reaches
+    only through raw preSql statements): fold the feed, then
+    UPDATE SET value_cents = value_cents + 1000 WHERE event_type='purchase'
+    and DELETE WHERE event_type='click', both as ACID MOR merges.  The
+    oracle applies the same mutations to the SQL fold."""
+    from datax_spark.lake.merge import delete_where, update_where
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_dml_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 2) // 2))
+    update_where(
+        table, [("event_type", "=", "purchase")],
+        {"value_cents": F.col("value_cents") + F.lit(1000)},
+    )
+    delete_where(table, [("event_type", "=", "click")])
+    return table.read().select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_cdc_dedup_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The in-batch dedup operator alone: last event per key by max LSN
     (lake.merge.dedup_last_per_key — hash-agg max_by, no window sort)."""
@@ -1342,6 +1378,23 @@ a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
+    # the SQL fold + the same row-level mutations delete_where/update_where
+    # applied (order matters only for rows hit by both — none here, the
+    # predicates are disjoint event_types)
+    "cdc_dml_delete_update": """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events),
+state AS (SELECT user_id, event_type, value_cents, props
+          FROM ranked WHERE rn = 1 AND NOT is_delete)
+SELECT user_id, event_type,
+       CASE WHEN event_type = 'purchase' THEN value_cents + 1000
+            ELSE value_cents END AS value_cents,
+       props
+FROM state WHERE event_type <> 'click'
+""",
     "cdc_agg_view": """
 WITH ranked AS (
   SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
@@ -2064,6 +2117,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
     "cdc_partial_update": q_cdc_partial_update,
+    "cdc_dml_delete_update": q_cdc_dml_delete_update,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_changelog_images": q_cdc_changelog_images,
     "cdc_mirror_relay": q_cdc_mirror_relay,
@@ -2086,7 +2140,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_minmax_pk": q_split_minmax_pk,
     "split_quantile_pk": q_split_quantile_pk,
     "q1_pricing_summary": q_q1_pricing_summary,
-    "q3_top_shipping": q_q3_top_shipping,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
     "embed_quantize": q_embed_quantize,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
@@ -2125,6 +2178,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_window": q_events_tumbling_window,
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
+    "q3_top_shipping": q_q3_top_shipping,
 }
 
 

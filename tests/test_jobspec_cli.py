@@ -367,3 +367,63 @@ def test_cli_maintain_tag_and_rollback(spark, tmp_path, capsys):
                    "--cores", 4)
     assert rc == 0 and out["rolled_back_to"] == "good"
     assert LakeTable(spark, loc).read().count() == good
+
+
+def test_package_zip_importable(tmp_path):
+    """python -m datax_spark.package builds the --py-files artifact; the
+    zip alone must be importable (what spark-submit ships to executors)."""
+    import subprocess
+    import sys
+
+    from datax_spark import package
+
+    out = package.build()
+    code = (
+        f"import sys; sys.path.insert(0, {out!r}); "
+        "import datax_spark, datax_spark.suite, datax_spark.lake.merge; "
+        "print('OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin"},
+    )
+    assert r.stdout.strip() == "OK", r.stderr[-500:]
+
+
+def test_session_respects_submitted_master(monkeypatch):
+    """get_session must not override a spark-submit-provided master: when
+    spark.master is already in the launcher conf, no .master() is set."""
+    from unittest import mock
+
+    from datax_spark import session as S
+
+    class FakeConf:
+        def __init__(self, loadDefaults=True):
+            pass
+
+        def contains(self, k):
+            return k == "spark.master"
+
+    class FakeBuilder:
+        def __init__(self):
+            self.master_called = False
+
+        def appName(self, n):
+            return self
+
+        def master(self, m):
+            self.master_called = True
+            return self
+
+        def config(self, k, v):
+            return self
+
+        def getOrCreate(self):
+            return "session"
+
+    fb = FakeBuilder()
+    with mock.patch.object(S, "SparkSession") as MS, \
+            mock.patch("pyspark.SparkConf", FakeConf):
+        MS.builder = fb
+        assert S.get_session(cores=4) == "session"
+    assert fb.master_called is False

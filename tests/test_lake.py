@@ -218,3 +218,61 @@ def test_changed_buckets_from_manifest_diff(spark, tmp_path):
     merge_into(t, upd(9, 30), op_col="op", order_col="lsn", mode="mor",
                bucket_deltas=True)
     assert t.changed_buckets(v2) is None
+
+
+def test_delete_where_and_update_where(spark, tmp_path):
+    """Row-level DML: update_where rewrites matching rows column-wise (SET
+    sees current values), delete_where tombstones them; both are ACID
+    merges — state, time travel, and further merges keep working."""
+    from datax_spark.lake.merge import delete_where, update_where
+
+    rows = [
+        {"repo": f"r{i}", "path": "p", "commit": "c",
+         "lang": "py" if i % 2 else "go", "content": f"v{i}"}
+        for i in range(10)
+    ]
+    t = _mk(spark, tmp_path, rows, num_buckets=4)
+    v0 = t.current_version()
+
+    n = update_where(
+        t, [("lang", "=", "go")],
+        {"content": F.concat(F.col("content"), F.lit("!"))},
+    )
+    assert n == 5
+    got = {r.repo: r.content for r in t.read().collect()}
+    assert got["r0"] == "v0!" and got["r1"] == "v1"
+
+    n = delete_where(t, [("lang", "=", "go")])
+    assert n == 5
+    assert t.read().count() == 5
+    assert {r.lang for r in t.read().collect()} == {"py"}
+    # zero-match DML is a no-op (no commit)
+    v1 = t.current_version()
+    assert delete_where(t, [("lang", "=", "rust")]) == 0
+    assert t.current_version() == v1
+    # time travel still sees the pre-DML state
+    assert t.read(version=v0).count() == 10
+    # SET on a key column refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key columns"):
+        update_where(t, [("lang", "=", "py")], {"repo": "x"})
+    with _pytest.raises(ValueError, match="unknown columns"):
+        update_where(t, [("lang", "=", "py")], {"nope": 1})
+
+
+def test_update_where_column_predicate(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from datax_spark.lake.merge import update_where
+
+    t = _mk(spark, tmp_path, [
+        {"repo": "a", "path": "p", "commit": "c", "lang": "py",
+         "content": "xx"},
+        {"repo": "b", "path": "p", "commit": "c", "lang": "py",
+         "content": "yyy"},
+    ])
+    n = update_where(t, SF.length("content") > 2, {"lang": "long"})
+    assert n == 1
+    assert {r.repo: r.lang for r in t.read().collect()} == {
+        "a": "py", "b": "long"}
