@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "cdc_agg_view",
     # round-3: real BMP decode through the Arrow kernel
     "multimodal_decode_image",
+    # round-3: row-level DML, near-dup clustering, int8 quantization
+    "cdc_dml_delete_update",
+    "dedup_cluster_keep_one",
+    "embed_quantize",
 ]
 
 

@@ -538,6 +538,7 @@ def refresh_agg_view(
                 keys_unique=True,
                 known_buckets=(touched if all(b is not None for b in touched)
                                else None),
+                batch_rows=n_groups,
             )
         finally:
             if batch_persisted:

@@ -147,6 +147,7 @@ def merge_into(
     present_col: str | None = None,
     keys_unique: bool = False,
     known_buckets: list | None = None,
+    batch_rows: int | None = None,
 ) -> Manifest | None:
     """Apply a change batch to the table; returns the new manifest.
 
@@ -195,6 +196,9 @@ def merge_into(
     caller-computed bucket ids covering EVERY key in the batch (COW only)
     — skips the planning collect; an under-covering list would duplicate
     rows, so pass it only from code that derived it from the batch itself.
+    ``batch_rows``: caller-measured batch row count — used only for the
+    broadcast-vs-shuffle join decision, so a stale value risks a plan
+    choice, never correctness; skips the planning count() job.
 
     ``bucket_deltas`` (MOR only): True appends bucket-partitioned delta
     files (per-bucket pruning, the big-batch shape); False appends
@@ -344,7 +348,8 @@ def merge_into(
         # and rows >= distinct keys makes it a safe broadcast bound.
         new_state = anti_join_batch_keys(
             current, batch, key_cols,
-            broadcast=batch.count() <= broadcast_key_limit,
+            broadcast=(batch_rows if batch_rows is not None
+                       else batch.count()) <= broadcast_key_limit,
         ).unionByName(survivors)
 
         staged_base = Manifest(**{**base.__dict__, "schema": new_schema})
