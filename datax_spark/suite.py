@@ -1187,6 +1187,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-20 for a fixed query over the
+    documents corpus (functions/retrieval.bm25_topk — one tokenize pass,
+    postings joined to the broadcast query terms, hash-agg fold; the
+    inverted-index cost expressed relationally).  The oracle recomputes
+    BM25 in DuckDB SQL; scores round to 6dp on both sides, avgdl is an
+    exact integer-sum division, ties break by doc_id."""
+    from datax_spark.functions import retrieval as R
+
+    return R.bm25_topk(
+        _t(spark, sf_dir, "documents"), "merge table scan", k=20
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
@@ -1826,6 +1840,33 @@ SELECT a, b, n_common,
 FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
 WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.12
 """,
+    # Okapi BM25 replicated in SQL: same tokenization (lower + whitespace
+    # split), same idf form, exact integer-sum avgdl, 6dp score grain,
+    # doc_id tie-break — query terms: 'merge', 'table', 'scan'
+    "text_bm25_topk": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+postings AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest(['merge', 'table', 'scan']) AS term),
+idf AS (SELECT term,
+               ln(1.0 + (s.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM postings JOIN q USING (term), stats s
+        GROUP BY term, s.n_docs),
+contrib AS (
+  SELECT p.doc_id,
+         i.idf * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS part
+  FROM postings p JOIN idf i USING (term)
+  JOIN dl d USING (doc_id), stats s)
+SELECT doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+""",
     # transitive closure via RECURSIVE CTE — an independent reachability
     # implementation checking the engine's distributed label propagation
     "dedup_cluster_keep_one": f"""
@@ -2139,8 +2180,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_filter_like": q_tx_filter_like,
     "split_minmax_pk": q_split_minmax_pk,
     "split_quantile_pk": q_split_quantile_pk,
-    "q1_pricing_summary": q_q1_pricing_summary,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
+    "text_bm25_topk": q_text_bm25_topk,
     "embed_quantize": q_embed_quantize,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
     "dedup_exact": q_dedup_exact,
@@ -2179,6 +2220,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "events_funnel": q_events_funnel,
     "q3_top_shipping": q_q3_top_shipping,
+    "q1_pricing_summary": q_q1_pricing_summary,
 }
 
 
