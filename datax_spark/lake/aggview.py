@@ -5,25 +5,33 @@ changelog — the continuous-aggregate / "dynamic table" pattern
 The reference has no analogue (DataX moves rows; any rollup re-reads the
 whole source per sync, ``CommonRdbmsReader.java:165-214``).  Here the
 rollup is a derived :class:`LakeTable` keyed by the group dimensions, and
-each refresh consumes only the upstream commits since its watermark via
-``read_changes_with_images`` — update_before/delete rows RETRACT (-1),
-insert/update_after rows ASSERT (+1), so counts and sums maintain exactly
-under updates and deletes.
+each refresh consumes only the upstream commits since its watermark —
+update_before/delete rows RETRACT (-1), insert/update_after rows ASSERT
+(+1), so counts and sums maintain exactly under updates and deletes.
 
 Aggregates: ``n_rows`` (count) and ``sum_<col>`` are self-maintainable
 under retraction; ``avg`` is a read-time division.  ``min_<col>`` /
-``max_<col>`` are maintained with the textbook partial-recompute rule:
-an arriving value at-or-beyond the current extremum updates it directly,
-and ONLY a group whose current extremum actually departs (a retracted
-row held it and nothing arriving reaches it) triggers a recompute — one
-snapshot pass filtered to just those groups.  Their dim values are
-pushed into the scan as per-dim IN predicates via ``read(where=...)``,
-so the upstream manifest's ZONE MAPS skip whole files before any are
-opened; keep a hot upstream dim-clustered with
-``compact(sort_cols=dims)`` and the rescan costs O(matching files),
-not O(snapshot) — the refresh result reports the pruning decision under
-``"rescan"``.  A broadcast semi join restores group-exactness either
-way.  No extremum departure → no snapshot pass at all.
+``max_<col>`` maintain the K BEST DISTINCT VALUE LEVELS per group with
+their multiplicities (a hidden companion column ``__lvmin_<c>`` /
+``__lvmax_<c>``: array<struct<v,k>>, best-first, K = ``levels_k``,
+default 8): a retraction that empties the best level promotes the next
+level IN PLACE, so the classic hot-retraction pattern — the current
+extremum departs every batch — virtually never rescans the upstream
+(exhaustion needs all K levels emptied in ONE refresh; at churn fraction
+p that is ~p^K).  The bookkeeping is the exact "level algebra": within
+the KNOWN HORIZON (the deepest stored level) the view knows the complete
+value multiset of the group, every refresh nets the arriving/departing
+rows against those levels, and the K best surviving levels become the
+new state.  Only a group whose known levels ALL empty in one refresh
+falls back to a recompute — one snapshot pass filtered to just those
+groups, with their dim values pushed into the scan as per-dim IN
+predicates via ``read(where=...)`` so the upstream manifest's ZONE MAPS
+skip whole files before any are opened; keep a hot upstream
+dim-clustered with ``compact(sort_cols=dims)`` and that rare rescan
+costs O(matching files), not O(snapshot) — the refresh result reports
+the pruning decision under ``"rescan"`` (None when no rescan ran).  The
+level maintenance itself is pure DataFrame logic riding the merge DAG —
+no extra Spark action, no collect.
 
 Exactly-once, like the mirror (``lake/mirror.py``): the view stores
 ``aggview_upstream_version`` in its own manifest properties and advances
@@ -49,14 +57,18 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from datax_spark.lake.merge import merge_into
-from datax_spark.lake.table import LakeTable
+from datax_spark.lake.table import DELTA_KINDS, LakeTable
 
 WATERMARK_PROP = "aggview_upstream_version"
 SPEC_PROP = "aggview_spec"
 _OP = "__aggview_op"
 _ORDER = "__aggview_order"
+# how many distinct best-value levels each min/max tracks by default; the
+# depth of the retraction buffer before a rescan is ever needed
+_DEFAULT_LEVELS_K = 8
 # rescan groups at or under this count get their keys pushed into the
 # snapshot scan as an isin() filter (row-group pruning); above it, the
 # broadcast semi join alone restricts the pass
@@ -64,7 +76,7 @@ _RESCAN_PUSHDOWN_CAP = 256
 
 # views at or under this many manifest bytes take the FUSED-STATS refresh:
 # the whole (tiny) view is read unpruned and one aggregate action yields
-# group count + touched buckets + departed-extremum keys together — two
+# group count + touched buckets + level-exhausted keys together — two
 # Spark actions per refresh instead of three.  Bigger views keep the
 # bucket-pruned 3-action path (reading an unpruned big view would cost
 # more than the extra action saves).
@@ -94,22 +106,80 @@ def _sum_type(dt: T.DataType) -> T.DataType:
     return T.LongType()
 
 
+def _lv_type(dt: T.DataType) -> T.ArrayType:
+    """Level-array type for a maintained extremum over a column of ``dt``:
+    array<struct<v: dt, k: long>>, best value first."""
+    return T.ArrayType(T.StructType([
+        T.StructField("v", dt), T.StructField("k", T.LongType()),
+    ]))
+
+
+def _names(agg: str, c: str) -> tuple[str, str]:
+    """(public extremum column, hidden level-array column)."""
+    return f"{agg}_{c}", f"__lv{agg}_{c}"
+
+
+def _topk(
+    df: DataFrame, dims: list[str], c: str, asc: bool, k: int,
+    pub: str, arr: str,
+) -> DataFrame:
+    """Exact K best distinct non-null values of ``c`` per group with their
+    multiplicities.  One scan: per-(group, value) counts, then a rank-K
+    window — the same shape at bootstrap and in the rare rescan."""
+    lv = (
+        df.filter(F.col(c).isNotNull())
+        .groupBy(*dims, c).agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    )
+    order = F.col(c).asc() if asc else F.col(c).desc()
+    w = Window.partitionBy(*dims).orderBy(order)
+    r = lv.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    got = r.groupBy(*dims).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(c).alias("v"),
+                                    F.col("__k").alias("k"))),
+            asc=asc,
+        ).alias(arr)
+    )
+    return got.withColumn(pub, F.element_at(F.col(arr), 1)["v"])
+
+
+def _ns_join(left: DataFrame, right: DataFrame, dims: list[str],
+             how: str) -> DataFrame:
+    """Null-safe dim-key join; right's dim columns are dropped."""
+    r = right.select(
+        *[F.col(d).alias(f"__j_{d}") for d in dims],
+        *[F.col(c) for c in right.columns if c not in dims],
+    )
+    cond = None
+    for d in dims:
+        e = left[d].eqNullSafe(F.col(f"__j_{d}"))
+        cond = e if cond is None else (cond & e)
+    return left.join(r, on=cond, how=how).drop(*[f"__j_{d}" for d in dims])
+
+
 def _aggregate(
     df: DataFrame, dims: list[str], sums: list[str],
     out_types: dict[str, T.DataType],
     mins: list[str] = (), maxs: list[str] = (),
+    levels_k: int = _DEFAULT_LEVELS_K,
 ) -> DataFrame:
+    """One-shot aggregate in the view's schema (bootstrap path): counts +
+    sums in one pass, plus a top-K pass per maintained extremum."""
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in sums:
         t = out_types[f"sum_{c}"]
         aggs.append(
             F.coalesce(F.sum(c), F.lit(0)).cast(t).alias(f"sum_{c}")
         )
-    for c in mins:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-    for c in maxs:
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    return df.groupBy(*dims).agg(*aggs)
+    out = df.groupBy(*dims).agg(*aggs)
+    for agg, cols, asc in (("min", mins, True), ("max", maxs, False)):
+        for c in cols:
+            pub, arr = _names(agg, c)
+            out = _ns_join(out, _topk(df, dims, c, asc, levels_k, pub, arr),
+                           dims, "left")
+            # exact declared type (collect_list tightens nullability)
+            out = out.withColumn(arr, F.col(arr).cast(out_types[arr]))
+    return out
 
 
 def create_agg_view(
@@ -121,11 +191,15 @@ def create_agg_view(
     maxs: list[str] | None = None,
     num_buckets: int = 16,
     version: int | None = None,
+    levels_k: int = _DEFAULT_LEVELS_K,
 ) -> LakeTable:
     """Create the view table and bootstrap it with a one-shot aggregate of
     the upstream snapshot at ``version`` (default current; 0 = empty view
     that replays the whole changelog).  Schema: dims + ``n_rows`` +
-    ``sum_<col>`` / ``min_<col>`` / ``max_<col>`` per requested column.
+    ``sum_<col>`` / ``min_<col>`` / ``max_<col>`` per requested column,
+    plus one hidden level-array companion per extremum (see the module
+    docstring).  ``levels_k`` trades hidden-state size for rescan
+    avoidance depth.
 
     Like ``bootstrap_mirror``, bootstrap is two commits (overwrite, then
     watermark) — a crash between them leaves no watermark and bootstrap is
@@ -133,6 +207,8 @@ def create_agg_view(
     sums = list(sums or [])
     mins = list(mins or [])
     maxs = list(maxs or [])
+    if levels_k < 1:
+        raise ValueError("levels_k must be >= 1")
     uschema = upstream.schema()
     by_name = {f.name: f for f in uschema.fields}
     for c in [*dims, *sums, *mins, *maxs]:
@@ -150,10 +226,11 @@ def create_agg_view(
     fields.append(T.StructField("n_rows", T.LongType()))
     for c in sums:
         fields.append(T.StructField(f"sum_{c}", _sum_type(by_name[c].dataType)))
-    for c in mins:
-        fields.append(T.StructField(f"min_{c}", by_name[c].dataType))
-    for c in maxs:
-        fields.append(T.StructField(f"max_{c}", by_name[c].dataType))
+    for agg, cols in (("min", mins), ("max", maxs)):
+        for c in cols:
+            pub, arr = _names(agg, c)
+            fields.append(T.StructField(pub, by_name[c].dataType))
+            fields.append(T.StructField(arr, _lv_type(by_name[c].dataType)))
     try:
         view = LakeTable.create(
             upstream.spark,
@@ -178,12 +255,14 @@ def create_agg_view(
         out_types = {f.name: f.dataType for f in fields}
         view.overwrite(
             _aggregate(upstream.read(version=at), dims, sums, out_types,
-                       mins, maxs)
+                       mins, maxs, levels_k)
+            .select(*[f.name for f in fields])
         )
     view.set_properties(**{
         WATERMARK_PROP: int(at),
         SPEC_PROP: json.dumps(
-            {"dims": dims, "sums": sums, "mins": mins, "maxs": maxs}
+            {"dims": dims, "sums": sums, "mins": mins, "maxs": maxs,
+             "levels_k": int(levels_k)}
         ),
     })
     return view
@@ -198,15 +277,128 @@ def view_lag(upstream: LakeTable, view: LakeTable) -> dict:
     return {"view_watermark": wm, **upstream.commit_lag(wm)}
 
 
+def _churn_ratio(upstream: LakeTable, from_v: int, to_v: int) -> float:
+    """Bytes of logical-change files added in ``(from_v, to_v]`` over the
+    snapshot bytes at ``from_v`` — the refresh cost model's input, derived
+    purely from manifests (ZERO Spark jobs).  Physical rewrites
+    (compact/rebucket) add no logical change and are skipped, mirroring
+    ``read_changes``/``changed_buckets``.
+
+    The denominator counts BASE-kind bytes only: delta layers are read
+    amplification over the same live rows, not extra data — counting them
+    would under-measure churn on an un-compacted MOR history (a compacted
+    table keeps the estimate tight either way)."""
+    mfrom = upstream.manifest(from_v)
+    base_bytes = delta_bytes = 0
+    for es in mfrom.files.values():
+        for e in es:
+            if len(e) > 2 and e[2] in (*DELTA_KINDS, "dv"):
+                delta_bytes += upstream._entry_bytes(e)
+            else:
+                base_bytes += upstream._entry_bytes(e)
+    # a never-compacted table holds its live rows in delta files — then
+    # the delta bytes ARE the data, not amplification over a base
+    snap_bytes = base_bytes if base_bytes > 0 else delta_bytes
+    if snap_bytes <= 0:
+        return float("inf")
+    changed = 0
+    prev = {e[0] for es in mfrom.files.values() for e in es}
+    for v in range(from_v + 1, to_v + 1):
+        m = upstream.manifest(v)
+        cur = {e[0] for es in m.files.values() for e in es}
+        if m.operation not in ("create", "properties", "compact", "rebucket"):
+            for es in m.files.values():
+                for e in es:
+                    if e[0] not in prev:
+                        changed += upstream._entry_bytes(e)
+        prev = cur
+    return changed / snap_bytes
+
+
+def _maintain_levels(
+    contrib: DataFrame, cur: DataFrame, dims: list[str], c: str, asc: bool,
+    k: int, arr: str,
+) -> DataFrame:
+    """The level algebra for one extremum (see module docstring): net the
+    ±1-weighted contrib rows against the view's known levels, bounded by
+    the known horizon, and emit the K best surviving levels.
+
+    Exactness: within the horizon H (the deepest stored level) the old
+    snapshot's values are exactly the stored levels, every arriving/
+    departing row at-or-inside H is in contrib, so the netted counts are
+    the TRUE per-value counts of the new snapshot inside H.  A group
+    whose cur row is missing is brand new — ALL its rows are arrivals,
+    horizon unbounded, so its top-K is exact too.  Output per group:
+    ``__ta`` (sorted level array, absent/empty = no surviving known
+    level — either a genuine all-null group or a rescan)."""
+    # the view's known levels, as (value, +count) rows
+    curlv = (
+        cur.select(*dims, F.explode(F.col(arr)).alias("__lv"))
+        .select(*dims, F.col("__lv.v").alias("__v"),
+                F.col("__lv.k").alias("__k"))
+        .filter(F.col("__v").isNotNull() & (F.col("__k") > 0))
+    )
+    # contrib rows inside the horizon, as (value, ±1) rows; a NULL horizon
+    # (group missing from cur, or an all-null group) admits everything
+    hz = cur.select(
+        *[F.col(d).alias(f"__h_{d}") for d in dims],
+        F.element_at(F.col(arr), -1)["v"].alias("__H"),
+    )
+    jc = None
+    for d in dims:
+        e = contrib[d].eqNullSafe(F.col(f"__h_{d}"))
+        jc = e if jc is None else (jc & e)
+    inside = (F.col(c) <= F.col("__H")) if asc else (F.col(c) >= F.col("__H"))
+    clv = (
+        contrib.join(F.broadcast(hz), on=jc, how="left")
+        .filter(F.col(c).isNotNull() & (F.col("__H").isNull() | inside))
+        .select(*dims, F.col(c).alias("__v"),
+                F.col("__w").cast("long").alias("__k"))
+    )
+    allv = (
+        curlv.unionByName(clv)
+        .groupBy(*dims, "__v").agg(F.sum("__k").alias("__k"))
+        .filter(F.col("__k") > 0)
+    )
+    order = F.col("__v").asc() if asc else F.col("__v").desc()
+    w = Window.partitionBy(*dims).orderBy(order)
+    return (
+        allv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*dims).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__v").alias("v"),
+                                        F.col("__k").alias("k"))),
+                asc=asc,
+            ).alias("__ta")
+        )
+    )
+
+
 def refresh_agg_view(
     upstream: LakeTable,
     view: LakeTable,
     on_rewrite: str = "error",
     mode: str = "cow",
     auto_compact: int | None = 8,
+    recompute_ratio: float | None = 0.5,
 ) -> dict:
     """Fold upstream commits (watermark, current] into the view; returns
-    ``{"from_version", "to_version", "groups", "applied"}``.
+    ``{"from_version", "to_version", "groups", "applied", "rescan",
+    "mode"}``.
+
+    COST-BASED refresh strategy (the Materialize/TimescaleDB full-vs-
+    incremental decision): when the manifest diff shows the range's
+    logical-change bytes at ≥ ``recompute_ratio`` of the from-snapshot
+    bytes, incremental maintenance would touch most of the data anyway —
+    a FULL RECOMPUTE (one to_v aggregate + overwrite, far fewer stages,
+    and tolerant of compactions inside the range) is strictly cheaper, so
+    the refresh takes it (``mode: "recompute"``).  Below the threshold —
+    the 100-TB steady state, where a batch touches a sliver of the table
+    — the refresh is incremental (``mode: "incremental"``), costing
+    O(changed rows), never O(upstream).  ``recompute_ratio=None`` forces
+    incremental.  The decision input is zero-Spark-job manifest
+    arithmetic (``_churn_ratio``).
 
     Default merge mode is COW, unlike the fact-table default (MOR): a
     rollup is small and read-hot, so rewriting the touched buckets
@@ -217,6 +409,8 @@ def refresh_agg_view(
     Per touched group: ``n_rows += Σ(±1)``, ``sum_c += Σ(±c)``; a group
     whose count reaches zero is deleted from the view.  Groups with NULL
     dimension values aggregate and merge correctly (null-safe keys).
+    min/max maintain via the level algebra (module docstring); only a
+    group whose K known levels all empty takes the pruned rescan.
 
     Delta algorithm — net-state difference, not per-commit images: the
     group delta over (from_v, to_v] is ``agg(changed keys @ to_v) −
@@ -238,6 +432,8 @@ def refresh_agg_view(
     dims, sums = spec["dims"], spec["sums"]
     mins = spec.get("mins", [])
     maxs = spec.get("maxs", [])
+    levels_k = int(spec.get("levels_k", _DEFAULT_LEVELS_K))
+    ext = [("min", c, True) for c in mins] + [("max", c, False) for c in maxs]
     wm = view.manifest().properties.get(WATERMARK_PROP)
     if wm is None:
         raise ValueError("view has no watermark — use create_agg_view()")
@@ -245,7 +441,31 @@ def refresh_agg_view(
     to_v = upstream.current_version()
     if to_v <= from_v:
         return {"from_version": from_v, "to_version": from_v,
-                "groups": 0, "applied": False, "rescan": None}
+                "groups": 0, "applied": False, "rescan": None, "mode": None}
+
+    if (recompute_ratio is not None
+            and _churn_ratio(upstream, from_v, to_v) >= recompute_ratio):
+        # high churn: one aggregate over the to_v snapshot replaces the
+        # whole incremental pipeline.  Two commits (overwrite, watermark),
+        # crash-resumable like bootstrap: a crash between them leaves the
+        # stale watermark and the deterministic recompute simply re-runs.
+        fields = view.schema().fields
+        out_types = {f.name: f.dataType for f in fields}
+        state = (
+            _aggregate(upstream.read(version=to_v), dims, sums, out_types,
+                       mins, maxs, levels_k)
+            .select(*[f.name for f in fields])
+            .persist()
+        )
+        try:
+            n_groups = state.count()
+            view.overwrite(state)
+        finally:
+            state.unpersist()
+        view.set_properties(**{WATERMARK_PROP: int(to_v)})
+        return {"from_version": from_v, "to_version": to_v,
+                "groups": n_groups, "applied": True, "rescan": None,
+                "mode": "recompute"}
 
     ukeys = list(upstream.manifest(to_v).key_cols)
     payload_cols = list(dict.fromkeys([*dims, *sums, *mins, *maxs]))
@@ -275,6 +495,8 @@ def refresh_agg_view(
     )
 
     deltas = None
+    contrib = None
+    snap_f = None
     try:
         # buckets holding the changed keys, from the MANIFEST DIFF alone
         # (zero Spark jobs): bucketed delta/append files land in their
@@ -292,6 +514,13 @@ def refresh_agg_view(
             *payload_cols, F.lit(-1).alias("__w")
         )
 
+        contrib = new_rows.unionByName(old_rows)
+        if ext:
+            # referenced once by the delta aggregation and once per
+            # maintained extremum's level pipeline — materialize instead
+            # of re-folding the from_v snapshot per branch
+            contrib = contrib.persist()
+
         weight = F.col("__w")
         delta_aggs = [F.sum(weight).cast("long").alias("__d_n")]
         for c in sums:
@@ -301,33 +530,24 @@ def refresh_agg_view(
                     F.sum(weight.cast(sum_t.simpleString()) * F.col(c)),
                     F.lit(0).cast(sum_t)).alias(f"__d_{c}")
             )
-        # arriving/departing extremum candidates per group for min/max
-        for c in mins:
+        # signed multiset fingerprint per maintained measure: Σ ±hash(v).
+        # Zero ⟺ the group's value multiset is unchanged (up to a 2⁻⁶⁴
+        # xxhash64 collision), so extremum VALUES AND MULTIPLICITIES are
+        # provably unchanged and the group can be dropped as pure churn.
+        # decimal(38,0) accumulation: |terms| < 2⁶³, so no ANSI overflow
+        # before ~10¹⁹ rows per group.
+        for c in dict.fromkeys([*mins, *maxs]):
             delta_aggs.append(
-                F.min(F.when(weight == 1, F.col(c))).alias(f"__add_min_{c}"))
-            delta_aggs.append(
-                F.min(F.when(weight == -1, F.col(c))).alias(f"__rem_min_{c}"))
-        for c in maxs:
-            delta_aggs.append(
-                F.max(F.when(weight == 1, F.col(c))).alias(f"__add_max_{c}"))
-            delta_aggs.append(
-                F.max(F.when(weight == -1, F.col(c))).alias(f"__rem_max_{c}"))
-        contrib = new_rows.unionByName(old_rows)
+                F.sum(F.xxhash64(F.col(c)).cast("decimal(38,0)") * weight)
+                .alias(f"__hs_{c}")
+            )
         # all-cancelling groups (pure churn) net to all-zero rows — drop
-        # them so untouched groups are not rewritten.  With min/max
-        # configured a zero-count/zero-sum group may still shift an
-        # extremum, so it is dropped only when the arriving and departing
-        # candidates agree (then every maintained aggregate is provably
-        # unchanged).
+        # them so untouched groups are not rewritten.
         keep = F.col("__d_n") != 0
         for c in sums:
             keep = keep | (F.col(f"__d_{c}") != 0)
-        for c in mins:
-            keep = keep | ~F.col(f"__add_min_{c}").eqNullSafe(
-                F.col(f"__rem_min_{c}"))
-        for c in maxs:
-            keep = keep | ~F.col(f"__add_max_{c}").eqNullSafe(
-                F.col(f"__rem_max_{c}"))
+        for c in dict.fromkeys([*mins, *maxs]):
+            keep = keep | (F.col(f"__hs_{c}") != 0)
         deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
         m_view = view.manifest()
         bexpr = view.bucket_expr(m_view.bucket_col, m_view.num_buckets)
@@ -353,7 +573,8 @@ def refresh_agg_view(
             if n_groups == 0:
                 view.set_properties(**{WATERMARK_PROP: int(to_v)})
                 return {"from_version": from_v, "to_version": to_v,
-                        "groups": 0, "applied": False, "rescan": None}
+                        "groups": 0, "applied": False, "rescan": None,
+                        "mode": "incremental"}
             cur = view.read(buckets=[b for b in touched if b is not None])
         cond = None
         keys = deltas.select(
@@ -369,7 +590,24 @@ def refresh_agg_view(
             e = deltas[c].eqNullSafe(cur[c])
             jcond = e if jcond is None else (jcond & e)
         merged = deltas.join(cur, on=jcond, how="left")
+        # the level algebra per maintained extremum, joined in broadcast —
+        # tops are bounded by the refresh's touched groups
+        for agg, c, asc in ext:
+            pub, arr = _names(agg, c)
+            top = _maintain_levels(contrib, cur, dims, c, asc, levels_k, arr)
+            tag = f"{agg}_{c}"
+            t = top.select(
+                *[F.col(d).alias(f"__t{tag}_{d}") for d in dims],
+                F.col("__ta").alias(f"__ta_{tag}"),
+            )
+            tcond = None
+            for d in dims:
+                e = deltas[d].eqNullSafe(F.col(f"__t{tag}_{d}"))
+                tcond = e if tcond is None else (tcond & e)
+            merged = merged.join(F.broadcast(t), on=tcond, how="left")
+
         new_n = F.coalesce(cur["n_rows"], F.lit(0)) + F.col("__d_n")
+        cur_exists = cur["n_rows"].isNotNull()
         out_cols = [deltas[c].alias(c) for c in dims]
         out_cols.append(new_n.alias("n_rows"))
         for c in sums:
@@ -378,25 +616,25 @@ def refresh_agg_view(
                 (F.coalesce(cur[f"sum_{c}"], F.lit(0).cast(sum_t))
                  + F.col(f"__d_{c}")).cast(sum_t).alias(f"sum_{c}")
             )
-        # min/max: direct update when an arriving value reaches the current
-        # extremum; flag the group for rescan ONLY when the extremum
-        # departs (a retracted row held it) and nothing arriving replaces
-        # it — the partial-recompute rule.
+        # min/max from the level algebra.  An empty surviving level array
+        # needs a rescan ONLY when the view previously held levels (cur
+        # exists with a non-empty array): a brand-new group's contrib IS
+        # its whole state, and a group with no known levels has no
+        # non-null values to lose — both are exactly null, no scan.
         rescan_any = F.lit(False)
-        for agg, cols, pick, reaches in (
-            ("min", mins, F.least, lambda a, v: a <= v),
-            ("max", maxs, F.greatest, lambda a, v: a >= v),
-        ):
-            for c in cols:
-                curv = cur[f"{agg}_{c}"]
-                addv = F.col(f"__add_{agg}_{c}")
-                remv = F.col(f"__rem_{agg}_{c}")
-                departed = curv.isNotNull() & remv.eqNullSafe(curv)
-                dominates = addv.isNotNull() & reaches(addv, curv)
-                flag = departed & ~dominates & (new_n > 0)
-                rescan_any = rescan_any | flag
-                inc = F.when(curv.isNull(), addv).otherwise(pick(curv, addv))
-                out_cols.append(inc.alias(f"{agg}_{c}"))
+        for agg, c, asc in ext:
+            pub, arr = _names(agg, c)
+            tag = f"{agg}_{c}"
+            ta = F.col(f"__ta_{tag}")
+            flag = F.coalesce(
+                (new_n > 0) & (ta.isNull() | (F.size(ta) == 0))
+                & cur_exists & (F.size(cur[arr]) > 0),
+                F.lit(False),
+            )
+            rescan_any = rescan_any | flag
+            out_cols.append(F.element_at(ta, 1)["v"].alias(pub))
+            # exact declared type (collect_list tightens nullability)
+            out_cols.append(ta.cast(view.schema()[arr].dataType).alias(arr))
         out_cols.append(rescan_any.alias("__rescan"))
         out_cols.append(
             F.when(new_n <= 0, F.lit("delete"))
@@ -407,21 +645,21 @@ def refresh_agg_view(
         out_cols.append(F.lit(int(to_v)).alias(_ORDER))
         batch = merged.select(*out_cols)
 
-        rescan_plan = None  # scan_plan() of the departed-extremum pass
-        batch_persisted = fused_stats or bool(mins or maxs)
+        rescan_plan = None  # scan_plan() of the level-exhausted pass
+        batch_persisted = fused_stats or bool(ext)
         if batch_persisted:
             batch = batch.persist()
         if fused_stats:
             # ONE aggregate action yields every planning stat the refresh
             # needs: group count (early exit), the batch's view buckets
             # (merge pruning), and — when min/max are maintained — the
-            # capped departed-extremum key list (batch rows are unique per
+            # capped level-exhausted key list (batch rows are unique per
             # group, so collect_list is already distinct)
             stat_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.collect_set(bexpr.cast("int")).alias("bs"),
             ]
-            if mins or maxs:
+            if ext:
                 stat_aggs.append(
                     F.slice(
                         F.collect_list(
@@ -439,12 +677,13 @@ def refresh_agg_view(
                 batch.unpersist()
                 view.set_properties(**{WATERMARK_PROP: int(to_v)})
                 return {"from_version": from_v, "to_version": to_v,
-                        "groups": 0, "applied": False, "rescan": None}
-        if mins or maxs:
-            # the departed-extremum group keys (bounded by the refresh's
-            # group count; capped — beyond the cap the semi join alone
-            # filters).  The collected keys double as an IN pushdown so
-            # the snapshot scan file-skips on the dim columns.
+                        "groups": 0, "applied": False, "rescan": None,
+                        "mode": "incremental"}
+        if ext:
+            # groups whose known levels all emptied (bounded by the
+            # refresh's group count; capped — beyond the cap the semi join
+            # alone filters).  The collected keys double as an IN pushdown
+            # so the snapshot scan file-skips on the dim columns.
             need = (
                 batch.filter(F.col("__rescan") & (F.col(_OP) != "delete"))
                 .select(*dims).distinct()
@@ -454,10 +693,10 @@ def refresh_agg_view(
                 else need.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
             )
             if need_rows:
-                # exact recompute for ONLY those groups: one snapshot pass,
-                # dim-pushdown-filtered when few groups, semi-joined to the
-                # group keys either way.  The pushdown is a per-dim IN
-                # conjunction handed to read(where=...) so the MANIFEST
+                # exact top-K recompute for ONLY those groups: one snapshot
+                # pass, dim-pushdown-filtered when few groups, semi-joined
+                # to the group keys either way.  The pushdown is a per-dim
+                # IN conjunction handed to read(where=...) so the MANIFEST
                 # ZONE MAPS skip whole files before any are opened — on an
                 # upstream kept dim-clustered via compact(sort_cols=dims)
                 # each file covers a narrow dim range and a hot-retraction
@@ -477,40 +716,51 @@ def refresh_agg_view(
                 )
                 rescan_plan = upstream.scan_plan(
                     where=snap_where, version=to_v)
-                snap = upstream.read(version=to_v, where=snap_where)
+                snap2 = upstream.read(version=to_v, where=snap_where)
                 nk = need.select(
                     *[F.col(c).alias(f"__n_{c}") for c in dims]
                 )
                 scond = None
                 for c in dims:
-                    e = snap[c].eqNullSafe(F.col(f"__n_{c}"))
+                    e = snap2[c].eqNullSafe(F.col(f"__n_{c}"))
                     scond = e if scond is None else (scond & e)
-                rs_aggs = []
-                for c in mins:
-                    rs_aggs.append(F.min(c).alias(f"__rs_min_{c}"))
-                for c in maxs:
-                    rs_aggs.append(F.max(c).alias(f"__rs_max_{c}"))
-                rescanned = (
-                    snap.join(F.broadcast(nk), on=scond, how="left_semi")
-                    .groupBy(*dims).agg(*rs_aggs)
+                snap_f = snap2.join(
+                    F.broadcast(nk), on=scond, how="left_semi"
                 )
+                if len(ext) > 1:
+                    # one pruned scan feeds every per-extremum top-K pass
+                    snap_f = snap_f.persist()
+                # root the rescan frame in the SNAP lineage (not batch's):
+                # joining a batch-derived frame back onto batch is an
+                # ambiguous self-join.  Every flagged group appears here —
+                # its view count is > 0, so the upstream group has rows.
+                rescanned = snap_f.select(*dims).distinct()
+                for agg, c, asc in ext:
+                    pub, arr = _names(agg, c)
+                    rs = _topk(snap_f, dims, c, asc, levels_k,
+                               f"__rs_{pub}", f"__rs_{arr}")
+                    rescanned = _ns_join(rescanned, rs, dims, "left")
                 rcond = None
                 for c in dims:
                     e = batch[c].eqNullSafe(rescanned[c])
                     rcond = e if rcond is None else (rcond & e)
-                joined = batch.join(rescanned, on=rcond, how="left")
+                joined = batch.join(F.broadcast(rescanned), on=rcond,
+                                    how="left")
                 fixed = [batch[c].alias(c) for c in dims]
                 fixed.append(batch["n_rows"].alias("n_rows"))
                 for c in sums:
                     fixed.append(batch[f"sum_{c}"].alias(f"sum_{c}"))
-                for agg, cols in (("min", mins), ("max", maxs)):
-                    for c in cols:
-                        fixed.append(
-                            F.when(batch["__rescan"],
-                                   rescanned[f"__rs_{agg}_{c}"])
-                            .otherwise(batch[f"{agg}_{c}"])
-                            .alias(f"{agg}_{c}")
-                        )
+                for agg, c, asc in ext:
+                    pub, arr = _names(agg, c)
+                    fixed.append(
+                        F.when(batch["__rescan"], rescanned[f"__rs_{pub}"])
+                        .otherwise(batch[pub]).alias(pub)
+                    )
+                    fixed.append(
+                        F.when(batch["__rescan"], rescanned[f"__rs_{arr}"])
+                        .otherwise(batch[arr])
+                        .cast(view.schema()[arr].dataType).alias(arr)
+                    )
                 fixed.append(batch[_OP].alias(_OP))
                 fixed.append(batch[_ORDER].alias(_ORDER))
                 out = joined.select(*fixed)
@@ -545,8 +795,18 @@ def refresh_agg_view(
                 batch.unpersist()
         return {"from_version": from_v, "to_version": to_v,
                 "groups": n_groups, "applied": m is not None,
-                "rescan": rescan_plan}
+                "rescan": rescan_plan, "mode": "incremental"}
     finally:
+        if snap_f is not None:
+            try:
+                snap_f.unpersist()
+            except Exception:
+                pass
         if deltas is not None:
             deltas.unpersist()
+        if contrib is not None:
+            try:
+                contrib.unpersist()
+            except Exception:
+                pass
         winners.unpersist()

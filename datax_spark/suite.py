@@ -36,7 +36,7 @@ from datax_spark.functions import dedup as DD
 from datax_spark.functions import sampling as SMP
 from datax_spark.functions import similarity as SIM
 from datax_spark.functions import text as TXT
-from datax_spark.lake.merge import dedup_last_per_key
+from datax_spark.lake.merge import dedup_last_per_key, merge_into
 from datax_spark.lake.table import LakeTable
 
 
@@ -154,13 +154,18 @@ def q_cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate view (lake/aggview.py — the continuous-
-    aggregate / dynamic-table pattern): a per-event_type count+sum rollup
-    maintained from the upstream table's changelog, refreshed after EVERY
-    commit — each refresh folds only that commit's retract/assert rows,
-    never rescanning upstream or the view.  The oracle aggregates the
-    pure-SQL folded final state directly: incremental maintenance through
-    4 batches of inserts/updates/deletes must equal the one-shot GROUP
-    BY."""
+    aggregate / dynamic-table pattern): a per-event_type count+sum+min+max
+    rollup maintained from the upstream table, refreshed after EVERY
+    commit.  The refresh is COST-BASED: this feed rewrites nearly every
+    key every batch, so the manifest-diff churn ratio sends each refresh
+    down the full-recompute path (one to_v aggregate, cheaper than
+    incremental at total churn); the low-churn incremental fold — the
+    100-TB steady state — is driver-gated separately by
+    ``cdc_agg_view_incr``.  The upstream compacts during ingest so base
+    bytes track live data (keeps the cost estimate tight and reads
+    fold-free).  The oracle aggregates the pure-SQL folded final state
+    directly: maintenance through 4 batches of inserts/updates/deletes
+    must equal the one-shot GROUP BY."""
     from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
 
     feed = _events_feed(_t(spark, sf_dir, "events"))
@@ -189,12 +194,73 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(4):
         run_incremental(
             table, feed, batch_lsns=max(1, (int(hi) + 4) // 4),
-            max_batches=1, auto_compact=None,
+            max_batches=1, auto_compact=2,
         )
         refresh_agg_view(table, view)
     return view.read().select(
         "event_type", "n_rows", "sum_value_cents",
         "min_value_cents", "max_value_cents",
+    )
+
+
+def q_cdc_agg_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL side of the cost-based aggregate-view refresh (the
+    100-TB steady state ``cdc_agg_view``'s total-churn feed cannot reach):
+    a 150k-row orders base, then three ~0.3% change batches (patch
+    +1000 cents on o_orderkey%97==0; delete the %291==0 third).  Each
+    refresh's manifest-diff churn ratio stays far below the recompute
+    threshold, so maintenance folds ONLY the changed rows — counts/sums
+    via retraction, min/max via the top-K level algebra
+    (lake/aggview.py).  The oracle applies the same patch/delete set in
+    SQL and aggregates one-shot."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="dx_aggvi_up_")
+    os.rmdir(loc)
+    vloc = tempfile.mkdtemp(prefix="dx_aggvi_vw_")
+    os.rmdir(vloc)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("prio", T.StringType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["k"],
+        bucket_col="k", num_buckets=8,
+    )
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        _cents("o_totalprice").alias("total_cents"),
+        F.col("o_orderkey").cast("long").alias("lsn"),
+        F.lit("insert").alias("op"),
+    )
+    merge_into(table, base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+    view = create_agg_view(
+        table, vloc, dims=["prio"], sums=["total_cents"],
+        mins=["total_cents"], maxs=["total_cents"], num_buckets=4,
+    )
+    changes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        (_cents("o_totalprice") + 1000).alias("total_cents"),
+        (F.col("o_orderkey").cast("long") + F.lit(10**9)).alias("lsn"),
+        F.when(F.col("o_orderkey") % 291 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    for i in range(3):
+        merge_into(
+            table, changes.filter(F.col("k") % 3 == i),
+            op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        )
+        refresh_agg_view(table, view)
+    return view.read().select(
+        "prio", "n_rows", "sum_total_cents",
+        "min_total_cents", "max_total_cents",
     )
 
 
@@ -1101,6 +1167,143 @@ def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within ASIA-customer orders
+    for ECONOMY parts over 1996-1997, NATION_3-supplied revenue vs total,
+    per year.  Returned as numerator/denominator cents (BIGINT) — the
+    final division is a client-side detail and doubles don't hash stably
+    across engines.  Dims (region→nation, filtered part) broadcast; the
+    fact table shuffles once per join key."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    sn = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+    )
+    vol = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)), F.lit(0)
+        ).cast("long").alias("nation_cents"),
+        F.sum(vol).cast("long").alias("total_cents"),
+    )
+
+
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution (the reduced
+    testdata ships no o_comment, so the comment exclusion is dropped):
+    LEFT join keeps zero-order customers — the q13 trap — then a
+    two-level aggregation.  Both shuffles are on high-cardinality keys;
+    no broadcast needed."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier, keep
+    the max-revenue supplier(s).  The 1-row global max is broadcast back
+    against the per-supplier aggregate — no window over a single
+    partition, no collect."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).cast("long").alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("__mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx),
+                 rev.total_revenue_cents == F.col("__mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name", "total_revenue_cents",
+        )
+    )
+
+
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue for one brand (the
+    reduced testdata ships no p_container): lineitems under 20% of their
+    part's average quantity.  The per-part average is a partial-agg
+    groupBy re-joined on l_partkey (shuffle on the join key) — not a
+    window over the fact table.  Totals in BIGINT cents + item count; the
+    /7.0 'avg_yearly' division is client-side."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_q")
+    )
+    small = li.join(F.broadcast(avg_q), F.col("l_partkey") == F.col("__pk")) \
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_q"))
+    return small.agg(
+        F.coalesce(F.sum(_cents("l_extendedprice")), F.lit(0))
+        .cast("long").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue (brand × size-range ×
+    quantity-range ORs; the reduced testdata ships no p_container or
+    l_shipmode).  The filtered part side broadcasts; the OR-of-ANDs stays
+    one Column expression so Catalyst can prune part columns and push the
+    brand disjunction into the part scan."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & q.between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & q.between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & q.between(20, 35))
+    )
+    return j.filter(pred).agg(
+        F.coalesce(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))),
+            F.lit(0),
+        ).cast("long").alias("revenue_cents")
+    )
+
+
 def q_q22_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped: customers with above-average balance and no orders.
     The global-average scalar subquery is computed as exact integer
@@ -1421,6 +1624,22 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(min(value_cents) AS BIGINT) AS min_value_cents,
        CAST(max(value_cents) AS BIGINT) AS max_value_cents
 FROM state GROUP BY event_type
+""",
+    "cdc_agg_view_incr": """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+  FROM orders),
+final AS (
+  SELECT k, prio,
+         CASE WHEN k % 97 = 0 THEN total_cents + 1000
+              ELSE total_cents END AS total_cents
+  FROM base WHERE NOT (k % 97 = 0 AND k % 291 = 0))
+SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(total_cents) AS BIGINT) AS sum_total_cents,
+       CAST(min(total_cents) AS BIGINT) AS min_total_cents,
+       CAST(max(total_cents) AS BIGINT) AS max_total_cents
+FROM final GROUP BY prio
 """,
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
     # writeMode=update fold: clicks patch only value_cents; full upserts set
@@ -1809,6 +2028,66 @@ WITH r AS (
 SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
 FROM r WHERE rank <= 3
 """,
+    "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_3'
+                 THEN round(l_extendedprice * (1 - l_discount) * 100, 0)
+                 END), 0) AS BIGINT) AS nation_cents,
+       CAST(sum(round(l_extendedprice * (1 - l_discount) * 100, 0))
+            AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+""",
+    "q13_customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(round(l_extendedprice * (1 - l_discount) * 100, 0))
+              AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+""",
+    "q17_small_quantity_revenue": """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'),
+a AS (SELECT l_partkey AS pk, avg(l_quantity) AS avg_q FROM li GROUP BY 1)
+SELECT CAST(coalesce(sum(round(l_extendedprice * 100, 0)), 0) AS BIGINT)
+         AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM li JOIN a ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_q
+""",
+    "q19_discounted_revenue": """
+SELECT CAST(coalesce(sum(round(l_extendedprice * (1 - l_discount) * 100, 0)),
+            0) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+""",
     "q22_rich_idle_customers": """
 WITH s AS (
   SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS tot,
@@ -2157,6 +2436,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
+    "cdc_agg_view_incr": q_cdc_agg_view_incr,
     "cdc_partial_update": q_cdc_partial_update,
     "cdc_dml_delete_update": q_cdc_dml_delete_update,
     "cdc_changelog_read": q_cdc_changelog_read,
@@ -2177,7 +2457,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_dim_join": q_temporal_dim_join,
     "tx_chain_docs": q_tx_chain_docs,
     "tx_replace": q_tx_replace,
-    "tx_filter_like": q_tx_filter_like,
     "split_minmax_pk": q_split_minmax_pk,
     "split_quantile_pk": q_split_quantile_pk,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
@@ -2205,6 +2484,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_image": q_multimodal_decode_image,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "tx_filter_like": q_tx_filter_like,
     "semi_join_shipped_orders": q_semi_join_shipped_orders,
     "anti_join_idle_customers": q_anti_join_idle_customers,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
@@ -2214,6 +2494,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q18_large_volume": q_q18_large_volume,
+    "q8_market_share": q_q8_market_share,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q19_discounted_revenue": q_q19_discounted_revenue,
     "top_orders_per_segment": q_top_orders_per_segment,
     "q22_rich_idle_customers": q_q22_rich_idle_customers,
     "events_tumbling_window": q_events_tumbling_window,

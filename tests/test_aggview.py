@@ -13,8 +13,13 @@ from pyspark.sql import types as T
 from datax_spark.lake.aggview import (
     WATERMARK_PROP,
     create_agg_view,
-    refresh_agg_view,
 )
+from datax_spark.lake.aggview import refresh_agg_view as _refresh_any
+
+
+def refresh_agg_view(up, view, **kw):
+    kw.setdefault("recompute_ratio", None)  # pin the incremental path
+    return _refresh_any(up, view, **kw)
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
 
@@ -157,17 +162,65 @@ def test_min_max_direct_update_when_arrival_dominates(spark, tmp_path):
     assert _view_mm(view) == _direct_mm(up) == {"a": (4, 5, 30)}
 
 
-def test_min_max_rescan_when_extremum_departs(spark, tmp_path):
+def test_min_max_runner_up_promoted_without_rescan(spark, tmp_path):
     up = _mk(spark, tmp_path)
     _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 20, 2, "insert"),
                        (3, "a", 30, 3, "insert")])
     view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
                            mins=["v"], maxs=["v"])
-    # delete the max holder AND the min holder in one batch: both
-    # extremes depart, nothing arriving dominates → group rescan
+    # delete the max holder AND the min holder in one batch: both best
+    # levels depart but the stored runner-ups (20 on each side) survive —
+    # promoted in place, NO upstream rescan
     _apply(spark, up, [(3, "a", 0, 4, "delete"), (1, "a", 0, 5, "delete")])
-    refresh_agg_view(up, view)
+    r = refresh_agg_view(up, view)
+    assert r["rescan"] is None
     assert _view_mm(view) == _direct_mm(up) == {"a": (1, 20, 20)}
+
+
+def test_min_max_rescan_when_both_levels_exhaust(spark, tmp_path):
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "a", 20, 2, "insert"),
+                       (3, "a", 30, 3, "insert"), (4, "a", 40, 4, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           mins=["v"], maxs=["v"], levels_k=2)
+    # delete BOTH tracked min levels (10 and 20): the known horizon is
+    # exhausted and only a pruned upstream rescan can find the new min
+    _apply(spark, up, [(1, "a", 0, 5, "delete"), (2, "a", 0, 6, "delete")])
+    r = refresh_agg_view(up, view)
+    assert r["rescan"] is not None
+    assert _view_mm(view) == _direct_mm(up) == {"a": (2, 30, 40)}
+
+
+def test_min_max_multiplicity_survives_tied_extremum_churn(spark, tmp_path):
+    """The pure-churn drop filter must see MULTIPLICITY changes, not just
+    extremum values: remove {0, 0, 7}, add {0, 3, 4} keeps count, sum and
+    both extremum VALUES identical while the multiplicity at 0 drops from
+    3 to 1 — a later delete of the last 0-holder must still promote
+    correctly (regression for the signed-hash multiset fingerprint)."""
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 0, 1, "insert"), (2, "a", 0, 2, "insert"),
+                       (3, "a", 0, 3, "insert"), (4, "a", 7, 4, "insert"),
+                       (5, "a", 9, 5, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
+                           sums=["v"], mins=["v"])
+    # churn: two 0-holders and the 7 leave; one 0 and {3,4} arrive
+    _apply(spark, up, [(1, "a", 0, 6, "delete"), (2, "a", 0, 7, "delete"),
+                       (4, "a", 0, 8, "delete"),
+                       (6, "a", 0, 9, "insert"), (7, "a", 3, 10, "insert"),
+                       (8, "a", 4, 11, "insert")])
+    refresh_agg_view(up, view)
+    # now delete the last 0-holders: min must promote to 3
+    _apply(spark, up, [(3, "a", 0, 12, "delete"), (6, "a", 0, 13, "delete")])
+    refresh_agg_view(up, view)
+    got = {r["grp"]: (r["n_rows"], r["sum_v"], r["min_v"])
+           for r in view.read().collect()}
+    direct = {
+        r["grp"]: (r["n"], r["s"], r["mn"])
+        for r in up.read().groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn")).collect()
+    }
+    assert got == direct == {"a": (3, 16, 3)}
 
 
 def test_min_max_duplicate_extremum_survives_one_delete(spark, tmp_path):
@@ -287,7 +340,8 @@ def test_view_survives_restart_spec_in_properties(spark, tmp_path):
     # reopen cold, as a separate process would
     reopened = LakeTable(spark, str(tmp_path / "vw"))
     spec = json.loads(reopened.manifest().properties["aggview_spec"])
-    assert spec == {"dims": ["grp"], "sums": ["v"], "mins": [], "maxs": []}
+    assert spec == {"dims": ["grp"], "sums": ["v"], "mins": [], "maxs": [],
+                    "levels_k": 8}
     _apply(spark, up, [(2, "b", 1, 2, "insert")])
     refresh_agg_view(up, reopened)
     assert _view_state(reopened) == {"a": (1, 10), "b": (1, 1)}
@@ -309,17 +363,18 @@ def test_rescan_prunes_files_on_dim_clustered_upstream(spark, tmp_path):
     # range and the view's rescan can zone-map-prune
     up.compact(sort_cols=["grp"], files_per_bucket=8)
     view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"],
-                           sums=["v"], maxs=["v"])
-    # retract the max holder of ONE group → a rescan for just that group
-    victim = 5 * 8 + 7  # key of g05's max row (v = 47)
-    _apply(spark, up, [(victim, "g05", 0, 10_000, "delete")])
+                           sums=["v"], maxs=["v"], levels_k=2)
+    # retract the max holder AND the runner-up of ONE group: both tracked
+    # levels exhaust → a rescan for just that group
+    _apply(spark, up, [(5 * 8 + 7, "g05", 0, 10_000, "delete"),   # v=47
+                       (5 * 8 + 6, "g05", 0, 10_001, "delete")])  # v=46
     out = refresh_agg_view(up, view)
     assert out["applied"]
     assert out["rescan"] is not None
     assert out["rescan"]["files_skipped"] >= 1, out["rescan"]
     got = {r["grp"]: (r["n_rows"], r["max_v"])
            for r in view.read().filter(F.col("grp") == "g05").collect()}
-    assert got == {"g05": (7, 46)}
+    assert got == {"g05": (6, 45)}
     # full view still matches a direct aggregate
     direct = {
         r["grp"]: (r["n"], r["mx"])
@@ -355,13 +410,75 @@ def test_multi_dim_min_max_rescan(spark, tmp_path):
         merge_into(up, df, op_col="op", order_col="lsn", mode="mor")
 
     ap([(1, "a", "x", 10, 1, "insert"), (2, "a", "x", 30, 2, "insert"),
-        (3, "a", "y", 7, 3, "insert"), (4, "b", "x", 50, 4, "insert")])
+        (5, "a", "x", 20, 3, "insert"),
+        (3, "a", "y", 7, 4, "insert"), (4, "b", "x", 50, 5, "insert")])
     view = create_agg_view(up, str(tmp_path / "vw2"), dims=["g1", "g2"],
-                           mins=["v"], maxs=["v"])
-    # delete the (a,x) max holder AND the (b,x) only row: one group needs a
-    # two-dim rescan, the other is deleted outright
-    ap([(2, "a", "x", 0, 5, "delete"), (4, "b", "x", 0, 6, "delete")])
+                           mins=["v"], maxs=["v"], levels_k=2)
+    # delete the (a,x) max holder AND its runner-up, plus the (b,x) only
+    # row: one group needs a two-dim rescan, the other is deleted outright
+    ap([(2, "a", "x", 0, 6, "delete"), (5, "a", "x", 0, 7, "delete"),
+        (4, "b", "x", 0, 8, "delete")])
     refresh_agg_view(up, view)
     got = {(r["g1"], r["g2"]): (r["n_rows"], r["min_v"], r["max_v"])
            for r in view.read().collect()}
     assert got == {("a", "x"): (1, 10, 10), ("a", "y"): (1, 7, 7)}
+
+
+def test_high_churn_takes_recompute_path(spark, tmp_path):
+    """Cost-based refresh: when the range's change bytes rival the
+    snapshot bytes (here: every key rewritten), the refresh recomputes
+    the view wholesale instead of incremental folding — same values."""
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(1, "a", 10, 1, "insert"), (2, "b", 20, 2, "insert")])
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    _apply(spark, up, [(1, "b", 11, 3, "insert"), (2, "b", 0, 4, "delete"),
+                       (3, "c", 5, 5, "insert")])
+    r = _refresh_any(up, view)  # default recompute_ratio
+    assert r["mode"] == "recompute" and r["applied"] and r["groups"] == 2
+    assert _view_state(view) == _direct(up) == {"b": (1, 11), "c": (1, 5)}
+    # idempotent: nothing new → no-op
+    r2 = _refresh_any(up, view)
+    assert not r2["applied"] and r2["mode"] is None
+
+
+def test_low_churn_stays_incremental_by_default(spark, tmp_path):
+    """A small change against a big base keeps the default refresh on the
+    incremental path (manifest-bytes churn ratio below the threshold)."""
+    up = _mk(spark, tmp_path)
+    base = [(k, "a" if k % 2 else "b", k % 97, k, "insert")
+            for k in range(1, 4001)]
+    _apply(spark, up, base)
+    view = create_agg_view(up, str(tmp_path / "vw"), dims=["grp"], sums=["v"])
+    _apply(spark, up, [(1, "a", 500, 5001, "insert")])
+    r = _refresh_any(up, view)  # default recompute_ratio
+    assert r["mode"] == "incremental" and r["applied"]
+    assert _view_state(view) == _direct(up)
+
+
+def test_recompute_matches_incremental_with_min_max(spark, tmp_path):
+    """Both refresh strategies produce identical public state, including
+    the maintained extrema and their hidden level arrays' head."""
+    up = _mk(spark, tmp_path)
+    _apply(spark, up, [(k, "a" if k % 2 else "b", (k * 7) % 50, k, "insert")
+                       for k in range(1, 41)])
+    v1 = create_agg_view(up, str(tmp_path / "v1"), dims=["grp"], sums=["v"],
+                         mins=["v"], maxs=["v"])
+    v2 = create_agg_view(up, str(tmp_path / "v2"), dims=["grp"], sums=["v"],
+                         mins=["v"], maxs=["v"])
+    _apply(spark, up, [(k, "b", (k * 13) % 60, 100 + k, "insert")
+                       for k in range(1, 31)] +
+                      [(35, "a", 0, 200, "delete")])
+    ri = refresh_agg_view(up, v1)               # pinned incremental
+    rr = _refresh_any(up, v2, recompute_ratio=0.0)  # forced recompute
+    assert ri["mode"] == "incremental" and rr["mode"] == "recompute"
+    cols = ["grp", "n_rows", "sum_v", "min_v", "max_v"]
+    got1 = {r["grp"]: tuple(r[c] for c in cols) for r in v1.read().collect()}
+    got2 = {r["grp"]: tuple(r[c] for c in cols) for r in v2.read().collect()}
+    assert got1 == got2
+    direct = {
+        r["grp"]: (r["grp"], r["n"], r["s"], r["mn"], r["mx"])
+        for r in up.read().groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
+    }
+    assert got1 == direct
