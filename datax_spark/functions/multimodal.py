@@ -223,6 +223,129 @@ def attach_bmp_binary(
     )
 
 
+def wav_encode(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples as a canonical RIFF/WAVE file (PCM format
+    1, 16-bit).  Pure stdlib/numpy — the fixture side of the real codec."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    block_align = channels * 2
+    header = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+        b"data", len(pcm),
+    )
+    return header + pcm
+
+
+def wav_decode(payload: bytes):
+    """Parse a RIFF/WAVE file to (sample_rate, channels, int16 sample
+    array).  Walks the chunk list properly (fmt may be followed by LIST/
+    fact/cue chunks before data, and chunks pad to even offsets), so real
+    encoder output parses too — not just our own fixture bytes."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("truncated WAV: missing RIFF header")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a WAV payload (magic {bytes(payload[:4])!r})"
+        )
+    off, fmt, data = 12, None, None
+    while off + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, off)
+        body = payload[off + 8: off + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size & 1)  # chunks pad to even boundaries
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits}); "
+            "only 16-bit PCM is implemented"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    return sample_rate, channels, samples
+
+
+def attach_wav_binary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic REAL-audio fixture: each row's utf-8 text bytes become
+    centered int16 PCM samples ((byte-128)*256) encoded as an actual
+    RIFF/WAVE file.  decode_audio() over this payload must recover exactly
+    (rate, channels, n_samples, Σ|sample|, max|sample|) — the contract the
+    DuckDB oracle recomputes from the text alone."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for s in pdf[text_col]:
+                raw = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8)
+                pcm = (raw.astype(np.int16) - 128) * 256
+                payloads.append(wav_encode(pcm, sample_rate=sample_rate))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, payload binary"
+    )
+
+
+DECODE_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, "
+    "n_samples long, sum_abs long, peak int"
+)
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode WAV payloads and emit per-clip stats (rate, channels, sample
+    count, Σ|sample| and peak |sample| — integer, hence value-oracle-
+    stable).  RIFF/PCM decodes natively (pure numpy, see ``wav_decode``);
+    compressed formats need ffmpeg/torchaudio, which this container does
+    not ship — they raise NotImplementedError rather than guessing.
+    Arrow-batched mapInPandas: one Python invocation per record batch,
+    payload dropped on output."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf[id_col], "sample_rate": [], "channels": [],
+                   "n_samples": [], "sum_abs": [], "peak": []}
+            for b in pdf[payload_col]:
+                if b is not None and bytes(b[:4]) == b"RIFF":
+                    rate, ch, samples = wav_decode(bytes(b))
+                    a = np.abs(samples.astype(np.int64))
+                    out["sample_rate"].append(rate)
+                    out["channels"].append(ch)
+                    out["n_samples"].append(int(samples.size))
+                    out["sum_abs"].append(int(a.sum()) if a.size else 0)
+                    out["peak"].append(int(a.max()) if a.size else 0)
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires ffmpeg/torchaudio; "
+                        "this environment ships no codecs"
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, DECODE_AUDIO_SCHEMA
+    )
+
+
 FAKE_DECODE_SCHEMA = "doc_id long, mime string, n_bytes long, checksum long"
 
 

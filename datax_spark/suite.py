@@ -1548,6 +1548,19 @@ def q_multimodal_decode_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image(docs)
 
 
+def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: each doc's utf-8 bytes become centered
+    int16 PCM samples encoded as an actual RIFF/WAVE file; the decode
+    kernel (pure-numpy chunk walk + PCM parse — functions/multimodal.py
+    wav_decode) recovers rate/channels/sample stats.  The oracle recomputes
+    them from the text bytes, so any header/chunk/endianness bug breaks
+    the value hash."""
+    from datax_spark.functions import multimodal as MM
+
+    docs = MM.attach_wav_binary(_t(spark, sf_dir, "documents"), "text")
+    return MM.decode_audio(docs)
+
+
 # ================================================================= registry
 _DOC_SHINGLES_3 = r"""
 w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -2028,6 +2041,21 @@ WITH r AS (
 SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, price_cents
 FROM r WHERE rank <= 3
 """,
+    "multimodal_decode_audio": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+bytes AS (SELECT doc_id, ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
+          FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t),
+s AS (SELECT doc_id,
+             CAST(coalesce(sum(abs(v - 128)), 0) * 256 AS BIGINT) AS sum_abs,
+             CAST(coalesce(max(abs(v - 128)), 0) * 256 AS INT) AS peak
+      FROM bytes GROUP BY doc_id)
+SELECT b.doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       coalesce(s.sum_abs, 0) AS sum_abs, coalesce(s.peak, 0) AS peak
+FROM b LEFT JOIN s ON s.doc_id = b.doc_id
+""",
     "q8_market_share": """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_3'
@@ -2457,7 +2485,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temporal_dim_join": q_temporal_dim_join,
     "tx_chain_docs": q_tx_chain_docs,
     "tx_replace": q_tx_replace,
-    "split_minmax_pk": q_split_minmax_pk,
     "split_quantile_pk": q_split_quantile_pk,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
     "text_bm25_topk": q_text_bm25_topk,
@@ -2483,7 +2510,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_image": q_multimodal_decode_image,
+    "multimodal_decode_audio": q_multimodal_decode_audio,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "split_minmax_pk": q_split_minmax_pk,
     "tx_filter_like": q_tx_filter_like,
     "semi_join_shipped_orders": q_semi_join_shipped_orders,
     "anti_join_idle_customers": q_anti_join_idle_customers,

@@ -129,3 +129,74 @@ def test_frame_sample_plan_counts(docs):
     ).collect()
     for r in row:
         assert r.n == (max(r.d - 1, 0) // 1000) + 1
+
+def test_wav_roundtrip_and_chunk_walk(spark):
+    import struct
+
+    import numpy as np
+
+    from datax_spark.functions.multimodal import wav_decode, wav_encode
+
+    pcm = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+    rate, ch, got = wav_decode(wav_encode(pcm, sample_rate=16000))
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(got, pcm)
+
+    # a real encoder may interleave extra chunks (LIST) before data and
+    # pad odd-sized chunks to even offsets — the walker must skip them
+    payload = wav_encode(pcm, sample_rate=8000)
+    fmt_chunk = payload[12:36]
+    data_chunk = payload[36:]
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"  # odd+pad
+    body = fmt_chunk + extra + data_chunk
+    rebuilt = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, got = wav_decode(rebuilt)
+    assert rate == 8000 and np.array_equal(got, pcm)
+
+
+def test_wav_decode_rejects_non_pcm(spark):
+    import pytest as _pytest
+
+    from datax_spark.functions.multimodal import wav_decode
+
+    with _pytest.raises(ValueError, match="not a WAV"):
+        wav_decode(b"OggS" + b"\x00" * 40)
+    with _pytest.raises(ValueError, match="missing fmt/data"):
+        wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_decode_audio_end_to_end(spark):
+    from pyspark.sql import Row
+
+    from datax_spark.functions.multimodal import (
+        attach_wav_binary,
+        decode_audio,
+    )
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="abc"),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="é"),  # multi-byte utf-8
+    ])
+    out = {r["doc_id"]: r for r in
+           decode_audio(attach_wav_binary(df)).collect()}
+    # 'abc' = bytes 97,98,99 → samples (b-128)*256
+    assert out[1]["n_samples"] == 3
+    assert out[1]["sum_abs"] == (31 + 30 + 29) * 256
+    assert out[1]["peak"] == 31 * 256
+    assert out[2]["n_samples"] == 0 and out[2]["sum_abs"] == 0
+    assert out[3]["n_samples"] == 2  # é = 0xC3 0xA9
+    assert out[3]["peak"] == (0xC3 - 128) * 256
+    assert all(r["sample_rate"] == 8000 and r["channels"] == 1
+               for r in out.values())
+
+
+def test_decode_audio_rejects_unknown_codec(spark):
+    from pyspark.sql import Row
+
+    from datax_spark.functions.multimodal import decode_audio
+
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(b"ID3junk"))])
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_audio(df).collect()
