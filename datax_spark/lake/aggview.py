@@ -284,34 +284,45 @@ def _churn_ratio(upstream: LakeTable, from_v: int, to_v: int) -> float:
     (compact/rebucket) add no logical change and are skipped, mirroring
     ``read_changes``/``changed_buckets``.
 
-    The denominator counts BASE-kind bytes only: delta layers are read
-    amplification over the same live rows, not extra data — counting them
-    would under-measure churn on an un-compacted MOR history (a compacted
-    table keeps the estimate tight either way)."""
+    The denominator is a LIVE-SIZE FLOOR: base-kind bytes plus the largest
+    single change layer in the table's history.  Summing every delta layer
+    would inflate the denominator on an un-compacted MOR history where the
+    same keys churn layer after layer (live rows ≈ one layer, file bytes ≈
+    n layers) and starve the recompute path exactly where it wins; the
+    max single layer is immune to that re-churn inflation, and for
+    append-heavy histories the biggest layer (the bootstrap load) still
+    anchors the estimate.  A compacted table keeps it tight either way."""
     mfrom = upstream.manifest(from_v)
-    base_bytes = delta_bytes = 0
+    base_bytes = 0
+    layer_bytes: dict[int, int] = {}
     for es in mfrom.files.values():
         for e in es:
             if len(e) > 2 and e[2] in (*DELTA_KINDS, "dv"):
-                delta_bytes += upstream._entry_bytes(e)
-            else:
-                base_bytes += upstream._entry_bytes(e)
-    # a never-compacted table holds its live rows in delta files — then
-    # the delta bytes ARE the data, not amplification over a base
-    snap_bytes = base_bytes if base_bytes > 0 else delta_bytes
-    if snap_bytes <= 0:
-        return float("inf")
-    changed = 0
-    prev = {e[0] for es in mfrom.files.values() for e in es}
-    for v in range(from_v + 1, to_v + 1):
+                continue
+            base_bytes += upstream._entry_bytes(e)
+    # per-commit logical-change layer sizes over the WHOLE history up to
+    # from_v (for the max-layer floor), then over the refresh range (the
+    # numerator).  Physical rewrites (compact/rebucket) are skipped.
+    prev: set = set()
+    for v in range(1, to_v + 1):
         m = upstream.manifest(v)
         cur = {e[0] for es in m.files.values() for e in es}
         if m.operation not in ("create", "properties", "compact", "rebucket"):
-            for es in m.files.values():
-                for e in es:
-                    if e[0] not in prev:
-                        changed += upstream._entry_bytes(e)
+            layer_bytes[v] = sum(
+                upstream._entry_bytes(e)
+                for es in m.files.values() for e in es
+                if e[0] not in prev
+            )
         prev = cur
+    changed = sum(b for v, b in layer_bytes.items() if v > from_v)
+    hist_max = max(
+        (b for v, b in layer_bytes.items() if v <= from_v), default=0
+    )
+    # max, not sum: after compaction the biggest layer's rows live in the
+    # base — adding them would double-count
+    snap_bytes = max(base_bytes, hist_max)
+    if snap_bytes <= 0:
+        return float("inf")
     return changed / snap_bytes
 
 
@@ -451,20 +462,29 @@ def refresh_agg_view(
         # stale watermark and the deterministic recompute simply re-runs.
         fields = view.schema().fields
         out_types = {f.name: f.dataType for f in fields}
-        state = (
-            _aggregate(upstream.read(version=to_v), dims, sums, out_types,
-                       mins, maxs, levels_k)
-            .select(*[f.name for f in fields])
-            .persist()
-        )
-        try:
-            n_groups = state.count()
-            view.overwrite(state)
-        finally:
-            state.unpersist()
+        state = _aggregate(
+            upstream.read(version=to_v), dims, sums, out_types,
+            mins, maxs, levels_k,
+        ).select(*[f.name for f in fields])
+        m = view.overwrite(state)
+        # group count from the freshly written parquet footers — driver-side
+        # metadata reads, no second Spark action over the aggregate
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        n_groups = 0
+        for es in m.files.values():
+            for e in es:
+                try:
+                    n_groups += _pq.ParquetFile(
+                        _os.path.join(view.location, e[0])
+                    ).metadata.num_rows
+                except OSError:
+                    pass
         view.set_properties(**{WATERMARK_PROP: int(to_v)})
         return {"from_version": from_v, "to_version": to_v,
-                "groups": n_groups, "applied": True, "rescan": None,
+                "groups": int(n_groups), "applied": True, "rescan": None,
                 "mode": "recompute"}
 
     ukeys = list(upstream.manifest(to_v).key_cols)

@@ -161,9 +161,7 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     down the full-recompute path (one to_v aggregate, cheaper than
     incremental at total churn); the low-churn incremental fold — the
     100-TB steady state — is driver-gated separately by
-    ``cdc_agg_view_incr``.  The upstream compacts during ingest so base
-    bytes track live data (keeps the cost estimate tight and reads
-    fold-free).  The oracle aggregates the pure-SQL folded final state
+    ``cdc_agg_view_incr``.  The oracle aggregates the pure-SQL folded final state
     directly: maintenance through 4 batches of inserts/updates/deletes
     must equal the one-shot GROUP BY."""
     from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
@@ -194,7 +192,7 @@ def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(4):
         run_incremental(
             table, feed, batch_lsns=max(1, (int(hi) + 4) // 4),
-            max_batches=1, auto_compact=2,
+            max_batches=1, auto_compact=None,
         )
         refresh_agg_view(table, view)
     return view.read().select(
@@ -1561,6 +1559,20 @@ def q_multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio(docs)
 
 
+def q_multimodal_decode_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling end-to-end: each doc's utf-8
+    bytes become consecutive 8×2 RGB frames inside an actual AVI container
+    (RIFF LIST tree, uncompressed DIB frames); the decode kernel walks the
+    container, samples every 2nd frame — the decode-budget pattern of a
+    training pipeline — and sums channels over the sampled frames only.
+    The oracle recomputes the sampled-byte sums from the text, so any
+    container/stride/sampling bug breaks the value hash."""
+    from datax_spark.functions import multimodal as MM
+
+    docs = MM.attach_avi_binary(_t(spark, sf_dir, "documents"), "text")
+    return MM.decode_video(docs)
+
+
 # ================================================================= registry
 _DOC_SHINGLES_3 = r"""
 w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -2056,6 +2068,27 @@ SELECT b.doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
        coalesce(s.sum_abs, 0) AS sum_abs, coalesce(s.peak, 0) AS peak
 FROM b LEFT JOIN s ON s.doc_id = b.doc_id
 """,
+    "multimodal_decode_video": """
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n
+           FROM documents),
+bytes AS (SELECT doc_id, i, ('0x' || substr(hx, 2*i - 1, 2))::INT AS v
+          FROM b, LATERAL (SELECT unnest(range(1, n + 1)) AS i) t
+          WHERE ((i - 1) // 48) % 2 = 0),
+s AS (SELECT doc_id,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=0 THEN v END), 0) AS BIGINT) AS sum_r,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=1 THEN v END), 0) AS BIGINT) AS sum_g,
+             CAST(coalesce(sum(CASE WHEN (i-1)%3=2 THEN v END), 0) AS BIGINT) AS sum_b
+      FROM bytes GROUP BY doc_id)
+SELECT b.doc_id, CAST(10 AS INT) AS fps, CAST(8 AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       CAST(greatest(1, ceil(n / 48.0)) AS INT) AS n_frames,
+       CAST(ceil(greatest(1, ceil(n / 48.0)) / 2.0) AS INT) AS n_sampled,
+       coalesce(s.sum_r, 0) AS sum_r,
+       coalesce(s.sum_g, 0) AS sum_g,
+       coalesce(s.sum_b, 0) AS sum_b
+FROM b LEFT JOIN s ON s.doc_id = b.doc_id
+""",
     "q8_market_share": """
 SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
        CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_3'
@@ -2483,7 +2516,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
     "temporal_dim_join": q_temporal_dim_join,
-    "tx_chain_docs": q_tx_chain_docs,
     "tx_replace": q_tx_replace,
     "split_quantile_pk": q_split_quantile_pk,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
@@ -2511,7 +2543,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_meta": q_multimodal_decode_meta,
     "multimodal_decode_image": q_multimodal_decode_image,
     "multimodal_decode_audio": q_multimodal_decode_audio,
+    "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "tx_chain_docs": q_tx_chain_docs,
     "split_minmax_pk": q_split_minmax_pk,
     "tx_filter_like": q_tx_filter_like,
     "semi_join_shipped_orders": q_semi_join_shipped_orders,

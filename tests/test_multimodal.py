@@ -200,3 +200,52 @@ def test_decode_audio_rejects_unknown_codec(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_audio(df).collect()
+
+
+def test_avi_roundtrip(spark):
+    import numpy as np
+
+    from datax_spark.functions.multimodal import avi_decode, avi_encode
+
+    w, h = 8, 2
+    f1 = bytes(range(w * h * 3))
+    f2 = bytes(reversed(range(w * h * 3)))
+    fps, frames = avi_decode(avi_encode([f1, f2], w, h, fps=24))
+    assert fps == 24 and len(frames) == 2
+    assert np.array_equal(
+        frames[0], np.frombuffer(f1, np.uint8).reshape(h, w, 3))
+    assert np.array_equal(
+        frames[1], np.frombuffer(f2, np.uint8).reshape(h, w, 3))
+    # odd widths exercise DIB stride padding
+    fps, frames = avi_decode(avi_encode([bytes(5 * 3 * 2)], 5, 2, fps=10))
+    assert frames[0].shape == (2, 5, 3)
+
+
+def test_avi_decode_rejects_unknown(spark):
+    import pytest as _pytest
+
+    from datax_spark.functions.multimodal import avi_decode
+
+    with _pytest.raises(ValueError, match="not an AVI"):
+        avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="no strf"):
+        avi_decode(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_decode_video_sampling_end_to_end(spark):
+    from pyspark.sql import Row
+
+    from datax_spark.functions.multimodal import (
+        attach_avi_binary,
+        decode_video,
+    )
+
+    # 100 'a' bytes → 3 frames of 48 (zero-padded); sampled = frames 0, 2
+    df = spark.createDataFrame([Row(doc_id=1, text="a" * 100)])
+    r = decode_video(attach_avi_binary(df)).collect()[0]
+    assert (r["fps"], r["width"], r["height"]) == (10, 8, 2)
+    assert r["n_frames"] == 3 and r["n_sampled"] == 2
+    # sampled bytes: frame0 = 48×97, frame2 = 4×97 + 44×0 → per channel
+    total = 48 * 97 + 4 * 97
+    assert r["sum_r"] + r["sum_g"] + r["sum_b"] == total
+    assert r["sum_r"] == (16 + 2) * 97  # byte idx ≡ 0 (mod 3) in both frames
