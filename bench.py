@@ -149,6 +149,12 @@ BENCH_QUERIES = [
     "cdc_dml_delete_update",
     "dedup_cluster_keep_one",
     "embed_quantize",
+    # round-3: low-churn incremental aggview (the 100-TB steady state),
+    # BM25 retrieval, real WAV/AVI decode through the Arrow kernels
+    "cdc_agg_view_incr",
+    "text_bm25_topk",
+    "multimodal_decode_audio",
+    "multimodal_decode_video",
 ]
 
 

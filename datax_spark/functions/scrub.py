@@ -1,0 +1,110 @@
+"""PII scrubbing and repetition-quality signals for training corpora —
+native Column expressions / DataFrame aggregations (no Python in the path).
+
+Extends the reference's scalar transformers (dx_replace et al.,
+core/.../transport/transformer/ReplaceTransformer.java) with the two
+redaction/quality passes every public web-scale corpus pipeline runs
+before training (C4, Gopher/MassiveText rules — public literature):
+
+- ``pii_scrub`` / ``pii_counts``: regex redaction of emails, IPv4
+  addresses and international-format phone numbers, with per-category
+  match counts.  Patterns are kept to the regex subset Java's engine and
+  RE2 (DuckDB) interpret identically, so the DuckDB oracle reproduces the
+  redacted text byte-for-byte.
+- ``repetition_features``: Gopher-style repetition signals — duplicate
+  word mass and the share of the most frequent 2-gram — as exact integer
+  numerators/denominators (hash-stable across engines; callers divide).
+
+Design notes for scale:
+- ``pii_scrub``/``pii_counts`` are per-row Column expressions: no shuffle,
+  whole-stage codegen, filter/projection pushdown unaffected.
+- ``repetition_features`` shuffles by (doc_id, gram) then doc_id — both
+  aggregations are map-side combinable hash-aggs keyed by the document,
+  so they partition evenly at any corpus size (no hot keys: a document's
+  grams all live in its own key space).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Redaction order matters (an email body can contain digit runs): emails
+# first, then IPv4, then phone numbers.  Keep every construct inside the
+# Java-regex ∩ RE2 common subset: char classes, bounded repeats,
+# alternation, non-capturing groups — no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+}
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def pii_scrub(col) -> Column:
+    """Redact emails → IPv4 → phones in order; returns the scrubbed text."""
+    out = F.coalesce(_c(col), F.lit(""))
+    for pat, token in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col) -> dict[str, Column]:
+    """Per-category match counts (BIGINT), measured BEFORE redaction —
+    counted against the same progressively-scrubbed text the replacement
+    sees, so an IP inside an already-redacted email is not double-counted."""
+    cur = F.coalesce(_c(col), F.lit(""))
+    counts: dict[str, Column] = {}
+    for name, (pat, token) in PII_PATTERNS.items():
+        counts[f"n_{name}"] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, token)
+    return counts
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals per document, as exact integers:
+
+    - ``n_tokens`` / ``n_distinct_tokens``: duplicate word mass is
+      ``1 - distinct/total`` (callers divide; integers keep the value
+      oracle byte-exact across engines).
+    - ``n_bigrams`` / ``top_bigram_n``: the most frequent 2-gram's count
+      over all (non-distinct) consecutive 2-grams — the "fraction of
+      characters in the most common n-gram" rule family from the Gopher
+      quality filters, in token units.
+
+    Documents with fewer than 2 tokens report 0 bigrams (top = 0).
+    Two map-side-combinable hash-aggs keyed by the document — scale-safe.
+    """
+    from datax_spark.functions.text import tokens
+
+    w = tokens(_c(text_col))
+    k = F.greatest(F.size(w) - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(  # NON-distinct consecutive 2-grams
+        F.slice(w, 1, k), F.slice(w, 2, k),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_tokens"),
+        bigrams.alias("__bg"),
+    )
+    per_gram = (
+        base.select(id_col, F.explode_outer("__bg").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tops = per_gram.groupBy(id_col).agg(
+        F.coalesce(
+            F.max(F.when(F.col("g").isNotNull(), F.col("c"))), F.lit(0)
+        ).cast("long").alias("top_bigram_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("g").isNotNull(), F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_bigrams"),
+    )
+    return base.drop("__bg").join(tops, id_col)

@@ -236,8 +236,10 @@ def q_cdc_agg_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("lsn"),
         F.lit("insert").alias("op"),
     )
+    # o_orderkey is the PK — every batch is one-row-per-key, so the
+    # last-writer-wins dedup shuffle would be a no-op; say so via the hint
     merge_into(table, base, op_col="op", order_col="lsn", mode="mor",
-               auto_compact=None)
+               auto_compact=None, keys_unique=True)
     view = create_agg_view(
         table, vloc, dims=["prio"], sums=["total_cents"],
         mins=["total_cents"], maxs=["total_cents"], num_buckets=4,
@@ -254,6 +256,7 @@ def q_cdc_agg_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into(
             table, changes.filter(F.col("k") % 3 == i),
             op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+            keys_unique=True,
         )
         refresh_agg_view(table, view)
     return view.read().select(
@@ -1419,6 +1422,46 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TXT.lang_id("text").alias("pred_lang"))
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → IPv4 → phones, C4-style pre-training scrub):
+    the corpus carries no PII, so each doc is deterministically enriched
+    with one of each category derived from doc_id — the oracle rebuilds
+    the identical text and re-runs the same ordered regex cascade, so the
+    scrubbed string AND the per-category counts must match byte-for-byte.
+    Pure Column expressions (regexp_replace/regexp_count): per-row, no
+    shuffle, whole-stage codegen at any corpus size."""
+    from datax_spark.functions import scrub as SCR
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 200).cast("string"), F.lit("."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" or +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("t"),
+    )
+    counts = SCR.pii_counts("t")
+    return enriched.select(
+        "doc_id", SCR.pii_scrub("t").alias("scrubbed"),
+        *[c.alias(n) for n, c in counts.items()],
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition-quality signals: duplicate word mass and the
+    most-frequent-2-gram share, reported as exact integer numerators /
+    denominators (hash-stable across engines).  Two map-side-combinable
+    hash-aggs keyed by the document — no hot keys, scale-safe."""
+    from datax_spark.functions import scrub as SCR
+
+    return SCR.repetition_features(_t(spark, sf_dir, "documents"))
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for data mixing: downsample 'en',
     keep all 'zh', default 10% for the rest — decisions keyed on
@@ -2326,6 +2369,51 @@ SELECT doc_id,
        ELSE 'fr' END AS pred_lang
 FROM hits
 """,
+    # PII scrub: same deterministic enrichment, same ordered regex cascade
+    # (emails → IPv4 → phones), counts taken on the progressively-scrubbed
+    # text exactly like the engine's pii_counts
+    "text_pii_scrub": r"""
+WITH e AS (SELECT doc_id,
+  text || ' contact user' || doc_id || '@example.com via 10.0.'
+       || (doc_id % 200) || '.' || (doc_id % 250)
+       || ' or +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents),
+s1 AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t
+  FROM e),
+s2 AS (SELECT doc_id, n_email,
+  CAST(len(regexp_extract_all(t,
+       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+  FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ipv4,
+  CAST(len(regexp_extract_all(t,
+       '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
+  regexp_replace(t, '\+\d{1,3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS t
+  FROM s2)
+SELECT doc_id, t AS scrubbed, n_email, n_ipv4, n_phone FROM s3
+""",
+    # repetition signals: non-distinct consecutive 2-grams, max/sum per doc
+    "text_repetition": r"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_tokens, w
+         FROM w),
+g AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+tops AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+                CAST(sum(c) AS BIGINT) AS n_bigrams
+         FROM c GROUP BY 1)
+SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+       coalesce(t.top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+       coalesce(t.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams
+FROM base b LEFT JOIN tops t ON t.doc_id = b.doc_id
+""",
     # stratified hash sample: identical md5-prefix draw, CASE thresholds
     "sample_stratified": r"""
 SELECT doc_id, lang FROM documents
@@ -2522,12 +2610,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "embed_quantize": q_embed_quantize,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
-    "dedup_exact": q_dedup_exact,
+    "text_pii_scrub": q_text_pii_scrub,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "text_quality": q_text_quality,
+    "text_repetition": q_text_repetition,
     "text_langid": q_text_langid,
     "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
@@ -2546,6 +2634,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "tx_chain_docs": q_tx_chain_docs,
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
     "split_minmax_pk": q_split_minmax_pk,
     "tx_filter_like": q_tx_filter_like,
     "semi_join_shipped_orders": q_semi_join_shipped_orders,

@@ -482,3 +482,31 @@ def test_recompute_matches_incremental_with_min_max(spark, tmp_path):
              F.min("v").alias("mn"), F.max("v").alias("mx")).collect()
     }
     assert got1 == direct
+
+
+def test_static_planning_toggle_scoped(spark):
+    """Small change layers run under AQE-off planning, restored on ANY
+    exit (including exceptions); big/unknown layers leave AQE alone."""
+    from datax_spark.lake.aggview import (
+        _STATIC_PLAN_MAX_BYTES,
+        _static_planning_if_small,
+    )
+
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    with _static_planning_if_small(spark, 1024):
+        assert spark.conf.get(key) == "false"
+    assert spark.conf.get(key) == before
+
+    try:
+        with _static_planning_if_small(spark, 1024):
+            assert spark.conf.get(key) == "false"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+    with _static_planning_if_small(spark, _STATIC_PLAN_MAX_BYTES + 1):
+        assert spark.conf.get(key) == before
+    with _static_planning_if_small(spark, None):
+        assert spark.conf.get(key) == before
