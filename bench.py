@@ -155,6 +155,15 @@ BENCH_QUERIES = [
     "text_bm25_topk",
     "multimodal_decode_audio",
     "multimodal_decode_video",
+    # round-3 late pass: PII scrub + repetition signals, BPE-ish token
+    # accounting, paragraph dedup, and the reliability semantics
+    # (mid-stream schema evolution, dirty-record quarantine)
+    "text_pii_scrub",
+    "text_repetition",
+    "text_token_stats",
+    "dedup_paragraphs",
+    "cdc_schema_evolution",
+    "cdc_quarantine",
 ]
 
 

@@ -500,3 +500,74 @@ def dedup_keep_one(
         .withColumn("n_dups", F.lit(1).cast("long"))
         .unionByName(df.join(keep, id_col, "inner"))
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    para_words: int = 10,
+) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup — the C4/RefinedWeb pass that
+    removes boilerplate at sub-document granularity: every distinct
+    paragraph survives only at its globally FIRST occurrence (order =
+    (id, position)); later occurrences are cut and the surviving text is
+    reassembled in original order.
+
+    This corpus is single-line, so "paragraph" = consecutive
+    ``para_words``-word slice (the :func:`~datax_spark.functions.sampling.
+    chunk_documents` derivation); a real web corpus would split on blank
+    lines instead — the dedup shape below is identical either way.
+
+    Returns one row per input document: (id, clean_text, n_paras, n_kept) —
+    documents whose every paragraph lost keep an empty clean_text.
+
+    Scale shape: explode paragraphs (no shuffle) → ONE hash-aggregate keyed
+    by md5(paragraph) picks each paragraph's winner as min(struct(id,pos))
+    (map-side partial agg; no corpus-wide window) → join winners back on the
+    hash (AQE picks broadcast when the winner set is small) → per-document
+    reassembly groupBy.  State is O(distinct paragraphs); nothing all-pairs,
+    nothing driver-side.
+    """
+    from datax_spark.functions.sampling import chunk_documents
+
+    paras = chunk_documents(
+        df.select(id_col, text_col), text_col, para_words,
+        keep_cols=[id_col],
+    ).select(
+        F.col(id_col),
+        F.col("chunk_ix").alias("pos"),
+        F.md5(F.col("chunk")).alias("para_hash"),
+        F.col("chunk").alias("para"),
+    )
+    winners = paras.groupBy("para_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos")))
+        .alias("w")
+    ).select(
+        "para_hash", F.col("w.id").alias("__wid"), F.col("w.pos").alias("__wpos")
+    )
+    kept = paras.join(winners, "para_hash").filter(
+        (F.col(id_col) == F.col("__wid")) & (F.col("pos") == F.col("__wpos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

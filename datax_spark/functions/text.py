@@ -47,6 +47,34 @@ def token_count(col) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+# GPT-2-style pre-tokenizer regex, restricted to the Java∩RE2 subset so the
+# identical pattern runs in Spark (Java regex) and any RE2-based SQL oracle
+# (DuckDB): no lookahead (RE2 lacks it), whitespace spelled as an explicit
+# class (Java's \s includes \x0B, RE2's does not).  Tokens: known
+# contractions ('s 't 're 've 'm 'll 'd), optionally space-prefixed letter /
+# digit / punctuation runs, residual whitespace runs.  Cross-engine parity is
+# pinned by tests/test_text.py and the text_token_stats oracle.
+BPE_TOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?\\p{L}+| ?\\p{N}+"
+    "| ?[^ \t\n\r\f\\p{L}\\p{N}]+"
+    "|[ \t\n\r\f]+"
+)
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 split rule): the unit real BPE
+    merges operate within.  Counting these approximates LLM token budgets
+    far better than whitespace words (punctuation and contractions become
+    their own tokens).  Pure Column expression — one JVM regex pass."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col) -> Column:
+    return F.size(bpe_tokens(col)).cast("long")
+
+
 def word_shingles(col, n: int) -> Column:
     """Distinct n-word shingles (space-joined) — the dedup unit.
 
