@@ -668,6 +668,95 @@ def q_cdc_shard_skew_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEBEZIUM ENVELOPE NORMALIZATION (SURVEY §2.1 row 13), value-gated:
+    each event is serialized into a real Debezium change record (op c/r/u/d,
+    before-image on deletes, after-image otherwise, source.lsn/ts_ms) with
+    ``to_json``, then parsed back through the engine's actual Kafka-value
+    path (``sources.debezium.from_value_column`` → ``normalize``).  The
+    oracle recomputes the envelope directly from the table, so any
+    parse/op-mapping/before-after-selection bug breaks the hash.  All
+    JVM-side (`from_json`), no Python."""
+    from datax_spark.sources import debezium as DBZ
+
+    ev = _t(spark, sf_dir, "events")
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    row = F.struct(
+        F.col("user_id"), F.col("event_type"),
+        _cents("value").alias("value_cents"), F.col("props"),
+    )
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "purchase", F.lit("u"))
+        .when(F.pmod("event_id", F.lit(13)) == 0, F.lit("r"))
+        .otherwise(F.lit("c"))
+    )
+    # ts is TIMESTAMP_NTZ in the fixture parquet; the session pins UTC, so
+    # the cast interprets the wall time exactly as DuckDB's epoch_ms does
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    value = F.to_json(
+        F.struct(
+            op.alias("op"),
+            F.when(op == "d", row).alias("before"),
+            F.when(op != "d", row).alias("after"),
+            F.struct(
+                F.col("event_id").alias("lsn"),
+                ts_ms.alias("ts_ms"),
+                F.lit("appdb").alias("db"),
+                F.lit("events").alias("table"),
+            ).alias("source"),
+            ts_ms.alias("ts_ms"),
+        )
+    )
+    env = DBZ.from_value_column(ev.select(value.alias("value")), payload)
+    # shard is pmod(hash(key)) — engine-internal; ts returned as epoch ms
+    return env.select(
+        "lsn", "op", "user_id", "event_type", "value_cents", "props",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+def q_file_delimited_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIMITED READER SEMANTICS (SURVEY §2.1 row 8), value-gated: the
+    events table is written as quoted CSV (nullFormat \\N, DataX writer
+    shape) and read back through ``sources.file.read_delimited`` with the
+    reference's column spec ({index,type,name} projection+cast plus a
+    constant {value} column).  The oracle computes the same rows from the
+    parquet directly — any delimiter/quote/cast/null-format bug breaks the
+    value hash (doubles round-trip exactly through Java's shortest-repr
+    CSV writer)."""
+    from datax_spark.sources.file import read_delimited
+
+    ev = _t(spark, sf_dir, "events")
+    loc = tempfile.mkdtemp(prefix="dx_csv_")
+    (
+        ev.select("event_id", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite")
+        .option("nullValue", "\\N")
+        .csv(loc)
+    )
+    cols = [
+        {"index": 0, "type": "long", "name": "event_id"},
+        {"index": 1, "type": "long", "name": "user_id"},
+        {"index": 2, "type": "string", "name": "event_type"},
+        {"index": 3, "type": "double", "name": "value"},
+        {"index": 4, "type": "string", "name": "props"},
+        {"value": "csv", "type": "string", "name": "src"},
+    ]
+    df = read_delimited(spark, loc, columns=cols, null_format="\\N")
+    return df.select(
+        "event_id", "user_id", "event_type",
+        _cents("value").alias("value_cents"), "props", "src",
+    )
+
+
 def q_cdc_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DML over the ingested table (lake/merge.delete_where /
     update_where — the DELETE FROM / UPDATE surface the reference reaches
@@ -2798,6 +2887,27 @@ FROM ranked WHERE rn = 1 AND NOT is_delete
 # Cross-shard out-of-order delivery must converge to the plain full fold.
 _ORACLES["cdc_shard_skew_delivery"] = _CDC_FOLD_ORACLE
 
+# The envelope the Debezium JSON roundtrip must reproduce ('r' and 'c' both
+# normalize to insert; deletes carry the before-image payload).
+_ORACLES["cdc_debezium_envelope"] = """
+SELECT event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type = 'purchase' THEN 'update'
+            ELSE 'insert' END AS op,
+       user_id, event_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents, props,
+       CAST(epoch_ms(ts) AS BIGINT) AS ts_ms
+FROM events
+"""
+
+# The delimited roundtrip must reproduce the source rows exactly.
+_ORACLES["file_delimited_roundtrip"] = """
+SELECT event_id, user_id, event_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents, props,
+       'csv' AS src
+FROM events
+"""
+
 # The IDENTICAL Java∩RE2 pattern runs through DuckDB's RE2 engine.
 _BPE_SQL_PAT = TXT.BPE_TOKEN_PATTERN.replace("'", "''")
 _ORACLES["text_token_stats"] = rf"""
@@ -2850,14 +2960,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine": q_cdc_quarantine,
     "cdc_quarantine_report": q_cdc_quarantine_report,
     "cdc_shard_skew_delivery": q_cdc_shard_skew_delivery,
+    "cdc_debezium_envelope": q_cdc_debezium_envelope,
+    "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_changelog_images": q_cdc_changelog_images,
     "cdc_mirror_relay": q_cdc_mirror_relay,
     "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
-    "cdc_stream_available_now": q_cdc_stream_available_now,
-    "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_shard_lineage": q_cdc_shard_lineage,
     "skew_salted_agg": q_skew_salted_agg,
     "asof_purchase_attrib": q_asof_purchase_attrib,
@@ -2891,6 +3001,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "cdc_stream_available_now": q_cdc_stream_available_now,
+    "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_op_mix": q_cdc_op_mix,
     "events_sessionize": q_events_sessionize,
     "tx_pandas_udf_norm": q_tx_pandas_udf_norm,
