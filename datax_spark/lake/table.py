@@ -559,6 +559,11 @@ class LakeTable:
         skips the clustered base mass."""
         preds = _normalize_preds(where)
         want = None if buckets is None else {str(b) for b in buckets}
+        derived = None
+        if want is None and preds:
+            derived = self._derive_buckets(m, preds)
+            if derived is not None:
+                want = {str(b) for b in derived}
         candidates: list[list] = []
         dv_paths: list[str] = []
         for b, entries in m.files.items():
@@ -595,8 +600,60 @@ class LakeTable:
             "dv_files": len(dv_paths),
             "any_delta": any_delta,
             "preds_used": len(key_preds if any_pdelta else preds),
+            "buckets_derived": sorted(derived) if derived is not None else None,
         }
         return kept, dv_paths, info
+
+    def _derive_buckets(
+        self, m: Manifest, preds: list[tuple[str, str, Any]]
+    ) -> list[int] | None:
+        """Bucket ids a ``=``/``in`` predicate on the bucket column confines
+        the scan to, computed DRIVER-SIDE (zero Spark jobs) with the
+        Murmur3 mirror in lake/hashing.py — the Iceberg bucket-transform
+        partition-pruning analogue.  At 100 TB this turns a point lookup
+        into an O(files-per-bucket) read: 1/num_buckets of the table plus
+        the always-kept L0 tail.
+
+        None = no pruning possible.  Safety rules:
+        - only when the bucket column is a KEY column: key values are
+          immutable per logical row, so every version of a matching key
+          lives in the derived buckets (or the always-kept L0); a mutable
+          bucket column could strand a key's newest version in another
+          bucket and resurrect stale state through LWW reconstruction;
+        - only when every historical schema agrees on the bucket column's
+          type — widening int→long changes Murmur3, so a widened table's
+          old files sit in buckets hashed under the OLD type;
+        - only for types whose Spark hash is mirrored (int/long/string);
+        - NULL predicate values match no row (3VL) and derive no bucket;
+        - multiple bucket-col predicates intersect."""
+        from datax_spark.lake import hashing
+
+        if m.bucket_col not in m.key_cols:
+            return None
+        try:
+            dtype = m.schema[m.bucket_col].dataType.simpleString()
+        except KeyError:
+            return None
+        for sc in m.schemas.values():
+            hist = T.StructType.fromJson(sc) if isinstance(sc, dict) else sc
+            for f in hist.fields:
+                if f.name == m.bucket_col and f.dataType.simpleString() != dtype:
+                    return None
+        out: set[int] | None = None
+        for col, op, val in preds:
+            if col != m.bucket_col or op not in ("=", "in"):
+                continue
+            vals = [val] if op == "=" else list(val)
+            bs: set[int] = set()
+            for v in vals:
+                if v is None:
+                    continue  # NULL never satisfies = / in
+                b = hashing.bucket_of(v, dtype, m.num_buckets)
+                if b is None:
+                    return None  # unmirrored type: no driver-side pruning
+                bs.add(b)
+            out = bs if out is None else out & bs
+        return sorted(out) if out is not None else None
 
     def scan_plan(
         self,

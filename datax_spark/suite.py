@@ -447,6 +447,45 @@ def q_lake_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup via DRIVER-SIDE bucket derivation (Iceberg
+    bucket-transform partition pruning analogue): ingest into a table
+    bucketed by user_id, then read(where user_id IN (...)) — the scan is
+    confined to pmod(hash(id), n) buckets computed with the Murmur3 mirror
+    in lake/hashing.py, zero Spark jobs spent planning.  At 100 TB this is
+    the O(files-per-bucket) key-lookup path.  The suite run asserts the
+    derivation actually happened AND pruned candidate files; the oracle is
+    the fold + the same IN."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_lookup_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 4) // 4))
+    table.compact(files_per_bucket=4)
+    where = [("user_id", "in", [1, 7, 11])]
+    plan = table.scan_plan(where=where)
+    assert plan["buckets_derived"] is not None, f"no derivation: {plan}"
+    full = table.scan_plan()
+    assert plan["files_total"] < full["files_total"], (
+        f"bucket pruning was vacuous: {plan} vs {full}"
+    )
+    return table.read(where=where).select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_lake_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered read: ingest, compact with an interleaved-bit
     (user_id, value_cents) key, then a predicate on value_cents ALONE —
@@ -2083,6 +2122,17 @@ FROM ranked
 WHERE rn = 1 AND NOT is_delete
   AND user_id BETWEEN 10 AND 60 AND event_type = 'click'
 """,
+    # bucket-derived point lookup = fold + the same IN
+    "lake_point_lookup": """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, value_cents, props
+FROM ranked
+WHERE rn = 1 AND NOT is_delete AND user_id IN (1, 7, 11)
+""",
     # z-order read = fold + WHERE on the non-leading cluster column
     "lake_zorder_read": """
 WITH ranked AS (
@@ -3035,6 +3085,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "q3_top_shipping": q_q3_top_shipping,
     "q1_pricing_summary": q_q1_pricing_summary,
+    "lake_point_lookup": q_lake_point_lookup,
 }
 
 

@@ -118,6 +118,14 @@ def test_scan_plan_skips_files(spark, tmp_path):
     rows = [{"k": i, "v": i, "s": str(i)} for i in range(100)]
     t = _mk(spark, tmp_path, rows, num_buckets=8)
     plan = t.scan_plan(where=[("k", "=", 7)])
+    # k is the bucket column: driver-side bucket derivation confines the
+    # candidate set to one bucket before zone maps even run
+    assert plan["buckets_derived"] is not None
+    assert plan["files_total"] == 1
+    assert plan["files_kept"] == 1
+    # a range predicate can't derive buckets — zone maps do the skipping
+    plan = t.scan_plan(where=[("k", "between", (7, 9))])
+    assert plan["buckets_derived"] is None
     assert plan["files_total"] == 8
     assert plan["files_skipped"] > 0
     assert plan["files_kept"] >= 1
