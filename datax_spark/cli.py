@@ -114,6 +114,23 @@ def _relay_cmd(args) -> int:
     return 0
 
 
+def _cdcout_cmd(args) -> int:
+    """Publish a table's changelog as Debezium JSON-lines commit dirs —
+    the CLI face of sources/debezium.emit_table_changes (CDC interchange
+    out; re-running resumes from the last published commit)."""
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.sources.debezium import emit_table_changes
+
+    spark = get_session("datax-spark-cdcout", cores=args.cores)
+    upstream = LakeTable(spark, args.upstream)
+    out = {"ok": True, "upstream": args.upstream, "out": args.out}
+    out.update(
+        emit_table_changes(upstream, args.out, db=args.db, name=args.name)
+    )
+    print(json.dumps(out))
+    return 0
+
+
 def _aggview_cmd(args) -> int:
     """Maintain an incremental aggregate view from an upstream table's
     changelog — the CLI face of lake/aggview.py (created on first call,
@@ -245,10 +262,23 @@ def main(argv: list[str] | None = None) -> int:
                           "upstream) without refreshing")
     agg.add_argument("--cores", default=None)
 
+    cdc = sub.add_parser(
+        "cdcout",
+        help="publish a table's changelog as Debezium JSON-lines commit dirs",
+    )
+    cdc.add_argument("upstream", help="upstream lake table location")
+    cdc.add_argument("out", help="output directory (one "
+                                 "_commit_version=<v>/ dir per commit; "
+                                 "re-running resumes from the last one)")
+    cdc.add_argument("--db", default="lake", help="source.db field value")
+    cdc.add_argument("--name", default=None,
+                     help="source.table field value (default: table dirname)")
+    cdc.add_argument("--cores", default=None)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
     if argv and argv[0] not in ("run", "maintain", "relay", "aggview",
-                                "-h", "--help"):
+                                "cdcout", "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
@@ -257,6 +287,8 @@ def main(argv: list[str] | None = None) -> int:
         return _relay_cmd(args)
     if args.cmd == "aggview":
         return _aggview_cmd(args)
+    if args.cmd == "cdcout":
+        return _cdcout_cmd(args)
     return _run_cmd(args)
 
 

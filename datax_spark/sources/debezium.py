@@ -114,3 +114,176 @@ def from_value_column(
         F.from_json(F.col(value_col).cast("string"), schema).alias("e")
     ).filter(F.col("e").isNotNull())
     return normalize(parsed, payload, n_shards)
+
+
+# --------------------------------------------------------------- CDC OUT
+# The reverse direction: a LakeTable changelog serialized as Debezium JSON
+# values, so downstream consumers (Kafka producers, other engines, another
+# LakeTable via this module's readers) get the standard CDC interchange
+# shape.  Reference analogue: DataX writers emit the channel's records in
+# the sink's wire format; here the "wire format" is the Debezium envelope.
+
+def to_value_column(
+    changes: DataFrame,
+    payload: T.StructType,
+    key_cols: list[str],
+    db: str = "lake",
+    table: str = "table",
+    version_ts: dict[int, int] | None = None,
+) -> DataFrame:
+    """``read_changes_with_images`` frame → one Debezium JSON ``value`` per
+    logical change, all JVM-side (``to_json``), no Python.
+
+    - ``update_before``/``update_after`` retraction pairs (same key, same
+      ``_change_lsn``, same commit) collapse into ONE ``op:"u"`` record
+      carrying both images — the Debezium contract;
+    - ``insert`` → ``op:"c"`` (after image), ``delete`` → ``op:"d"``
+      (before image);
+    - ``source.lsn`` keeps the upstream LSN; append commits carry no LSN
+      and serialize as ``-1`` ("before any LSN"), so parse-back keeps them
+      and per-commit replay order stays correct — consumers applying into
+      another table must replay commit directories in order, exactly like
+      ``lake/mirror.sync_mirror`` orders by (commit, lsn);
+    - ``source.ts_ms``/``ts_ms`` come from ``version_ts`` (commit version →
+      epoch ms, bounded by the emitted range so the literal map stays
+      small).
+
+    Returns ``(value: string, _commit_version: long)`` — the version rides
+    along for per-commit partitioned sinks (:func:`write_json_lines`)."""
+    img = F.struct(*[F.col(f.name) for f in payload.fields])
+    typ = F.col("_change_type")
+    pre = F.when(typ.isin("update_before", "delete"), img)
+    post = F.when(typ.isin("insert", "update_after"), img)
+    opc = (
+        F.when(typ == "insert", F.lit("c"))
+        .when(typ == "delete", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    grouped = changes.groupBy(
+        *[F.col(c) for c in key_cols],
+        F.col("_commit_version"),
+        F.col("_change_lsn"),
+    ).agg(
+        F.any_value(pre, True).alias("before"),
+        F.any_value(post, True).alias("after"),
+        F.min(opc).alias("op"),  # uniform within a group — min = the value
+    )
+    if version_ts:
+        ts_map = F.create_map(
+            *[F.lit(x) for kv in version_ts.items() for x in kv]
+        )
+        ts_ms = F.element_at(ts_map, F.col("_commit_version").cast("int"))
+    else:
+        ts_ms = F.lit(None).cast("long")
+    value = F.to_json(
+        F.struct(
+            F.col("op"),
+            F.col("before"),
+            F.col("after"),
+            F.struct(
+                F.coalesce(F.col("_change_lsn"), F.lit(-1)).alias("lsn"),
+                ts_ms.alias("ts_ms"),
+                F.lit(db).alias("db"),
+                F.lit(table).alias("table"),
+            ).alias("source"),
+            ts_ms.alias("ts_ms"),
+        )
+    )
+    return grouped.select(
+        value.alias("value"), F.col("_commit_version")
+    )
+
+
+def from_table_changes(
+    table, from_version: int, to_version: int | None = None,
+    db: str = "lake", name: str | None = None,
+) -> DataFrame:
+    """Debezium JSON values for a LakeTable's committed changes in
+    ``(from_version, to_version]`` — the engine's CDC-out surface.
+    ``table`` is a ``lake.table.LakeTable`` (duck-typed to avoid the
+    import cycle)."""
+    import os as _os
+
+    to_v = table.current_version() if to_version is None else to_version
+    changes = table.read_changes_with_images(from_version, to_v)
+    m = table.manifest(to_v)
+    version_ts = {}
+    for v in range(from_version + 1, to_v + 1):
+        at = table.manifest(v).committed_at
+        if at is not None:
+            version_ts[v] = int(at * 1000)
+    return to_value_column(
+        changes, m.schema, m.key_cols, db=db,
+        table=name or _os.path.basename(table.location.rstrip("/")),
+        version_ts=version_ts,
+    )
+
+
+def write_json_lines(values: DataFrame, path: str, mode: str = "error") -> None:
+    """Sink the ``to_value_column`` frame as JSON-lines text files
+    partitioned by commit (``path/_commit_version=<v>/part-*.txt``) —
+    the directory layout :func:`from_json_lines` tails, with replay order
+    carried by the partition directories."""
+    (
+        values.select("value", "_commit_version")
+        .write.mode(mode)
+        .partitionBy("_commit_version")
+        .text(path)
+    )
+
+
+def emit_table_changes(
+    table, out_dir: str, db: str = "lake", name: str | None = None,
+) -> dict:
+    """Incrementally publish a LakeTable's changelog as Debezium JSON-lines
+    commit directories — EXACTLY-ONCE per commit, resumable.
+
+    The watermark is the OUTPUT itself: the highest ``_commit_version=<v>``
+    directory already published (plus a ``_last_version`` sidecar covering
+    trailing no-change commits).  New commits are staged next to ``out_dir``
+    and published one ``os.rename`` per commit IN VERSION ORDER, so a crash
+    leaves a clean prefix and the rerun resumes from it — the same atomic-
+    publish discipline as the file writer (sources/file.py).  Returns
+    {from_version, to_version, emitted_versions}."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    _os.makedirs(out_dir, exist_ok=True)
+    done = [
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(out_dir)
+        if d.startswith("_commit_version=")
+    ]
+    from_v = max(done, default=0)
+    side = _os.path.join(out_dir, "_last_version")
+    if _os.path.exists(side):
+        with open(side, encoding="utf-8") as f:
+            from_v = max(from_v, int(f.read().strip() or 0))
+    to_v = table.current_version()
+    out = {"from_version": from_v, "to_version": to_v, "emitted_versions": []}
+    if to_v <= from_v:
+        return out
+    vals = from_table_changes(table, from_v, to_v, db=db, name=name)
+    staging = f"{out_dir.rstrip('/')}.staging-{_uuid.uuid4().hex}"
+    try:
+        write_json_lines(vals, staging)
+        parts = sorted(
+            (int(d.split("=", 1)[1]), d)
+            for d in _os.listdir(staging)
+            if d.startswith("_commit_version=")
+        )
+        for v, d in parts:  # version order → crash leaves a clean prefix
+            dst = _os.path.join(out_dir, d)
+            if not _os.path.exists(dst):
+                _os.rename(_os.path.join(staging, d), dst)
+                out["emitted_versions"].append(v)
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    tmp = side + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(to_v))
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, side)
+    return out

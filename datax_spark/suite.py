@@ -152,6 +152,66 @@ def q_cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_debezium_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-OUT roundtrip (sources/debezium.to_value_column — the reverse of
+    the envelope reader): the table's changelog-with-images is serialized
+    to Debezium JSON values (u-pairs combined into one op:"u" record,
+    deletes carrying the before image), parsed BACK with the inbound
+    ``from_json`` schema, and re-exploded into the changelog shape — so
+    any serialization loss (field drop, image swap, op mismap, LSN
+    corruption) breaks the same value oracle ``cdc_changelog_images``
+    passes.  All JVM-side (to_json/from_json), no Python."""
+    from datax_spark.sources import debezium as DBZ
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_dbzout_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(
+        table, feed, batch_lsns=max(1, (int(hi) + 4) // 4), auto_compact=None
+    )
+    vals = DBZ.from_table_changes(table, 0, db="appdb", name="events")
+    parsed = vals.select(
+        F.from_json("value", DBZ.envelope_schema(schema)).alias("e")
+    )
+    img = lambda side: F.col(f"e.{side}")  # noqa: E731
+    row = lambda side, ctype: F.struct(  # noqa: E731
+        img(side).alias("img"), F.lit(ctype).alias("change_type")
+    )
+    exploded = parsed.select(
+        F.explode(
+            F.when(F.col("e.op") == "u",
+                   F.array(row("before", "update_before"),
+                           row("after", "update_after")))
+            .when(F.col("e.op") == "d", F.array(row("before", "delete")))
+            .otherwise(F.array(row("after", "insert")))
+        ).alias("r"),
+        # -1 marks "append commit, no LSN" on the wire
+        F.when(F.col("e.source.lsn") == -1, F.lit(None).cast("long"))
+        .otherwise(F.col("e.source.lsn")).alias("change_lsn"),
+    )
+    return exploded.select(
+        F.col("r.img.user_id").alias("user_id"),
+        F.col("r.img.event_type").alias("event_type"),
+        F.col("r.img.value_cents").alias("value_cents"),
+        F.col("r.img.props").alias("props"),
+        F.col("r.change_type").alias("change_type"),
+        "change_lsn",
+    )
+
+
 def q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate view (lake/aggview.py — the continuous-
     aggregate / dynamic-table pattern): a per-event_type count+sum+min+max
@@ -1969,6 +2029,41 @@ r3 AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS 
 a2 AS (SELECT vec_id, cid FROM r3 WHERE rn = 1)
 """
 
+
+# Changelog-with-images rows — shared by the direct read and the
+# Debezium CDC-out serialization roundtrip (which must lose nothing).
+_IMAGES_SQL = """
+WITH p AS (SELECT CAST((max(event_id) + 4) // 4 AS BIGINT) AS bl FROM events),
+e AS (
+  SELECT e.user_id, e.event_type,
+         CAST(round(e.value*100) AS BIGINT) AS value_cents, e.props,
+         CAST(e.event_id AS BIGINT) AS lsn, e.event_id // p.bl AS b,
+         e.event_type = 'error' AS is_del,
+         row_number() OVER (PARTITION BY e.user_id, e.event_id // p.bl
+                            ORDER BY e.event_id DESC) AS rn
+  FROM events e CROSS JOIN p),
+win AS (SELECT * FROM e WHERE rn = 1),
+seq AS (
+  SELECT *,
+    lag(event_type)  OVER (PARTITION BY user_id ORDER BY b) AS p_et,
+    lag(value_cents) OVER (PARTITION BY user_id ORDER BY b) AS p_vc,
+    lag(props)       OVER (PARTITION BY user_id ORDER BY b) AS p_pr,
+    lag(is_del)      OVER (PARTITION BY user_id ORDER BY b) AS p_del
+  FROM win)
+SELECT user_id, event_type, value_cents, props,
+       'insert' AS change_type, lsn AS change_lsn
+FROM seq WHERE NOT is_del AND (p_del IS NULL OR p_del)
+UNION ALL
+SELECT user_id, p_et, p_vc, p_pr, 'update_before', lsn
+FROM seq WHERE NOT is_del AND p_del = false
+UNION ALL
+SELECT user_id, event_type, value_cents, props, 'update_after', lsn
+FROM seq WHERE NOT is_del AND p_del = false
+UNION ALL
+SELECT user_id, p_et, p_vc, p_pr, 'delete', lsn
+FROM seq WHERE is_del AND p_del = false
+"""
+
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
     # the SQL fold + the same row-level mutations delete_where/update_where
@@ -2078,37 +2173,9 @@ FROM w WHERE rn = 1
     # before-image changelog: per-batch winners; each key's PREVIOUS winner
     # (unless it was a delete) is the before image; deletes of non-existent
     # keys vanish
-    "cdc_changelog_images": """
-WITH p AS (SELECT CAST((max(event_id) + 4) // 4 AS BIGINT) AS bl FROM events),
-e AS (
-  SELECT e.user_id, e.event_type,
-         CAST(round(e.value*100) AS BIGINT) AS value_cents, e.props,
-         CAST(e.event_id AS BIGINT) AS lsn, e.event_id // p.bl AS b,
-         e.event_type = 'error' AS is_del,
-         row_number() OVER (PARTITION BY e.user_id, e.event_id // p.bl
-                            ORDER BY e.event_id DESC) AS rn
-  FROM events e CROSS JOIN p),
-win AS (SELECT * FROM e WHERE rn = 1),
-seq AS (
-  SELECT *,
-    lag(event_type)  OVER (PARTITION BY user_id ORDER BY b) AS p_et,
-    lag(value_cents) OVER (PARTITION BY user_id ORDER BY b) AS p_vc,
-    lag(props)       OVER (PARTITION BY user_id ORDER BY b) AS p_pr,
-    lag(is_del)      OVER (PARTITION BY user_id ORDER BY b) AS p_del
-  FROM win)
-SELECT user_id, event_type, value_cents, props,
-       'insert' AS change_type, lsn AS change_lsn
-FROM seq WHERE NOT is_del AND (p_del IS NULL OR p_del)
-UNION ALL
-SELECT user_id, p_et, p_vc, p_pr, 'update_before', lsn
-FROM seq WHERE NOT is_del AND p_del = false
-UNION ALL
-SELECT user_id, event_type, value_cents, props, 'update_after', lsn
-FROM seq WHERE NOT is_del AND p_del = false
-UNION ALL
-SELECT user_id, p_et, p_vc, p_pr, 'delete', lsn
-FROM seq WHERE is_del AND p_del = false
-""",
+    "cdc_changelog_images": _IMAGES_SQL,
+    # CDC-out roundtrip must reproduce the changelog-with-images rows
+    "cdc_debezium_out": _IMAGES_SQL,
     # zone-map pruned read = fold + the same WHERE (read(where=) must equal
     # read().filter(...) regardless of which files were skipped)
     "lake_prune_read": """
@@ -3086,6 +3153,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_top_shipping": q_q3_top_shipping,
     "q1_pricing_summary": q_q1_pricing_summary,
     "lake_point_lookup": q_lake_point_lookup,
+    "cdc_debezium_out": q_cdc_debezium_out,
 }
 
 
