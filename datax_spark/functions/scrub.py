@@ -64,6 +64,37 @@ def pii_counts(col) -> dict[str, Column]:
     return counts
 
 
+def nfc(col) -> Column:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF (Spark has
+    no built-in normalizer).  This is one of the few sanctioned Python
+    hops: per-row work with no JVM equivalent, vectorized through Arrow
+    (``Series.str.normalize``), nulls propagate."""
+    import pandas as pd  # noqa: F401 (signature typing)
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc(_c(col))
+
+
+def normalize_text(col) -> Column:
+    """The standard pre-training text-canonicalization pass (public
+    C4/CCNet-style cleanup): Unicode NFC, control characters (C0 except
+    newline, plus DEL) replaced with spaces, space runs collapsed, ends
+    trimmed.  Newlines survive — paragraph structure is meaningful to
+    downstream dedup/chunking.  NFC runs through :func:`nfc` (Arrow); the
+    character passes stay native ``regexp_replace`` (JVM, codegen).  The
+    regexes live in the Java∩RE2 subset, so DuckDB's ``nfc_normalize`` +
+    the same replacements reproduce the output byte-for-byte."""
+    x = nfc(col)
+    x = F.regexp_replace(x, r"[\x00-\x09\x0B-\x1F\x7F]", " ")
+    x = F.regexp_replace(x, r" {2,}", " ")
+    # trim spaces around newlines so "a \n b" canonicalizes to "a\nb"
+    x = F.regexp_replace(x, r" ?\n ?", "\n")
+    return F.btrim(x)
+
+
 def repetition_features(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:

@@ -1793,6 +1793,30 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (functions/scrub.normalize_text — the
+    C4/CCNet-style cleanup pass): NFC via an Arrow-batched pandas UDF (no
+    JVM normalizer exists), then control-char strip / space-run collapse /
+    newline tidying as native regexp_replace.  The corpus is ASCII, so
+    each doc is enriched with deterministic unicode dirt (a combining
+    accent that NFC must compose, a BEL control, double spaces); DuckDB
+    rebuilds the same dirty text and applies nfc_normalize + the identical
+    regex cascade — byte-for-byte."""
+    from datax_spark.functions import scrub as SCR
+
+    docs = _t(spark, sf_dir, "documents")
+    # decomposed e + U+0301: NFC must fuse it into one codepoint
+    dirty = F.concat(
+        F.lit("  cafe\u0301 \x07 "), F.col("text"),
+        F.lit(" tail\tend  "),
+    )
+    return docs.select(
+        "doc_id",
+        SCR.normalize_text(dirty).alias("norm_text"),
+        F.length(SCR.normalize_text(dirty)).cast("long").alias("norm_len"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition-quality signals: duplicate word mass and the
     most-frequent-2-gram share, reported as exact integer numerators /
@@ -2755,6 +2779,20 @@ SELECT doc_id,
        ELSE 'fr' END AS pred_lang
 FROM hits
 """,
+    # Unicode canonicalization: same deterministic dirt, DuckDB's ICU
+    # nfc_normalize + the identical regex cascade — byte-for-byte
+    "text_normalize": r"""
+WITH e AS (SELECT doc_id,
+  '  cafe' || chr(769) || ' ' || chr(7) || ' ' || text
+  || ' tail' || chr(9) || 'end  ' AS t
+  FROM documents),
+n AS (SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(
+    nfc_normalize(t), '[\x00-\x09\x0B-\x1F\x7F]', ' ', 'g'),
+    ' {2,}', ' ', 'g'), ' ?\n ?', chr(10), 'g'), ' ') AS norm_text
+  FROM e)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS norm_len FROM n
+""",
     # PII scrub: same deterministic enrichment, same ordered regex cascade
     # (emails → IPv4 → phones), counts taken on the progressively-scrubbed
     # text exactly like the engine's pii_counts
@@ -3154,6 +3192,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "lake_point_lookup": q_lake_point_lookup,
     "cdc_debezium_out": q_cdc_debezium_out,
+    "text_normalize": q_text_normalize,
 }
 
 

@@ -62,3 +62,30 @@ def test_repetition_no_python_in_plan(spark):
         "doc_id", F.col("top_bigram_n") / F.col("n_bigrams")
     )
     assert_no_python_row_udf(out)
+
+
+def test_normalize_text_cases(spark):
+    from datax_spark.functions.scrub import normalize_text
+
+    vals = [
+        ("cafe\u0301", "caf\u00e9"),             # NFC composes
+        ("  a   b  ", "a b"),                 # space runs + trim
+        ("a \n b\n\nc", "a\nb\n\nc"),         # newlines survive, tidied
+        ("ctl\x07\x01here", "ctl here"),      # control chars → space
+        ("tab\tsep", "tab sep"),
+        ("", ""),
+        (None, None),                          # nulls propagate
+    ]
+    df = spark.createDataFrame([(v,) for v, _ in vals], "t string")
+    got = [r["n"] for r in df.select(normalize_text("t").alias("n")).collect()]
+    assert got == [w for _, w in vals]
+
+
+def test_normalize_text_arrow_not_row_udf(spark):
+    from datax_spark.functions.scrub import normalize_text
+    from datax_spark.plans import checks
+
+    df = spark.createDataFrame([("x",)], "t string").select(
+        normalize_text("t").alias("n")
+    )
+    checks.assert_no_python_row_udf(df)  # ArrowEvalPython is sanctioned
