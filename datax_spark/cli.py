@@ -125,7 +125,8 @@ def _cdcout_cmd(args) -> int:
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "out": args.out}
     out.update(
-        emit_table_changes(upstream, args.out, db=args.db, name=args.name)
+        emit_table_changes(upstream, args.out, db=args.db, name=args.name,
+                           on_rewrite=args.on_rewrite)
     )
     print(json.dumps(out))
     return 0
@@ -273,6 +274,10 @@ def main(argv: list[str] | None = None) -> int:
     cdc.add_argument("--db", default="lake", help="source.db field value")
     cdc.add_argument("--name", default=None,
                      help="source.table field value (default: table dirname)")
+    cdc.add_argument("--on-rewrite", default="error",
+                     choices=["error", "skip"],
+                     help="changelog behavior across compaction/rewrite "
+                          "commits")
     cdc.add_argument("--cores", default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -196,16 +196,21 @@ def to_value_column(
 
 def from_table_changes(
     table, from_version: int, to_version: int | None = None,
-    db: str = "lake", name: str | None = None,
+    db: str = "lake", name: str | None = None, on_rewrite: str = "error",
 ) -> DataFrame:
     """Debezium JSON values for a LakeTable's committed changes in
     ``(from_version, to_version]`` — the engine's CDC-out surface.
     ``table`` is a ``lake.table.LakeTable`` (duck-typed to avoid the
-    import cycle)."""
+    import cycle).  ``on_rewrite="skip"`` steps over state-rewrite commits
+    (``overwrite``/``merge-cow``/partial-update deltas) instead of raising —
+    same contract as ``read_changes``; physical rewrites (compact/rebucket)
+    are always transparent."""
     import os as _os
 
     to_v = table.current_version() if to_version is None else to_version
-    changes = table.read_changes_with_images(from_version, to_v)
+    changes = table.read_changes_with_images(
+        from_version, to_v, on_rewrite=on_rewrite
+    )
     m = table.manifest(to_v)
     version_ts = {}
     for v in range(from_version + 1, to_v + 1):
@@ -234,6 +239,7 @@ def write_json_lines(values: DataFrame, path: str, mode: str = "error") -> None:
 
 def emit_table_changes(
     table, out_dir: str, db: str = "lake", name: str | None = None,
+    on_rewrite: str = "error",
 ) -> dict:
     """Incrementally publish a LakeTable's changelog as Debezium JSON-lines
     commit directories — EXACTLY-ONCE per commit, resumable.
@@ -264,7 +270,9 @@ def emit_table_changes(
     out = {"from_version": from_v, "to_version": to_v, "emitted_versions": []}
     if to_v <= from_v:
         return out
-    vals = from_table_changes(table, from_v, to_v, db=db, name=name)
+    vals = from_table_changes(
+        table, from_v, to_v, db=db, name=name, on_rewrite=on_rewrite
+    )
     staging = f"{out_dir.rstrip('/')}.staging-{_uuid.uuid4().hex}"
     try:
         write_json_lines(vals, staging)

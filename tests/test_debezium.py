@@ -179,3 +179,30 @@ def test_emit_table_changes_resumable(spark, tmp_path):
     feed = DBZ.from_json_lines(spark, out + "/_commit_version=*", schema,
                                n_shards=2)
     assert feed.count() >= 5
+
+
+def test_emit_skips_rewrites_when_asked(spark, tmp_path):
+    from datax_spark.lake.merge import merge_into
+
+    t, schema = _mk_table_with_history(spark, tmp_path)
+    t.compact()  # physical rewrite: always transparent to the changelog
+    merge_into(
+        t,
+        spark.createDataFrame([(4, "d", "insert", 6)],
+                              "k long, v string, op string, lsn long"),
+        op_col="op", order_col="lsn", mode="cow",
+    )  # state rewrite: NOT changelog-readable → loud by default
+    out = str(tmp_path / "emit2")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DBZ.emit_table_changes(t, out)
+    assert not [d for d in (tmp_path / "emit2").iterdir()
+                if d.name.startswith("_commit_version=")]  # nothing published
+    res = DBZ.emit_table_changes(t, out, on_rewrite="skip")
+    # MOR commits 1-3 emitted; compact (4) and cow (5) dirs skipped
+    assert res["emitted_versions"] == [1, 2, 3]
+    assert res["to_version"] == 5
+    # resumable watermark advanced past the skipped commits
+    res2 = DBZ.emit_table_changes(t, out, on_rewrite="skip")
+    assert res2["emitted_versions"] == []
