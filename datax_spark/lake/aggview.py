@@ -254,11 +254,21 @@ def create_agg_view(
     at = upstream.current_version() if version is None else version
     if at > 0:
         out_types = {f.name: f.dataType for f in fields}
-        view.overwrite(
-            _aggregate(upstream.read(version=at), dims, sums, out_types,
-                       mins, maxs, levels_k)
-            .select(*[f.name for f in fields])
+        # bootstrap takes the same scoped static planning as a small
+        # refresh, sized on the SNAPSHOT's manifest bytes: on a small
+        # upstream the one-shot aggregate is a handful of tiny shuffles
+        # where AQE's per-exchange jobs dominate wall-clock
+        snap_bytes = sum(
+            upstream._entry_bytes(e)
+            for es in upstream.manifest(at).files.values()
+            for e in es
         )
+        with _static_planning_if_small(upstream.spark, snap_bytes):
+            view.overwrite(
+                _aggregate(upstream.read(version=at), dims, sums, out_types,
+                           mins, maxs, levels_k)
+                .select(*[f.name for f in fields])
+            )
     view.set_properties(**{
         WATERMARK_PROP: int(at),
         SPEC_PROP: json.dumps(
@@ -400,11 +410,24 @@ def _maintain_levels(
 _STATIC_PLAN_MAX_BYTES = 64 << 20
 
 
+# shuffle width for a small refresh's static plans: with AQE off every
+# exchange materializes at the session's full spark.sql.shuffle.partitions
+# (e.g. 32) even when the refresh moves a few thousand rows — the refresh
+# pipeline has many exchanges (changelog winners, delta fold, level
+# windows), so tiny-task scheduling overhead multiplies.  AQE would
+# coalesce these to ~1 partition but pays its own replan jobs; a fixed
+# small width is the static equivalent.  Only plans compiled inside the
+# scope are affected; the session value is restored on exit.
+_STATIC_PLAN_SHUFFLE_PARTITIONS = 8
+
+
 @contextmanager
 def _static_planning_if_small(spark, change_bytes: int | None):
-    """Scoped AQE toggle for small refresh batches — restored on any exit,
-    no-op when the change layer is big, unknown, or AQE is already off."""
+    """Scoped AQE toggle + narrow shuffle width for small refresh batches —
+    restored on any exit, no-op when the change layer is big, unknown, or
+    AQE is already off."""
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     if change_bytes is None or change_bytes > _STATIC_PLAN_MAX_BYTES:
         yield
         return
@@ -412,11 +435,21 @@ def _static_planning_if_small(spark, change_bytes: int | None):
     if old == "false":
         yield
         return
+    old_sp = spark.conf.get(skey, None)
     spark.conf.set(key, "false")
+    narrow = (old_sp is None
+              or int(old_sp) > _STATIC_PLAN_SHUFFLE_PARTITIONS)
+    if narrow:
+        spark.conf.set(skey, str(_STATIC_PLAN_SHUFFLE_PARTITIONS))
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        if narrow:
+            if old_sp is not None:
+                spark.conf.set(skey, old_sp)
+            else:
+                spark.conf.unset(skey)
 
 
 def refresh_agg_view(
