@@ -2,9 +2,13 @@
 
 The streaming shape mandated by BASELINE.json north_star: ``readStream`` on
 a binlog/WAL-shaped feed → per-micro-batch idempotent MERGE into the lake
-table, ``Trigger.AvailableNow`` for bounded replay (the analogue of the
-reference CDC reader's time-bounded [startTs, endTs) window —
-otsstreamreader/.../core/RecordProcessor.java:206-228).
+table.  Two trigger modes over one shared apply path:
+``Trigger.AvailableNow`` (:func:`run_available_now`) for bounded replay
+(the analogue of the reference CDC reader's time-bounded [startTs, endTs)
+window — otsstreamreader/.../core/RecordProcessor.java:206-228), and a
+``processingTime`` live tail (:func:`run_continuous`) that keeps applying
+feed files as they land until stopped — the long-running daemon shape of a
+real binlog subscription.
 
 Exactly-once layering (SURVEY.md §7.4 risk 1):
 1. Spark's streaming checkpoint makes micro-batch ids stable across
@@ -162,6 +166,48 @@ def run_available_now(
     fails the drain when no batch completes for that long while the query
     is active (≈ the reference's hung-task expiry, TaskMonitor.java:80-97)
     — distinct from ``timeout_sec``, the bound on TOTAL drain time."""
+    stream, checkpoint_dir, handle, applied, activity = _build_tail(
+        spark, feed_dir, table, feed_schema, checkpoint_dir,
+        max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
+        filter_watermark, quarantine_rules, quarantine_path, error_limits,
+        transform, applier_opts,
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    deadline = time.monotonic() + timeout_sec
+    poll = 1.0 if stall_timeout_sec is None else min(1.0, stall_timeout_sec / 4)
+    while not q.awaitTermination(poll):
+        now = time.monotonic()
+        if now > deadline:
+            q.stop()
+            raise TimeoutError(f"stream did not drain within {timeout_sec}s")
+        if (
+            stall_timeout_sec is not None
+            and now - activity["t"] > stall_timeout_sec
+        ):
+            q.stop()
+            raise TimeoutError(
+                f"stream made no progress for {stall_timeout_sec}s "
+                f"(hung-task watchdog; {len(applied)} batches applied)"
+            )
+    if q.exception() is not None:
+        raise q.exception()
+    return applied
+
+
+def _build_tail(
+    spark, feed_dir, table, feed_schema, checkpoint_dir,
+    max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
+    filter_watermark, quarantine_rules, quarantine_path, error_limits,
+    transform, applier_opts,
+):
+    """Shared setup for the bounded drain and the continuous tail: the
+    rate-capped file-source reader plus the foreachBatch apply closure.
+    Returns ``(stream, checkpoint_dir, handle, applied, activity)``."""
     if feed_schema is None:
         feed_schema = spark.read.parquet(feed_dir).schema
     if checkpoint_dir is None:
@@ -208,28 +254,132 @@ def run_available_now(
             applied.append(lineage)
         activity["t"] = time.monotonic()  # a batch completed = progress
 
+    return stream, checkpoint_dir, handle, applied, activity
+
+
+class ContinuousTail:
+    """Handle for a live :func:`run_continuous` query.
+
+    The query keeps applying new feed files as they land until
+    :meth:`stop` is called (or the process exits).  ``applied`` snapshots
+    the lineage dicts of batches applied SO FAR by this process (replays
+    resumed from the checkpoint are skipped by the lineage guard, exactly
+    like the bounded drain)."""
+
+    def __init__(self, query, applied, activity,
+                 stall_timeout_sec: float | None):
+        self._q = query
+        self._applied = applied
+        self._activity = activity
+        self._stall = stall_timeout_sec
+
+    @property
+    def is_active(self) -> bool:
+        return self._q.isActive
+
+    def applied(self) -> list[dict]:
+        return list(self._applied)
+
+    def applied_rows(self) -> int:
+        return sum(int(ln.get("rows", 0)) for ln in self._applied)
+
+    def _check(self) -> None:
+        if self._q.exception() is not None:
+            raise self._q.exception()
+
+    def wait_for(self, predicate, timeout_sec: float = 60.0,
+                 poll_sec: float = 0.25) -> None:
+        """Block until ``predicate(applied_lineages)`` is true.
+
+        Raises the query's exception if it died, ``TimeoutError`` on the
+        overall deadline, and the hung-task watchdog fires when no batch
+        completes for ``stall_timeout_sec`` while data is still expected —
+        the same semantics as the bounded drain's in-line watchdog."""
+        deadline = time.monotonic() + timeout_sec
+        while True:
+            self._check()
+            if predicate(list(self._applied)):
+                return
+            now = time.monotonic()
+            if now > deadline:
+                raise TimeoutError(
+                    f"condition not reached within {timeout_sec}s "
+                    f"({len(self._applied)} batches applied)"
+                )
+            if (self._stall is not None
+                    and now - self._activity["t"] > self._stall):
+                self._q.stop()
+                raise TimeoutError(
+                    f"stream made no progress for {self._stall}s "
+                    f"(hung-task watchdog; {len(self._applied)} batches "
+                    "applied)"
+                )
+            time.sleep(poll_sec)
+
+    def wait_for_rows(self, n_rows: int, timeout_sec: float = 60.0) -> None:
+        """Block until the batches applied by this process cover at least
+        ``n_rows`` feed events."""
+        self.wait_for(
+            lambda lns: sum(int(x.get("rows", 0)) for x in lns) >= n_rows,
+            timeout_sec=timeout_sec,
+        )
+
+    def stop(self) -> list[dict]:
+        """Stop the query (the in-flight micro-batch finishes or aborts;
+        either way the checkpoint + lineage guard make the restart
+        exactly-once) and return the applied lineages."""
+        exc = self._q.exception()
+        self._q.stop()
+        self._q.awaitTermination()
+        if exc is not None:
+            raise exc
+        return list(self._applied)
+
+
+def run_continuous(
+    spark: SparkSession,
+    feed_dir: str,
+    table: LakeTable,
+    feed_schema: T.StructType | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
+    trigger_interval: str = "500 milliseconds",
+    stall_timeout_sec: float | None = None,
+    filter_watermark: bool = True,
+    quarantine_rules: list | None = None,
+    quarantine_path: str | None = None,
+    error_limits=None,
+    transform=None,
+    **applier_opts,
+) -> ContinuousTail:
+    """Tail the feed directory CONTINUOUSLY — the live binlog/WAL shape.
+
+    Unlike :func:`run_available_now` (bounded drain of what exists, then
+    stop), this keeps the query up on a ``processingTime`` trigger: files
+    appended to ``feed_dir`` after the start are picked up in mtime order
+    and applied as they land, until :meth:`ContinuousTail.stop`.  Shares
+    the drain's entire apply path — rate caps, quarantine, transformer
+    hook, per-shard watermark filter, exactly-once lineage — and the same
+    checkpoint namespace, so a deployment can freely alternate bounded
+    catch-up drains with live tailing on the same table.
+
+    The byte/row rate caps are converted to a files-per-trigger count
+    from the files present AT START (parquet footers); for a feed whose
+    file-size mix drifts over a long tail, restart the tail periodically
+    (cheap — checkpoint resume) or pass ``max_files_per_trigger``
+    directly."""
+    stream, checkpoint_dir, handle, applied, activity = _build_tail(
+        spark, feed_dir, table, feed_schema, checkpoint_dir,
+        max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
+        filter_watermark, quarantine_rules, quarantine_path, error_limits,
+        transform, applier_opts,
+    )
     q = (
         stream.writeStream.foreachBatch(handle)
-        .trigger(availableNow=True)
+        .trigger(processingTime=trigger_interval)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
-    deadline = time.monotonic() + timeout_sec
-    poll = 1.0 if stall_timeout_sec is None else min(1.0, stall_timeout_sec / 4)
-    while not q.awaitTermination(poll):
-        now = time.monotonic()
-        if now > deadline:
-            q.stop()
-            raise TimeoutError(f"stream did not drain within {timeout_sec}s")
-        if (
-            stall_timeout_sec is not None
-            and now - activity["t"] > stall_timeout_sec
-        ):
-            q.stop()
-            raise TimeoutError(
-                f"stream made no progress for {stall_timeout_sec}s "
-                f"(hung-task watchdog; {len(applied)} batches applied)"
-            )
-    if q.exception() is not None:
-        raise q.exception()
-    return applied
+    return ContinuousTail(q, applied, activity, stall_timeout_sec)

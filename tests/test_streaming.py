@@ -212,3 +212,102 @@ def test_stall_watchdog_fires_on_hung_batch(spark, tmp_path):
         spark, feed_path, t2, max_files_per_trigger=2, stall_timeout_sec=120
     )
     assert sum(l["rows"] for l in applied) == N
+
+
+def _split_feed(spark, tmp_path, n_files=6):
+    """Full feed staged as lsn-ordered files; returns (staging, live, parts)
+    where ``live`` starts EMPTY and parts are copied in as the tail runs."""
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    feed = fixtures.change_events(spark, N, n_keys=400, seed=42)
+    write_feed_ordered(feed, staging, n_files=n_files)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    return staging, live, parts
+
+
+def _copy_parts(staging, live, parts, mtime_base):
+    import shutil
+
+    for i, fn in enumerate(parts):
+        dst = os.path.join(live, fn)
+        shutil.copy(os.path.join(staging, fn), dst)
+        os.utime(dst, (mtime_base + i, mtime_base + i))
+
+
+def test_continuous_tail_applies_late_files(spark, tmp_path):
+    """run_continuous keeps applying files that land AFTER the query
+    started — the live binlog-tail shape run_available_now cannot cover."""
+    import time as _time
+
+    from datax_spark.streaming.runner import run_continuous
+
+    staging, live, parts = _split_feed(spark, tmp_path, n_files=6)
+    schema = spark.read.parquet(staging).schema
+    now = int(_time.time())
+    _copy_parts(staging, live, parts[:3], now - 100)
+    first_rows = sum(
+        spark.read.parquet(os.path.join(staging, f)).count()
+        for f in parts[:3]
+    )
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    tail = run_continuous(
+        spark, live, t, feed_schema=schema, stall_timeout_sec=120
+    )
+    try:
+        tail.wait_for_rows(first_rows, timeout_sec=120)
+        # late arrivals: the rest of the log lands while the query is live
+        _copy_parts(staging, live, parts[3:], now)
+        tail.wait_for_rows(N, timeout_sec=120)
+    finally:
+        applied = tail.stop()
+    assert sum(l["rows"] for l in applied) == N
+    assert not tail.is_active
+    _parity(t, live)
+
+
+def test_continuous_tail_stop_resume_exactly_once(spark, tmp_path):
+    """Stopping the tail and restarting on the same checkpoint resumes
+    without double-applying; files added while DOWN are picked up."""
+    import time as _time
+
+    from datax_spark.streaming.runner import run_continuous
+
+    staging, live, parts = _split_feed(spark, tmp_path, n_files=6)
+    schema = spark.read.parquet(staging).schema
+    now = int(_time.time())
+    _copy_parts(staging, live, parts[:4], now - 100)
+    first_rows = sum(
+        spark.read.parquet(os.path.join(staging, f)).count()
+        for f in parts[:4]
+    )
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    tail = run_continuous(
+        spark, live, t, feed_schema=schema, checkpoint_dir=ckpt,
+        stall_timeout_sec=120,
+    )
+    tail.wait_for_rows(first_rows, timeout_sec=120)
+    a1 = tail.stop()
+    v = t.current_version()
+
+    _copy_parts(staging, live, parts[4:], now)  # lands while the tail is down
+    tail2 = run_continuous(
+        spark, live, t, feed_schema=schema, checkpoint_dir=ckpt,
+        stall_timeout_sec=120,
+    )
+    try:
+        tail2.wait_for_rows(N - first_rows, timeout_sec=120)
+    finally:
+        a2 = tail2.stop()
+    # resume applied ONLY the new files: no replayed batch ids, no
+    # re-application of already-committed rows
+    assert sum(l["rows"] for l in a1) == first_rows
+    assert sum(l["rows"] for l in a2) == N - first_rows
+    assert {l["batch_id"] for l in a1}.isdisjoint(
+        {l["batch_id"] for l in a2}
+    )
+    assert t.current_version() > v
+    _parity(t, live)
