@@ -603,6 +603,66 @@ def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_stream_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fold through the LIVE tail (streaming/runner.run_continuous —
+    processingTime trigger): half the ordered feed is present when the
+    query starts; the other half lands in the directory WHILE IT RUNS and
+    is applied by the same exactly-once foreachBatch path.  The long-
+    running binlog-subscription shape the bounded drain cannot cover;
+    final state must equal the one-shot SQL fold."""
+    import shutil
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    from datax_spark.streaming.runner import run_continuous, write_feed_ordered
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    work = tempfile.mkdtemp(prefix="dx_tail_")
+    staging = os.path.join(work, "staging")
+    write_feed_ordered(feed, staging, n_files=8)
+    live = os.path.join(work, "feed")
+    os.makedirs(live)
+    parts = sorted(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    rows_of = {
+        fn: _pq.ParquetFile(os.path.join(staging, fn)).metadata.num_rows
+        for fn in parts
+    }  # driver-side footer reads — no Spark jobs
+
+    def land(names: list[str], base: int) -> None:
+        for i, fn in enumerate(names):
+            dst = os.path.join(live, fn)
+            shutil.copy(os.path.join(staging, fn), dst)
+            os.utime(dst, (base + i, base + i))  # preserve LSN-order mtimes
+
+    now = int(_time.time())
+    land(parts[:4], now - 100)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(work, "table"), schema=schema,
+        key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+    )
+    tail = run_continuous(
+        spark, live, table, trigger_interval="250 milliseconds",
+        stall_timeout_sec=240,
+    )
+    try:
+        tail.wait_for_rows(sum(rows_of[f] for f in parts[:4]),
+                           timeout_sec=240)
+        land(parts[4:], now)  # late arrivals against the live query
+        tail.wait_for_rows(sum(rows_of.values()), timeout_sec=240)
+    finally:
+        tail.stop()
+    return table.read().select("user_id", "event_type", "value_cents", "props")
+
+
 _CDC_FOLD_ORACLE = """
 WITH ranked AS (
   SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
@@ -2171,6 +2231,8 @@ JOIN live ea ON ea.user_id = f.user_id AND ea.lsn = f.l_any
 LEFT JOIN live ef ON ef.user_id = f.user_id AND ef.lsn = f.l_full
 """,
     "cdc_stream_available_now": _CDC_FOLD_ORACLE,
+    # live tail (files landing mid-query) == bounded drain == direct apply
+    "cdc_stream_continuous": _CDC_FOLD_ORACLE,
     # relay through the commit log == direct apply (same fold)
     "cdc_mirror_relay": _CDC_FOLD_ORACLE,
     # stage→audit→publish == direct apply (same fold)
@@ -3123,7 +3185,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
-    "cdc_shard_lineage": q_cdc_shard_lineage,
+    "cdc_stream_continuous": q_cdc_stream_continuous,
     "skew_salted_agg": q_skew_salted_agg,
     "asof_purchase_attrib": q_asof_purchase_attrib,
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
@@ -3156,6 +3218,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "cdc_shard_lineage": q_cdc_shard_lineage,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_op_mix": q_cdc_op_mix,
