@@ -68,7 +68,7 @@ class MergeSpec:
 
 @dataclass
 class RunSpec:
-    kind: str = "incremental"  # full | incremental | stream
+    kind: str = "incremental"  # full | incremental | stream | tail
     batch_lsns: int = 100_000
     max_files_per_trigger: int | None = None
     # stream-only rate/health knobs (Channel.java byte cap;
@@ -79,6 +79,13 @@ class RunSpec:
     # footer row counts, see streaming.runner.files_per_trigger_for_rows
     max_rows_per_trigger: int | None = None
     stall_timeout_sec: float | None = None
+    # tail-only bounds: a "tail" job runs the LIVE continuous tail
+    # (streaming/runner.run_continuous — files applied as they land) until
+    # either bound trips, then stops cleanly; the checkpoint makes the next
+    # invocation resume exactly-once.  At least one must be set.
+    tail_duration_sec: float | None = None
+    tail_idle_stop_sec: float | None = None
+    tail_trigger: str = "500 milliseconds"
 
 
 @dataclass
@@ -166,7 +173,7 @@ class JobSpec:
         except Exception as e:  # unreadable source
             return problems + [f"source unreadable: {e}"]
         cols = set(df.columns)
-        if self.run.kind in ("incremental", "stream"):
+        if self.run.kind in ("incremental", "stream", "tail"):
             for c in ENVELOPE_COLS:
                 if c not in cols:
                     problems.append(f"feed missing envelope column: {c}")
@@ -175,8 +182,16 @@ class JobSpec:
                 problems.append(f"feed missing key column: {k}")
         if self.merge.mode not in ("mor", "cow"):
             problems.append(f"unknown merge mode: {self.merge.mode}")
-        if self.run.kind not in ("full", "incremental", "stream"):
+        if self.run.kind not in ("full", "incremental", "stream", "tail"):
             problems.append(f"unknown run kind: {self.run.kind}")
+        if self.run.kind == "tail" and (
+            self.run.tail_duration_sec is None
+            and self.run.tail_idle_stop_sec is None
+        ):
+            problems.append(
+                "tail runs need run.tail_duration_sec or "
+                "run.tail_idle_stop_sec (else the job never returns)"
+            )
         bucket = self.target.bucket_col or self.target.key_cols[0]
         if bucket not in cols:
             problems.append(f"bucket column missing from feed: {bucket}")
@@ -289,8 +304,11 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
         summary["bytes"] = int(sum(l["bytes"] for l in lineages))
-    elif spec.run.kind == "stream":
-        from datax_spark.streaming.runner import run_available_now
+    elif spec.run.kind in ("stream", "tail"):
+        from datax_spark.streaming.runner import (
+            run_available_now,
+            run_continuous,
+        )
 
         # forward the full spec exactly like the incremental branch does:
         # merge options via applier_opts, error limits + quarantine rules —
@@ -300,8 +318,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             or spec.error_limit.percentage is not None
             or spec.quarantine_path
         )
-        lineages = run_available_now(
-            spark, spec.source.path, table,
+        shared = dict(
             max_files_per_trigger=spec.run.max_files_per_trigger,
             max_bytes_per_trigger=spec.run.max_bytes_per_trigger,
             max_rows_per_trigger=spec.run.max_rows_per_trigger,
@@ -323,6 +340,21 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             partial_update=spec.merge.partial_update,
             bucket_deltas=spec.merge.bucket_deltas,
         )
+        if spec.run.kind == "stream":
+            lineages = run_available_now(spark, spec.source.path, table,
+                                         **shared)
+        else:
+            # live tail, bounded by duration and/or idle-stop (pre_check
+            # enforces at least one); the shared checkpoint makes the next
+            # invocation — tail or drain — resume exactly-once
+            tail = run_continuous(
+                spark, spec.source.path, table,
+                trigger_interval=spec.run.tail_trigger, **shared,
+            )
+            lineages = tail.run_until(
+                duration_sec=spec.run.tail_duration_sec,
+                idle_stop_sec=spec.run.tail_idle_stop_sec,
+            )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
         summary["bytes"] = int(sum(l["bytes"] for l in lineages))

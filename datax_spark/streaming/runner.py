@@ -283,6 +283,39 @@ class ContinuousTail:
     def applied_rows(self) -> int:
         return sum(int(ln.get("rows", 0)) for ln in self._applied)
 
+    def idle_seconds(self) -> float:
+        """Seconds since the last batch completed (or since start)."""
+        return time.monotonic() - self._activity["t"]
+
+    def run_until(self, duration_sec: float | None = None,
+                  idle_stop_sec: float | None = None,
+                  poll_sec: float = 0.25) -> list[dict]:
+        """Block until ``duration_sec`` elapses or no batch has completed
+        for ``idle_stop_sec`` (whichever first; at least one required),
+        then stop and return the applied lineages — the bounded-daemon
+        shape a CLI job needs from a live tail."""
+        if duration_sec is None and idle_stop_sec is None:
+            raise ValueError("run_until needs duration_sec or idle_stop_sec")
+        deadline = (None if duration_sec is None
+                    else time.monotonic() + duration_sec)
+        while True:
+            self._check()
+            now = time.monotonic()
+            if deadline is not None and now >= deadline:
+                break
+            if idle_stop_sec is not None and self.idle_seconds() >= idle_stop_sec:
+                break
+            if (self._stall is not None
+                    and self.idle_seconds() > self._stall):
+                self._q.stop()
+                raise TimeoutError(
+                    f"stream made no progress for {self._stall}s "
+                    f"(hung-task watchdog; {len(self._applied)} batches "
+                    "applied)"
+                )
+            time.sleep(poll_sec)
+        return self.stop()
+
     def _check(self) -> None:
         if self._q.exception() is not None:
             raise self._q.exception()

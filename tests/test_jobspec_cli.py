@@ -149,6 +149,43 @@ def test_stream_kind_from_spec(spark, tmp_path):
     for k, e in expected.items():
         assert got[k] == e["sha256"]
 
+
+def test_tail_kind_from_spec(spark, tmp_path):
+    """run.kind='tail' drives the LIVE continuous tail bounded by
+    idle-stop; a rerun resumes from the checkpoint and applies nothing."""
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1500, n_keys=300, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    d = _spec_dict(tmp_path, kind="tail")
+    spec = JobSpec.from_dict(d)
+    # unbounded tail refused at pre-check
+    assert any("tail_duration_sec" in p for p in spec.pre_check(spark))
+    d["run"]["tail_idle_stop_sec"] = 3
+    d["run"]["tail_trigger"] = "250 milliseconds"
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1500
+    # exactly-once rerun: checkpoint resume, nothing new to apply
+    summary2 = run_job(spark, JobSpec.from_dict(d))
+    assert summary2["batches"] == 0 and summary2["rows"] == 0
+    expected = fixtures.expected_state(str(tmp_path / "feed"))
+    from pyspark.sql import functions as FF
+
+    from datax_spark.lake.table import LakeTable
+    t = LakeTable(spark, spec.target.location)
+    got = {
+        (r.repo, r.path, r.commit): r.sha
+        for r in t.read().select(
+            "repo", "path", "commit",
+            FF.sha2(FF.coalesce("content", F.lit("")), 256).alias("sha"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, e in expected.items():
+        assert got[k] == e["sha256"]
+
 # ----------------------------------------------- pre/post SQL + hook SPI
 def test_job_pre_post_sql_views(spark, tmp_path):
     fixtures.change_events(spark, 1000, n_keys=200, seed=42) \
