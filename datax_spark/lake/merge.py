@@ -312,16 +312,64 @@ def merge_into(
         )
 
         bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
+        keep_map: dict[str, list] = {}
         if known_buckets is not None:
             # caller-supplied bucket ids (e.g. aggview refresh already
-            # aggregated them) — skips the planning collect job
+            # aggregated them) — skips the planning collect job (and the
+            # file-granularity pass: those callers' tables hold one file
+            # per bucket, so there is nothing to keep)
             touched = [int(b) for b in known_buckets]
         else:
-            touched = [
-                r[0]
-                for r in batch.select(bexpr.alias("b")).distinct().collect()
-            ]
-        current = table.read(buckets=touched)  # bucket-pruned scan
+            # ONE planning job yields the touched buckets AND the batch's
+            # per-key-column bounding box — the input to FILE-GRANULARITY
+            # rewriting: within a touched bucket, a base file whose zone
+            # maps prove it holds no row inside the box cannot contain any
+            # batch key, so its rows would survive the anti-join verbatim —
+            # keep the file AS IS (its manifest entry re-registers
+            # unchanged) instead of rewriting it.  On a sort/z-order
+            # clustered table this turns COW write amplification from
+            # O(touched buckets) into O(files overlapping the batch's key
+            # range) — the Iceberg copy-on-write file-scoping analogue.
+            aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
+            for i, c in enumerate(key_cols):
+                aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+                aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+                aggs.append(
+                    F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}")
+                )
+            head = batch.agg(*aggs).first()
+            touched = [int(b) for b in head["__bs"]]
+            if touched and all(
+                head[f"__nn_{i}"] == 0 for i in range(len(key_cols))
+            ):
+                # NULL-free batch keys: every batch key lies inside the
+                # per-column box, so interval disjointness disproves
+                # membership (min/max ignore NULLs, so a NULL-keyed batch
+                # would escape the box — skip the pass entirely then)
+                preds = []
+                for i, c in enumerate(key_cols):
+                    preds.append((c, ">=", head[f"__lo_{i}"]))
+                    preds.append((c, "<=", head[f"__hi_{i}"]))
+                keep_map = _cow_keepable_files(base, touched, preds)
+        if keep_map:
+            # scan only the files being rewritten: a synthetic manifest
+            # carrying the touched buckets minus the kept entries (the
+            # same preview hook WAP uses)
+            kept_paths = {
+                e[0] for es in keep_map.values() for e in es
+            }
+            sub_files = {
+                str(b): [
+                    e for e in base.files.get(str(b), [])
+                    if e[0] not in kept_paths
+                ]
+                for b in touched
+                if base.files.get(str(b))
+            }
+            sub = Manifest(**{**base.__dict__, "files": sub_files})
+            current = table.read(_manifest=sub)
+        else:
+            current = table.read(buckets=touched)  # bucket-pruned scan
         # cast current state up to the evolved schema (column-add → null)
         have = set(current.columns)
         current = current.select(
@@ -363,6 +411,11 @@ def merge_into(
             frag = table._stage_write(new_state, staged_base, files_per_bucket)
         finally:
             batch.unpersist()
+        # kept (disjoint-by-zone-map) files re-register verbatim: same
+        # path, schema id, stats — the commit below replaces the whole
+        # bucket, and these entries ride in as part of its new file list
+        for b, kept in keep_map.items():
+            frag.setdefault(b, []).extend(list(e) for e in kept)
 
         lineage = _resolve_lineage(lineage)
         if lineage is not None:
@@ -378,6 +431,40 @@ def merge_into(
     finally:
         if fold_cache is not None:
             fold_cache.unpersist()
+
+
+def _cow_keepable_files(
+    base: Manifest, touched: list[int], preds: list[tuple],
+) -> dict[str, list]:
+    """Per touched bucket, the base-file entries whose zone maps prove
+    they hold NO row inside the batch's key bounding box — safe to carry
+    into the rewritten bucket unchanged.  Driver-side manifest arithmetic,
+    zero Spark jobs.
+
+    A bucket holding ANY non-base entry (delta / pdelta / dv) keeps
+    nothing: a kept base file's keys could have newer versions in a delta
+    (folded into the rewritten files → duplicate key rows across base
+    files) or masked positions in a dv (dropped dv entry → resurrected
+    rows), so those buckets take the whole-bucket rewrite.  Files without
+    stats can't be disproven and rewrite too (`_file_may_match` is
+    conservative: cross-type compares after a schema widen keep the
+    file)."""
+    from datax_spark.lake.table import _file_may_match
+
+    keep: dict[str, list] = {}
+    for b in touched:
+        entries = base.files.get(str(b), [])
+        if len(entries) < 2:
+            continue  # nothing to scope: 0/1-file buckets rewrite as-is
+        if any((e[2] if len(e) > 2 else "base") != "base" for e in entries):
+            continue
+        kept = [
+            e for e in entries
+            if len(e) > 5 and e[5] and not _file_may_match(e[5], preds)
+        ]
+        if kept:
+            keep[str(b)] = kept
+    return keep
 
 
 def _fold_partial_batch(

@@ -276,3 +276,68 @@ def test_update_where_column_predicate(spark, tmp_path):
     assert n == 1
     assert {r.repo: r.lang for r in t.read().collect()} == {
         "a": "py", "b": "long"}
+
+
+def _cow_cluster_table(spark, tmp_path):
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "fc"), schema, ["k"], bucket_col="k",
+        num_buckets=1,
+    )
+    rows = [(i, f"v{i}") for i in range(1000)]
+    t.overwrite(spark.createDataFrame(rows, schema))
+    # sort-clustered layout: 4 files covering narrow disjoint k ranges
+    t.compact(sort_cols=["k"], files_per_bucket=4)
+    return t, dict(rows)
+
+
+def test_cow_merge_keeps_disjoint_files(spark, tmp_path):
+    """File-granularity COW: a batch confined to one end of a k-clustered
+    bucket rewrites only the overlapping file(s); the others' manifest
+    entries carry over VERBATIM (same path), and state stays exact."""
+    t, expect = _cow_cluster_table(spark, tmp_path)
+    before = {e[0] for es in t.manifest().files.values() for e in es}
+    assert len(before) == 4
+    batch = spark.createDataFrame(
+        [(i, f"new{i}", "insert", 1) for i in range(40)]
+        + [(5, None, "delete", 2)],
+        "k long, v string, op string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn", mode="cow")
+    after = {e[0] for es in t.manifest().files.values() for e in es}
+    kept = before & after
+    assert len(kept) == 3  # only the low-range file was rewritten
+    for i in range(40):
+        expect[i] = f"new{i}"
+    del expect[5]
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == expect
+
+
+def test_cow_keep_pass_skips_delta_and_null_batches(spark, tmp_path):
+    """Buckets holding MOR deltas — and batches with NULL keys — take the
+    whole-bucket rewrite (keeping a base file beside deltas could
+    duplicate keys; NULL keys escape the bounding box)."""
+    t, expect = _cow_cluster_table(spark, tmp_path)
+    # introduce a delta layer into the (single) bucket
+    merge_into(
+        t,
+        spark.createDataFrame([(999, "d999", "insert", 10)],
+                              "k long, v string, op string, lsn long"),
+        op_col="op", order_col="lsn", mode="mor",
+    )
+    before = {e[0] for es in t.manifest().files.values() for e in es}
+    merge_into(
+        t,
+        spark.createDataFrame([(0, "z0", "insert", 11)],
+                              "k long, v string, op string, lsn long"),
+        op_col="op", order_col="lsn", mode="cow",
+    )
+    after = {e[0] for es in t.manifest().files.values() for e in es}
+    assert not (before & after)  # delta-bearing bucket: full rewrite
+    expect[999] = "d999"
+    expect[0] = "z0"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == expect
