@@ -120,6 +120,52 @@ def q_cdc_merge_apply_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_merge_cow_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-SCOPED copy-on-write (lake/merge.py _cow_keepable_files): an
+    orders base sort-clustered into narrow-range files, then a COW merge
+    whose batch touches only the LOW end of the key space — files whose
+    zone maps are disjoint from the batch's key bounding box must carry
+    over verbatim (asserted non-vacuously: at least one entry path
+    survives the merge) while the final state equals the SQL fold of the
+    same update/delete set."""
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="dx_cowf_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("prio", T.StringType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["k"], bucket_col="k",
+        num_buckets=2,
+    )
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        _cents("o_totalprice").alias("total_cents"),
+    )
+    table.overwrite(base)
+    table.compact(sort_cols=["k"], files_per_bucket=4)
+    before = {e[0] for es in table.manifest().files.values() for e in es}
+    cut = int(base.agg(F.max("k")).collect()[0][0]) // 8
+    batch = base.filter((F.col("k") <= cut) & (F.col("k") % 4 == 0)).select(
+        "k", "prio",
+        (F.col("total_cents") + 777).alias("total_cents"),
+        F.when(F.col("k") % 20 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+        F.col("k").alias("lsn"),
+    )
+    merge_into(table, batch, op_col="op", order_col="lsn", mode="cow",
+               keys_unique=True)
+    after = {e[0] for es in table.manifest().files.values() for e in es}
+    # the scoping must actually fire here — high-range files carry over
+    assert before & after, "file-scoped COW kept no files on a clustered table"
+    return table.read().select("k", "prio", "total_cents")
+
+
 def q_cdc_changelog_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog with BEFORE images (Iceberg changelog-view / Debezium
     envelope): per commit, net changes classified against the prior
@@ -2150,6 +2196,20 @@ FROM seq WHERE is_del AND p_del = false
 
 _ORACLES: dict[str, str] = {
     "cdc_merge_apply_e2e": _CDC_FOLD_ORACLE,
+    # file-scoped COW: the same update(+777 on k%4==0)/delete(k%20==0)
+    # set over the low eighth of the key space, replayed in SQL
+    "cdc_merge_cow_clustered": """
+WITH base AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice*100) AS BIGINT) AS total_cents
+  FROM orders),
+lim AS (SELECT CAST(max(k) // 8 AS BIGINT) AS cut FROM base)
+SELECT k, prio,
+       CASE WHEN k <= cut AND k % 4 = 0 THEN total_cents + 777
+            ELSE total_cents END AS total_cents
+FROM base CROSS JOIN lim
+WHERE NOT (k <= cut AND k % 20 = 0)
+""",
     # the SQL fold + the same row-level mutations delete_where/update_where
     # applied (order matters only for rows hit by both — none here, the
     # predicates are disjoint event_types)
@@ -3186,7 +3246,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
     "cdc_stream_continuous": q_cdc_stream_continuous,
-    "skew_salted_agg": q_skew_salted_agg,
+    "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
     "asof_purchase_attrib": q_asof_purchase_attrib,
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
@@ -3218,6 +3278,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
