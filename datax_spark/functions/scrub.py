@@ -139,3 +139,56 @@ def repetition_features(
         ).cast("long").alias("n_bigrams"),
     )
     return base.drop("__bg").join(tops, id_col)
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_id_col: str | None = None,
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: for every corpus document sharing at
+    least ``min_shared`` distinct word n-grams with some eval-set document,
+    one row ``(id, eval_id, shared_shingles, n_shingles)`` — the standard
+    pre-training hygiene pass (n-gram-overlap decontamination against held-
+    out benchmarks, as published for GPT-3 §4 / PaLM app. / Llama-2; public
+    literature).  ``shared_shingles / n_shingles`` is the caller's
+    contamination ratio; exact integers keep the result hash-stable across
+    engines.
+
+    Scale shape: the EVAL side (benchmarks are small — thousands of docs)
+    is collected to distinct hashed shingles and BROADCAST; the corpus side
+    shingles stream through a broadcast hash join without ever shuffling
+    the text, and only matching (corpus_id, eval_id, shingle) rows reach
+    the count aggregation — O(corpus shingles) map-side work plus a
+    shuffle of the hit subset.  No all-pairs, no hub-key skew (a shingle's
+    join group is bounded by the eval set's size)."""
+    from datax_spark.functions import dedup as DD
+
+    eval_id = eval_id_col or id_col
+    ev = (
+        DD.shingle_sets(eval_df, eval_id, text_col, n, hashed=True)
+        .select(F.col(eval_id).alias("__eval_id"), "shingle")
+        .distinct()
+    )
+    cs = DD.shingle_sets(corpus, id_col, text_col, n, hashed=True)
+    # shingle rows are distinct per (doc, shingle) on both sides, so the
+    # per-pair row count IS the distinct shared-shingle count
+    return (
+        cs.join(F.broadcast(ev), "shingle")
+        .groupBy(F.col(id_col), F.col("__eval_id"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_shingles"),
+            F.max("n_shingles").cast("long").alias("n_shingles"),
+        )
+        .filter(F.col("shared_shingles") >= min_shared)
+        .select(
+            id_col,
+            F.col("__eval_id").alias("eval_id"),
+            "shared_shingles",
+            "n_shingles",
+        )
+    )

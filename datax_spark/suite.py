@@ -1923,6 +1923,21 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination hygiene pass (functions/scrub.py
+    contamination_report): every corpus document sharing ≥5 distinct
+    3-word shingles with the synthetic "eval set" (docs with
+    doc_id % 37 == 0), with the shared count and the doc's shingle count.
+    Eval shingles broadcast; the corpus side never shuffles its text."""
+    from datax_spark.functions.scrub import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(
+        docs, docs.filter(F.col("doc_id") % 37 == 0),
+        "doc_id", "text", n=3, min_shared=5,
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition-quality signals: duplicate word mass and the
     most-frequent-2-gram share, reported as exact integer numerators /
@@ -2740,6 +2755,21 @@ GROUP BY c_nationkey
 SELECT min(doc_id) AS doc_id, md5(text) AS text_hash, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
+    # contamination: distinct shared 3-shingles per (corpus doc, eval doc)
+    # with the corpus doc's full shingle count; eval set = doc_id % 37 == 0
+    "text_contamination": f"""
+WITH {_DOC_SHINGLES_3},
+ev AS (SELECT DISTINCT doc_id AS eval_id, shingle FROM sh
+       WHERE doc_id % 37 = 0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+hits AS (SELECT s.doc_id, e.eval_id, count(*) AS sh_n
+         FROM sh s JOIN ev e USING (shingle) GROUP BY 1, 2)
+SELECT h.doc_id, h.eval_id,
+       CAST(h.sh_n AS BIGINT) AS shared_shingles,
+       CAST(c.n AS BIGINT) AS n_shingles
+FROM hits h JOIN cnt c ON c.doc_id = h.doc_id
+WHERE h.sh_n >= 5
+""",
     "dedup_ngram_jaccard": f"""
 WITH {_DOC_SHINGLES_3},
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -3257,7 +3287,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25_topk": q_text_bm25_topk,
     "embed_quantize": q_embed_quantize,
     "text_pii_scrub": q_text_pii_scrub,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_contamination": q_text_contamination,
     "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
     "text_repetition": q_text_repetition,
     "text_token_stats": q_text_token_stats,
@@ -3280,6 +3310,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,
     "cdc_op_mix": q_cdc_op_mix,

@@ -89,3 +89,29 @@ def test_normalize_text_arrow_not_row_udf(spark):
         normalize_text("t").alias("n")
     )
     checks.assert_no_python_row_udf(df)  # ArrowEvalPython is sanctioned
+
+
+def test_contamination_report_counts_shared_shingles(spark):
+    from datax_spark.functions.scrub import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines here"),
+            (3, "quick brown fox jumps high"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox jumps away")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.eval_id): (r.shared_shingles, r.n_shingles)
+        for r in contamination_report(
+            corpus, ev, "doc_id", "text", n=3, min_shared=1
+        ).collect()
+    }
+    # eval 3-shingles: {a quick brown, quick brown fox, brown fox jumps,
+    # fox jumps away}; doc1 shares 2 ("quick brown fox", "brown fox jumps")
+    # of its 7; doc3 shares the same 2 of its 3; doc2 shares none
+    assert out == {(1, 100): (2, 7), (3, 100): (2, 3)}
