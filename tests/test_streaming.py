@@ -311,3 +311,40 @@ def test_continuous_tail_stop_resume_exactly_once(spark, tmp_path):
     )
     assert t.current_version() > v
     _parity(t, live)
+
+
+def test_continuous_tail_survives_concurrent_compaction(spark, tmp_path):
+    """Out-of-band maintenance racing the live tail: compaction commits
+    between micro-batches force the MOR merge's optimistic-concurrency
+    rebase (CommitConflict retry), and the folded state stays exact."""
+    import time as _time
+
+    from datax_spark.streaming.runner import run_continuous
+
+    staging, live, parts = _split_feed(spark, tmp_path, n_files=6)
+    schema = spark.read.parquet(staging).schema
+    now = int(_time.time())
+    _copy_parts(staging, live, parts[:2], now - 100)
+    rows_of = [
+        spark.read.parquet(os.path.join(staging, f)).count() for f in parts
+    ]
+    t = create_repo_table(spark, str(tmp_path / "t"), num_buckets=8)
+    tail = run_continuous(
+        spark, live, t, feed_schema=schema, stall_timeout_sec=120,
+        auto_compact=None,
+    )
+    try:
+        tail.wait_for_rows(sum(rows_of[:2]), timeout_sec=120)
+        t.compact()  # maintenance commit races the live applier
+        _copy_parts(staging, live, parts[2:4], now)
+        tail.wait_for_rows(sum(rows_of[:4]), timeout_sec=120)
+        t.compact()
+        _copy_parts(staging, live, parts[4:], now + 10)
+        tail.wait_for_rows(N, timeout_sec=120)
+    finally:
+        applied = tail.stop()
+    assert sum(l["rows"] for l in applied) == N
+    _parity(t, live)
+    # compaction commits interleave with the stream's merge commits
+    ops = [t.manifest(v).operation for v in range(1, t.current_version() + 1)]
+    assert ops.count("compact") == 2
