@@ -86,6 +86,11 @@ class RunSpec:
     tail_duration_sec: float | None = None
     tail_idle_stop_sec: float | None = None
     tail_trigger: str = "500 milliseconds"
+    # maintain declared agg_views INSIDE each micro-batch (the continuous-
+    # aggregate shape: rollups are fresh the moment a batch lands, not at
+    # job end); a refresh failure fails the batch loudly.  Off = views
+    # refresh once after the tail stops, like every other run kind.
+    tail_live_agg_views: bool = False
 
 
 @dataclass
@@ -347,9 +352,41 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             # live tail, bounded by duration and/or idle-stop (pre_check
             # enforces at least one); the shared checkpoint makes the next
             # invocation — tail or drain — resume exactly-once
+            on_batch = None
+            if spec.agg_views and spec.run.tail_live_agg_views:
+                # continuous aggregates: bootstrap absent views from the
+                # pre-tail snapshot, then fold every micro-batch's commit
+                # into them INSIDE the batch (watermark-guarded, so a
+                # replayed batch re-runs the refresh as a no-op)
+                from datax_spark.lake.aggview import (
+                    create_agg_view,
+                    refresh_agg_view,
+                )
+
+                live_views = []
+                for av in spec.agg_views:
+                    vloc = av["location"]
+                    if LakeTable.exists(vloc):
+                        live_views.append((LakeTable(spark, vloc), av))
+                    else:
+                        live_views.append((create_agg_view(
+                            table, vloc, dims=list(av["dims"]),
+                            sums=list(av.get("sums", [])),
+                            mins=list(av.get("mins", [])),
+                            maxs=list(av.get("maxs", [])),
+                        ), av))
+
+                def on_batch(_lineage):
+                    for v, av in live_views:
+                        refresh_agg_view(
+                            table, v,
+                            on_rewrite=av.get("on_rewrite", "error"),
+                        )
+
             tail = run_continuous(
                 spark, spec.source.path, table,
-                trigger_interval=spec.run.tail_trigger, **shared,
+                trigger_interval=spec.run.tail_trigger,
+                on_batch=on_batch, **shared,
             )
             lineages = tail.run_until(
                 duration_sec=spec.run.tail_duration_sec,

@@ -142,6 +142,7 @@ def run_available_now(
     quarantine_path: str | None = None,
     error_limits=None,
     transform=None,
+    on_batch=None,
     **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
@@ -170,7 +171,7 @@ def run_available_now(
         spark, feed_dir, table, feed_schema, checkpoint_dir,
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
-        transform, applier_opts,
+        transform, applier_opts, on_batch=on_batch,
     )
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -203,11 +204,13 @@ def _build_tail(
     spark, feed_dir, table, feed_schema, checkpoint_dir,
     max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
     filter_watermark, quarantine_rules, quarantine_path, error_limits,
-    transform, applier_opts,
+    transform, applier_opts, on_batch=None,
 ):
     """Shared setup for the bounded drain and the continuous tail: the
     rate-capped file-source reader plus the foreachBatch apply closure.
-    Returns ``(stream, checkpoint_dir, handle, applied, activity)``."""
+    ``on_batch(lineage)`` (same hook as run_incremental's) fires after
+    each APPLIED batch — e.g. live aggregate-view refresh.  Returns
+    ``(stream, checkpoint_dir, handle, applied, activity)``."""
     if feed_schema is None:
         feed_schema = spark.read.parquet(feed_dir).schema
     if checkpoint_dir is None:
@@ -252,6 +255,13 @@ def _build_tail(
         lineage = applier.apply_batch(batch_df, f"s{batch_id}")
         if lineage is not None:
             applied.append(lineage)
+            if on_batch is not None:
+                # inside the micro-batch, so a failure here fails the batch
+                # (and the query) loudly rather than silently lagging —
+                # and a restart replays the batch id as a no-op before
+                # re-running the hook (hooks must be idempotent, which a
+                # watermark-guarded view refresh is)
+                on_batch(lineage)
         activity["t"] = time.monotonic()  # a batch completed = progress
 
     return stream, checkpoint_dir, handle, applied, activity
@@ -304,7 +314,16 @@ class ContinuousTail:
             if deadline is not None and now >= deadline:
                 break
             if idle_stop_sec is not None and self.idle_seconds() >= idle_stop_sec:
-                break
+                # "idle" must mean CAUGHT UP, not slow to start: on a loaded
+                # host the first micro-batch can take longer than the idle
+                # bound, so only stop when the source also reports no data
+                # waiting and no trigger mid-flight (the stall watchdog
+                # still bounds true hangs)
+                st = self._q.status
+                if (self._q.lastProgress is not None
+                        and not st.get("isDataAvailable")
+                        and not st.get("isTriggerActive")):
+                    break
             if (self._stall is not None
                     and self.idle_seconds() > self._stall):
                 self._q.stop()
@@ -385,6 +404,7 @@ def run_continuous(
     quarantine_path: str | None = None,
     error_limits=None,
     transform=None,
+    on_batch=None,
     **applier_opts,
 ) -> ContinuousTail:
     """Tail the feed directory CONTINUOUSLY — the live binlog/WAL shape.
@@ -407,7 +427,7 @@ def run_continuous(
         spark, feed_dir, table, feed_schema, checkpoint_dir,
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
-        transform, applier_opts,
+        transform, applier_opts, on_batch=on_batch,
     )
     q = (
         stream.writeStream.foreachBatch(handle)

@@ -464,3 +464,46 @@ def test_session_respects_submitted_master(monkeypatch):
         MS.builder = fb
         assert S.get_session(cores=4) == "session"
     assert fb.master_called is False
+
+
+def test_tail_live_agg_views(spark, tmp_path):
+    """tail_live_agg_views folds every micro-batch into the declared
+    rollups INSIDE the batch — by the time the tail stops, the post-run
+    refresh has nothing left to do."""
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1500, n_keys=300, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    vloc = str(tmp_path / "vw")
+    d = _spec_dict(tmp_path, kind="tail")
+    d["run"]["tail_idle_stop_sec"] = 3
+    d["run"]["tail_trigger"] = "250 milliseconds"
+    d["run"]["max_files_per_trigger"] = 2  # force >= 2 micro-batches
+    d["run"]["tail_live_agg_views"] = True
+    d["agg_views"] = [{"location": vloc, "dims": ["lang"]}]
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1500 and summary["batches"] >= 2
+    # live refreshes left the watermark current: post-run refresh no-ops
+    assert summary["agg_views"][0].get("error") is None
+    assert summary["agg_views"][0]["applied"] is False
+    view = LakeTable(spark, vloc)
+    ops = [view.manifest(v).operation
+           for v in range(1, view.current_version() + 1)]
+    # bootstrap + at least one LIVE refresh commit (a refresh commits as
+    # merge-* incrementally or overwrite on recompute; a batch whose group
+    # deltas all net to zero advances only the watermark — no commit)
+    refreshes = sum(
+        op == "overwrite" or op.startswith("merge") for op in ops
+    )
+    assert refreshes >= 2
+    t = LakeTable(spark, spec.target.location)
+    expected = {
+        (r.lang,): r.n for r in
+        t.read().groupBy("lang").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {(r.lang,): r.n_rows for r in view.read().collect()}
+    assert got == expected
