@@ -164,6 +164,11 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "cdc_schema_evolution",
     "cdc_quarantine",
+    # round-3 final pass: live continuous tail, file-scoped COW on a
+    # clustered table, benchmark-contamination hygiene
+    "cdc_stream_continuous",
+    "cdc_merge_cow_clustered",
+    "text_contamination",
 ]
 
 
