@@ -421,6 +421,12 @@ def merge_into(
         if lineage is not None:
             lineage = dict(lineage)
             lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
+            if keep_map:
+                # observability for the file-scoped rewrite: how many
+                # entries the zone maps saved from rewriting this batch
+                lineage["cow_files_kept"] = sum(
+                    len(v) for v in keep_map.values()
+                )
         # empty file-list entries for touched-but-now-empty buckets still replace
         replaced = {str(b) for b in touched}
         return table._commit(

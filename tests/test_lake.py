@@ -341,3 +341,28 @@ def test_cow_keep_pass_skips_delta_and_null_batches(spark, tmp_path):
     expect[0] = "z0"
     got = {r.k: r.v for r in t.read().collect()}
     assert got == expect
+
+
+def test_vacuum_preserves_kept_cow_files(spark, tmp_path):
+    """After a file-scoped COW merge, vacuum removes the REWRITTEN files
+    but must keep the carried-over (still referenced) entries readable;
+    lineage records how many entries the zone maps saved."""
+    t, expect = _cow_cluster_table(spark, tmp_path)
+    before = {e[0] for es in t.manifest().files.values() for e in es}
+    batch = spark.createDataFrame(
+        [(i, f"new{i}", "insert", 1) for i in range(40)],
+        "k long, v string, op string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn", mode="cow",
+               lineage={"batch_id": "fc1", "rows": 40, "bytes": 0})
+    kept = before & {e[0] for es in t.manifest().files.values() for e in es}
+    assert len(kept) == 3
+    assert t.manifest().applied_batches["fc1"]["cow_files_kept"] == 3
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 1  # the replaced low-range file is reclaimed
+    for rel in kept:  # carried-over entries are live and still on disk
+        assert os.path.exists(os.path.join(t.location, rel))
+    for i in range(40):
+        expect[i] = f"new{i}"
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == expect
