@@ -659,11 +659,34 @@ def _merge_dv(
             if evolve_schema else base.schema
         )
         bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
-        touched = [
-            r[0] for r in batch.select(bexpr.alias("b")).distinct().collect()
-        ]
+        # ONE planning job: touched buckets + the batch's per-key-column
+        # bounding box.  The position scan only needs rows whose KEYS are
+        # in the batch, and every batch key lies inside the box — so base
+        # files whose zone maps are disjoint from it are skipped before
+        # they are opened (same soundness argument as the COW file
+        # scoping; the key join provides exactness).  On a sort/z-order
+        # clustered table the dv position scan reads O(files overlapping
+        # the batch key range), not O(touched buckets).
+        key_cols = base.key_cols
+        aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
+        for i, c in enumerate(key_cols):
+            aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+            aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
+        head = batch.agg(*aggs).first()
+        touched = [int(b) for b in head["__bs"]]
+        scan_preds = None
+        if touched and all(
+            head[f"__nn_{i}"] == 0 for i in range(len(key_cols))
+        ):
+            scan_preds = []
+            for i, c in enumerate(key_cols):
+                scan_preds.append((c, ">=", head[f"__lo_{i}"]))
+                scan_preds.append((c, "<=", head[f"__hi_{i}"]))
         frag: dict = {}
-        raw, _ = table._scan_raw(base, touched, expose_pos=True)
+        raw, _ = table._scan_raw(
+            base, touched, expose_pos=True, where=scan_preds
+        )
         if raw is not None:
             keys = batch.select(
                 *[F.col(c).alias(f"__k_{c}") for c in base.key_cols]
