@@ -546,10 +546,26 @@ def _fold_partial_batch(
     ).persist()
 
     bexpr = table.bucket_expr(base.bucket_col, base.num_buckets)
-    touched = [
-        r[0] for r in folded.select(bexpr.alias("b")).distinct().collect()
-    ]
-    current = table.read(buckets=touched)
+    # one planning job: touched buckets + the batch-key bounding box.  The
+    # patch only consumes CURRENT rows whose keys are in the batch (the
+    # broadcast key join below), so handing the box to read(where=) is
+    # residual-safe — it drops only rows the join would drop — and its
+    # zone-map file skipping makes the patch read O(files overlapping the
+    # batch key range) on a clustered table.
+    aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
+    for i, c in enumerate(key_cols):
+        aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+        aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+        aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
+    head = folded.agg(*aggs).first()
+    touched = [int(b) for b in head["__bs"]]
+    box = None
+    if touched and all(head[f"__nn_{i}"] == 0 for i in range(len(key_cols))):
+        box = []
+        for i, c in enumerate(key_cols):
+            box.append((c, ">=", head[f"__lo_{i}"]))
+            box.append((c, "<=", head[f"__hi_{i}"]))
+    current = table.read(buckets=touched, where=box)
     keys_b = F.broadcast(
         folded.select(*[F.col(c).alias(f"__k_{c}") for c in key_cols])
     )
