@@ -82,3 +82,56 @@ def test_engine_matches_fold_for_random_sequences(
     for k, v in expected.items():
         assert hashlib.sha256((got[k] or "").encode()).hexdigest() == \
             hashlib.sha256((v or "").encode()).hexdigest()
+
+@given(events=ops_strategy, batch_size=st.integers(1, 15))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+def test_cow_file_scoping_matches_fold_on_clustered_table(
+    spark, tmp_path_factory, events, batch_size
+):
+    """Random op sequences through COW merges over a table kept
+    sort-CLUSTERED between batches (multi-file buckets with narrow key
+    ranges — the regime where the file-scoped rewrite actually keeps
+    files).  String keys exercise the truncated string zone maps."""
+    from datax_spark.lake.merge import merge_into
+
+    tmp = tmp_path_factory.mktemp("propc")
+    # string keys, single bucket, several files per bucket: the keep pass
+    # decides purely on zone maps
+    table = LakeTable.create(
+        spark, str(tmp / "t"),
+        schema=T.StructType(
+            [T.StructField("k", T.StringType()),
+             T.StructField("v", T.StringType())]
+        ),
+        key_cols=["k"],
+        num_buckets=1,
+    )
+    # a wide pre-existing key space so most files are disjoint from the
+    # batch's box
+    base_rows = [(f"key{j:04d}", f"base{j}") for j in range(200)]
+    table.overwrite(spark.createDataFrame(base_rows, "k string, v string"))
+    table.compact(sort_cols=["k"], files_per_bucket=5)
+
+    state = dict(base_rows)
+    rows = [
+        (lsn, f"key{k:04d}", v, op)
+        for lsn, (op, k, v) in enumerate(events)
+    ]
+    for b in range(0, len(rows), batch_size):
+        chunk = rows[b:b + batch_size]
+        batch = spark.createDataFrame(
+            chunk, "lsn long, k string, v string, op string"
+        )
+        merge_into(table, batch, op_col="op", order_col="lsn", mode="cow")
+        for lsn, k, v, op in chunk:
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = v
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got == state
