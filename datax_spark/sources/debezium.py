@@ -116,6 +116,110 @@ def from_value_column(
     return normalize(parsed, payload, n_shards)
 
 
+# --------------------------------------------------------------- Maxwell
+# The other common MySQL-binlog JSON shape (Zendesk Maxwell; public wire
+# format).  Differences from Debezium that matter here:
+# - type: "insert"/"update"/"delete" (+ "bootstrap-insert" snapshot rows);
+# - "data" carries the FULL row for every type — deletes included — and
+#   "old" holds only the CHANGED columns' previous values (a partial
+#   before-image, not a full row);
+# - no LSN: ordering is (ts sec, xid, xoffset) — xid is the transaction
+#   id, xoffset the row's index within it.
+
+_MAXWELL_OPS = {
+    "insert": "insert",
+    "bootstrap-insert": "insert",
+    "update": "update",
+    "delete": "delete",
+}
+# lsn = ts·2^30 + (xid mod 2^20)·2^10 + (xoffset mod 2^10): strictly
+# ordered by commit second, then transaction, then row-within-transaction.
+_MAXWELL_TS_SHIFT = 1 << 30
+_MAXWELL_XID_SHIFT = 1 << 10
+_MAXWELL_XID_MOD = 1 << 20
+_MAXWELL_XOFF_MOD = 1 << 10
+
+
+def maxwell_schema(payload: T.StructType) -> T.StructType:
+    """The Maxwell value schema for a given payload row type."""
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("xid", T.LongType()),
+            T.StructField("xoffset", T.LongType()),
+            T.StructField("commit", T.BooleanType()),
+            T.StructField("data", payload),
+            T.StructField("old", payload),
+        ]
+    )
+
+
+def normalize_maxwell(
+    parsed: DataFrame, payload: T.StructType, n_shards: int = 8,
+    shard_key: str | None = None,
+) -> DataFrame:
+    """Maxwell struct frame → engine envelope.
+
+    ``lsn`` is synthesized from (ts, xid, xoffset) — see the bit split
+    above; same-second transactions order by xid, rows within a
+    transaction by xoffset, exactly Maxwell's emission order.  Rows with
+    unknown ``type`` (ddl, heartbeats) or no ``ts`` are dropped like the
+    Debezium path drops unknown ops.  ``data`` is the payload for every
+    type (Maxwell deletes carry the full old row there)."""
+    key0 = shard_key or payload.fields[0].name
+    op = F.lit(None).cast("string")
+    for k, v in _MAXWELL_OPS.items():
+        op = F.when(F.col("e.type") == k, F.lit(v)).otherwise(op)
+    row = F.col("e.data")
+    lsn = (
+        F.col("e.ts") * F.lit(_MAXWELL_TS_SHIFT)
+        + F.pmod(F.coalesce(F.col("e.xid"), F.lit(0)),
+                 F.lit(_MAXWELL_XID_MOD)) * F.lit(_MAXWELL_XID_SHIFT)
+        + F.pmod(F.coalesce(F.col("e.xoffset"), F.lit(0)),
+                 F.lit(_MAXWELL_XOFF_MOD))
+    )
+    out = parsed.select(
+        lsn.cast("long").alias("lsn"),
+        F.pmod(F.hash(row[key0]), F.lit(n_shards)).cast("int").alias("shard"),
+        F.timestamp_seconds(F.col("e.ts")).alias("ts"),
+        op.alias("op"),
+        *[row[f.name].alias(f.name) for f in payload.fields],
+    )
+    return out.filter(F.col("op").isNotNull() & F.col("lsn").isNotNull())
+
+
+def from_maxwell_json_lines(
+    spark: SparkSession, path: str, payload: T.StructType, n_shards: int = 8,
+    streaming: bool = False,
+) -> DataFrame:
+    """Read a Maxwell JSON-lines directory (batch or streaming) into the
+    engine envelope."""
+    schema = maxwell_schema(payload)
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(path).withColumnRenamed("value", "json")
+    parsed = raw.select(F.from_json("json", schema).alias("e")).filter(
+        F.col("e").isNotNull()
+    )
+    return normalize_maxwell(parsed, payload, n_shards)
+
+
+def from_maxwell_value_column(
+    df: DataFrame, payload: T.StructType, value_col: str = "value",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Normalize a Kafka-style ``value`` column carrying Maxwell JSON."""
+    schema = maxwell_schema(payload)
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("e")
+    ).filter(F.col("e").isNotNull())
+    return normalize_maxwell(parsed, payload, n_shards)
+
+
 # --------------------------------------------------------------- CDC OUT
 # The reverse direction: a LakeTable changelog serialized as Debezium JSON
 # values, so downstream consumers (Kafka producers, other engines, another

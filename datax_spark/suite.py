@@ -928,6 +928,62 @@ def q_cdc_debezium_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXWELL ENVELOPE NORMALIZATION (the other common MySQL-binlog JSON
+    shape; SURVEY §2.1 row 13), value-gated like the Debezium roundtrip:
+    each event serialized as a Maxwell change record (type insert/update/
+    delete/bootstrap-insert, full row in ``data`` for every type, ordering
+    carried by (ts, xid, xoffset) — no LSN on the wire) with ``to_json``,
+    then parsed back through ``sources.debezium.from_maxwell_value_column``.
+    The oracle recomputes the synthesized LSN's bit split and the op map
+    directly, so any parse/ordering bug breaks the hash."""
+    from datax_spark.sources import debezium as DBZ
+
+    ev = _t(spark, sf_dir, "events")
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    row = F.struct(
+        F.col("user_id"), F.col("event_type"),
+        _cents("value").alias("value_cents"), F.col("props"),
+    )
+    typ = (
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "purchase", F.lit("update"))
+        .when(F.pmod("event_id", F.lit(13)) == 0, F.lit("bootstrap-insert"))
+        .otherwise(F.lit("insert"))
+    )
+    ts_s = (F.unix_millis(F.col("ts").cast("timestamp"))
+            / F.lit(1000)).cast("long")
+    xid = F.floor(F.col("event_id") / F.lit(4)).cast("long")
+    xoff = F.pmod("event_id", F.lit(4)).cast("long")
+    value = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            typ.alias("type"),
+            ts_s.alias("ts"),
+            xid.alias("xid"),
+            xoff.alias("xoffset"),
+            (xoff == 3).alias("commit"),
+            row.alias("data"),
+            F.lit(None).cast(payload).alias("old"),
+        )
+    )
+    env = DBZ.from_maxwell_value_column(
+        ev.select(value.alias("value")), payload
+    )
+    return env.select(
+        "lsn", "op", "user_id", "event_type", "value_cents", "props",
+        (F.unix_millis("ts") / F.lit(1000)).cast("long").alias("ts_s"),
+    )
+
+
 def q_file_delimited_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIMITED READER SEMANTICS (SURVEY §2.1 row 8), value-gated: the
     events table is written as quoted CSV (nullFormat \\N, DataX writer
@@ -3207,6 +3263,21 @@ SELECT event_id AS lsn,
 FROM events
 """
 
+# The Maxwell roundtrip: op map (bootstrap-insert folds into insert) and
+# the synthesized LSN bit split ts·2^30 + (xid mod 2^20)·2^10 + xoffset.
+_ORACLES["cdc_maxwell_envelope"] = """
+SELECT CAST((epoch_ms(ts) // 1000) * 1073741824
+            + ((event_id // 4) % 1048576) * 1024
+            + (event_id % 4) AS BIGINT) AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type = 'purchase' THEN 'update'
+            ELSE 'insert' END AS op,
+       user_id, event_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents, props,
+       CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_s
+FROM events
+"""
+
 # The delimited roundtrip must reproduce the source rows exactly.
 _ORACLES["file_delimited_roundtrip"] = """
 SELECT event_id, user_id, event_type,
@@ -3268,6 +3339,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine_report": q_cdc_quarantine_report,
     "cdc_shard_skew_delivery": q_cdc_shard_skew_delivery,
     "cdc_debezium_envelope": q_cdc_debezium_envelope,
+    "cdc_maxwell_envelope": q_cdc_maxwell_envelope,
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_changelog_images": q_cdc_changelog_images,
@@ -3281,7 +3353,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
     "temporal_dim_join": q_temporal_dim_join,
-    "tx_replace": q_tx_replace,
     "split_quantile_pk": q_split_quantile_pk,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
     "text_bm25_topk": q_text_bm25_topk,
@@ -3310,6 +3381,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
+    "tx_replace": q_tx_replace,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "cdc_stream_available_now": q_cdc_stream_available_now,
     "cdc_dedup_last_per_key": q_cdc_dedup_last_per_key,

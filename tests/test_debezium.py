@@ -206,3 +206,56 @@ def test_emit_skips_rewrites_when_asked(spark, tmp_path):
     # resumable watermark advanced past the skipped commits
     res2 = DBZ.emit_table_changes(t, out, on_rewrite="skip")
     assert res2["emitted_versions"] == []
+
+
+def _maxwell(type_, ts, xid, xoff, data, old=None):
+    return json.dumps(
+        {
+            "database": "d", "table": "t", "type": type_, "ts": ts,
+            "xid": xid, "xoffset": xoff, "commit": xoff is None,
+            "data": data, "old": old,
+        }
+    )
+
+
+MAXWELL_EVENTS = [
+    _maxwell("bootstrap-insert", 1700000100, None, None, {"k": 1, "v": "snap1"}),
+    _maxwell("insert", 1700000101, 7, 0, {"k": 2, "v": "two"}),
+    # same transaction, two rows: xoffset orders them
+    _maxwell("update", 1700000102, 9, 0, {"k": 1, "v": "one-mid"}, {"v": "snap1"}),
+    _maxwell("update", 1700000102, 9, 1, {"k": 1, "v": "one-upd"}, {"v": "one-mid"}),
+    _maxwell("delete", 1700000103, 11, 0, {"k": 2, "v": "two"}),
+    _maxwell("table-create", 1700000104, None, None, None),  # ddl → dropped
+    "junk line",                                       # dirty → dropped
+    _maxwell("insert", 1700000105, 12, 0, {"k": 3, "v": "three"}),
+]
+
+
+def test_maxwell_lines_to_final_state(spark, tmp_path):
+    src = tmp_path / "mx"
+    src.mkdir()
+    (src / "part-000.jsonl").write_text("\n".join(MAXWELL_EVENTS))
+
+    feed = DBZ.from_maxwell_json_lines(spark, str(src), PAYLOAD, n_shards=4)
+    rows = sorted(feed.collect(), key=lambda r: r.lsn)
+    assert len(rows) == 6  # ddl + dirty dropped
+    assert [r.op for r in rows] == [
+        "insert", "insert", "update", "update", "delete", "insert"
+    ]
+    # same-second same-xid rows order by xoffset
+    upd = [r for r in rows if r.op == "update"]
+    assert upd[0].v == "one-mid" and upd[1].v == "one-upd"
+    assert upd[0].lsn < upd[1].lsn
+    assert rows[0].ts.year == 2023  # ts carried (epoch-sec grain)
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lk"), schema=PAYLOAD, key_cols=["k"],
+        num_buckets=4,
+    )
+    CdcApplier(table).apply_batch(feed, "mx0")
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got == {1: "one-upd", 3: "three"}  # 2 deleted; LWW inside xid
+
+    # plan stays JVM-side
+    from datax_spark.plans import checks
+    checks.assert_no_python_row_udf(feed)
