@@ -220,6 +220,112 @@ def from_maxwell_value_column(
     return normalize_maxwell(parsed, payload, n_shards)
 
 
+# ----------------------------------------------------------------- Canal
+# Alibaba Canal's flat-message JSON (the binlog bridge of the reference's
+# own ecosystem; public wire format).  Differences that matter here:
+# - one message carries an ARRAY of rows ("data"), all values STRINGS
+#   (MySQL text protocol); "old" is an array of partial before-images;
+# - type: "INSERT"/"UPDATE"/"DELETE" (+ DDL messages with isDdl=true);
+# - ordering: es (binlog event ms) then id (batch id) then row position.
+
+_CANAL_OPS = {"INSERT": "insert", "UPDATE": "update", "DELETE": "delete"}
+# lsn = es·2^20 + (id mod 2^10)·2^10 + (pos mod 2^10); es is epoch MS so
+# the product stays < 2^63 until year ~2248.
+_CANAL_ES_SHIFT = 1 << 20
+_CANAL_ID_SHIFT = 1 << 10
+_CANAL_ID_MOD = 1 << 10
+_CANAL_POS_MOD = 1 << 10
+
+
+def canal_schema() -> T.StructType:
+    """The Canal flat-message value schema (rows as string maps)."""
+    row = T.MapType(T.StringType(), T.StringType())
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("isDdl", T.BooleanType()),
+            T.StructField("data", T.ArrayType(row)),
+            T.StructField("old", T.ArrayType(row)),
+        ]
+    )
+
+
+def normalize_canal(
+    parsed: DataFrame, payload: T.StructType, n_shards: int = 8,
+    shard_key: str | None = None,
+) -> DataFrame:
+    """Canal struct frame → engine envelope.
+
+    Each message's ``data`` array is exploded (one event per row, message
+    order preserved in the synthesized LSN's position bits) and the
+    stringly-typed values are cast to the payload schema — the same
+    text→typed projection DataX's mysqlreader applies per column.  DDL
+    messages (isDdl) and unknown types are dropped; deletes carry the
+    full old row in ``data``, exactly like Maxwell."""
+    key0 = shard_key or payload.fields[0].name
+    op = F.lit(None).cast("string")
+    for k, v in _CANAL_OPS.items():
+        op = F.when(F.col("e.type") == k, F.lit(v)).otherwise(op)
+    ex = parsed.filter(
+        ~F.coalesce(F.col("e.isDdl"), F.lit(False))
+    ).select(
+        F.col("e"), F.posexplode(F.col("e.data")).alias("__pos", "__row")
+    )
+    es = F.coalesce(F.col("e.es"), F.col("e.ts"))
+    lsn = (
+        es * F.lit(_CANAL_ES_SHIFT)
+        + F.pmod(F.coalesce(F.col("e.id"), F.lit(0)),
+                 F.lit(_CANAL_ID_MOD)) * F.lit(_CANAL_ID_SHIFT)
+        + F.pmod(F.col("__pos"), F.lit(_CANAL_POS_MOD))
+    )
+    out = ex.select(
+        lsn.cast("long").alias("lsn"),
+        F.pmod(
+            F.hash(F.col("__row")[key0].cast(payload[key0].dataType)),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+        F.timestamp_millis(es).alias("ts"),
+        op.alias("op"),
+        *[
+            F.col("__row")[f.name].cast(f.dataType).alias(f.name)
+            for f in payload.fields
+        ],
+    )
+    return out.filter(F.col("op").isNotNull() & F.col("lsn").isNotNull())
+
+
+def from_canal_json_lines(
+    spark: SparkSession, path: str, payload: T.StructType, n_shards: int = 8,
+    streaming: bool = False,
+) -> DataFrame:
+    """Read a Canal flat-message JSON-lines directory (batch or streaming)
+    into the engine envelope."""
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(path).withColumnRenamed("value", "json")
+    parsed = raw.select(
+        F.from_json("json", canal_schema()).alias("e")
+    ).filter(F.col("e").isNotNull())
+    return normalize_canal(parsed, payload, n_shards)
+
+
+def from_canal_value_column(
+    df: DataFrame, payload: T.StructType, value_col: str = "value",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Normalize a Kafka-style ``value`` column carrying Canal JSON."""
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), canal_schema()).alias("e")
+    ).filter(F.col("e").isNotNull())
+    return normalize_canal(parsed, payload, n_shards)
+
+
 # --------------------------------------------------------------- CDC OUT
 # The reverse direction: a LakeTable changelog serialized as Debezium JSON
 # values, so downstream consumers (Kafka producers, other engines, another

@@ -984,6 +984,63 @@ def q_cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_canal_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANAL FLAT-MESSAGE NORMALIZATION (the binlog bridge of the
+    reference's own ecosystem), value-gated like the other two envelope
+    roundtrips: each event serialized as a Canal message (type INSERT/
+    UPDATE/DELETE, ``data`` an ARRAY of stringly-typed rows — MySQL text
+    protocol — ordering from (es, id, row position)) with ``to_json``,
+    parsed back through ``sources.debezium.from_canal_value_column``,
+    which explodes the array and casts the strings to the payload types.
+    Multi-row message ordering is pinned by unit test; the oracle
+    recomputes the LSN bit split, op map and text→typed casts."""
+    from datax_spark.sources import debezium as DBZ
+
+    ev = _t(spark, sf_dir, "events")
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    typ = (
+        F.when(F.col("event_type") == "error", F.lit("DELETE"))
+        .when(F.col("event_type") == "purchase", F.lit("UPDATE"))
+        .otherwise(F.lit("INSERT"))
+    )
+    es = F.unix_millis(F.col("ts").cast("timestamp"))
+    row_map = F.map_from_arrays(
+        F.array(F.lit("user_id"), F.lit("event_type"),
+                F.lit("value_cents"), F.lit("props")),
+        F.array(
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            _cents("value").cast("string"),
+            F.col("props"),
+        ),
+    )
+    value = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            typ.alias("type"),
+            es.alias("es"),
+            (es + 500).alias("ts"),
+            F.col("event_id").cast("long").alias("id"),
+            F.lit(False).alias("isDdl"),
+            F.array(row_map).alias("data"),
+            F.lit(None).cast("array<map<string,string>>").alias("old"),
+        )
+    )
+    env = DBZ.from_canal_value_column(ev.select(value.alias("value")), payload)
+    return env.select(
+        "lsn", "op", "user_id", "event_type", "value_cents", "props",
+        F.unix_millis("ts").alias("es_ms"),
+    )
+
+
 def q_file_delimited_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELIMITED READER SEMANTICS (SURVEY §2.1 row 8), value-gated: the
     events table is written as quoted CSV (nullFormat \\N, DataX writer
@@ -3278,6 +3335,20 @@ SELECT CAST((epoch_ms(ts) // 1000) * 1073741824
 FROM events
 """
 
+# The Canal roundtrip: op map, text→typed casts, and the synthesized LSN
+# bit split es·2^20 + (id mod 2^10)·2^10 + pos (single-row messages → 0).
+_ORACLES["cdc_canal_envelope"] = """
+SELECT CAST(epoch_ms(ts) * 1048576
+            + (event_id % 1024) * 1024 AS BIGINT) AS lsn,
+       CASE WHEN event_type = 'error' THEN 'delete'
+            WHEN event_type = 'purchase' THEN 'update'
+            ELSE 'insert' END AS op,
+       user_id, event_type,
+       CAST(round(value*100) AS BIGINT) AS value_cents, props,
+       CAST(epoch_ms(ts) AS BIGINT) AS es_ms
+FROM events
+"""
+
 # The delimited roundtrip must reproduce the source rows exactly.
 _ORACLES["file_delimited_roundtrip"] = """
 SELECT event_id, user_id, event_type,
@@ -3340,6 +3411,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_shard_skew_delivery": q_cdc_shard_skew_delivery,
     "cdc_debezium_envelope": q_cdc_debezium_envelope,
     "cdc_maxwell_envelope": q_cdc_maxwell_envelope,
+    "cdc_canal_envelope": q_cdc_canal_envelope,
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_changelog_images": q_cdc_changelog_images,
@@ -3353,7 +3425,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
     "temporal_dim_join": q_temporal_dim_join,
-    "split_quantile_pk": q_split_quantile_pk,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
     "text_bm25_topk": q_text_bm25_topk,
     "embed_quantize": q_embed_quantize,
@@ -3381,6 +3452,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
+    "split_quantile_pk": q_split_quantile_pk,
     "tx_replace": q_tx_replace,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "cdc_stream_available_now": q_cdc_stream_available_now,

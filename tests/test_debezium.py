@@ -259,3 +259,54 @@ def test_maxwell_lines_to_final_state(spark, tmp_path):
     # plan stays JVM-side
     from datax_spark.plans import checks
     checks.assert_no_python_row_udf(feed)
+
+
+def _canal(type_, es, id_, data, is_ddl=False, old=None):
+    return json.dumps(
+        {
+            "database": "d", "table": "t", "type": type_,
+            "es": es, "ts": es + 500, "id": id_, "isDdl": is_ddl,
+            "data": data, "old": old,
+        }
+    )
+
+
+CANAL_EVENTS = [
+    # one message, TWO rows: position orders them within the message
+    _canal("INSERT", 1700000100000, 1,
+           [{"k": "1", "v": "one"}, {"k": "2", "v": "two"}]),
+    _canal("UPDATE", 1700000101000, 2, [{"k": "1", "v": "one-upd"}],
+           old=[{"v": "one"}]),
+    _canal("DELETE", 1700000102000, 3, [{"k": "2", "v": "two"}]),
+    _canal("CREATE", 1700000103000, 4, None, is_ddl=True),  # ddl → dropped
+    "not json",                                              # dirty → dropped
+    _canal("INSERT", 1700000104000, 5, [{"k": "3", "v": "three"}]),
+]
+
+
+def test_canal_lines_to_final_state(spark, tmp_path):
+    src = tmp_path / "cn"
+    src.mkdir()
+    (src / "part-000.jsonl").write_text("\n".join(CANAL_EVENTS))
+
+    feed = DBZ.from_canal_json_lines(spark, str(src), PAYLOAD, n_shards=4)
+    rows = sorted(feed.collect(), key=lambda r: r.lsn)
+    assert len(rows) == 5  # ddl + dirty dropped; first message = 2 events
+    assert [r.op for r in rows] == [
+        "insert", "insert", "update", "delete", "insert"
+    ]
+    assert rows[0].k == 1 and rows[1].k == 2  # intra-message order kept
+    assert rows[0].lsn < rows[1].lsn
+    assert isinstance(rows[0].k, int)  # stringly values cast to payload type
+    assert rows[0].ts.year == 2023
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "lk"), schema=PAYLOAD, key_cols=["k"],
+        num_buckets=4,
+    )
+    CdcApplier(table).apply_batch(feed, "cn0")
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got == {1: "one-upd", 3: "three"}
+
+    from datax_spark.plans import checks
+    checks.assert_no_python_row_udf(feed)
