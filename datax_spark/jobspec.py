@@ -37,6 +37,11 @@ from datax_spark.cdc.apply import ENVELOPE_COLS
 class SourceSpec:
     path: str
     format: str = "parquet"
+    # envelope wire formats ("debezium-json" / "maxwell-json" /
+    # "canal-json") normalize connector JSON into the engine envelope at
+    # read; they require ``payload``: the row schema as a DDL string
+    # (e.g. "repo string, path string, commit string, content string")
+    payload: str | None = None
 
 
 @dataclass
@@ -97,6 +102,41 @@ class RunSpec:
 class ErrorLimitSpec:
     record: int | None = None
     percentage: float | None = None
+
+
+# connector wire formats the source can normalize at read (the engine's
+# CDC-in surface, sources/debezium.py); everything else goes through
+# spark.read.format() verbatim
+ENVELOPE_JSON_FORMATS = ("debezium-json", "maxwell-json", "canal-json")
+
+
+def load_feed(spark: SparkSession, source: SourceSpec,
+              streaming: bool = False,
+              options: dict | None = None):
+    """Build the feed DataFrame a SourceSpec describes: plain Spark formats
+    load verbatim; envelope wire formats (ENVELOPE_JSON_FORMATS) parse the
+    connector JSON and normalize it into the engine envelope."""
+    if source.format in ENVELOPE_JSON_FORMATS:
+        if not source.payload:
+            raise ValueError(
+                f"source.format={source.format!r} requires source.payload "
+                "(the row schema as a DDL string)"
+            )
+        from datax_spark.sources import debezium as DBZ
+        from pyspark.sql import types as T
+
+        payload = T.StructType.fromDDL(source.payload)
+        fn = {
+            "debezium-json": DBZ.from_json_lines,
+            "maxwell-json": DBZ.from_maxwell_json_lines,
+            "canal-json": DBZ.from_canal_json_lines,
+        }[source.format]
+        return fn(spark, source.path, payload, streaming=streaming,
+                  options=options)
+    reader = spark.readStream if streaming else spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.format(source.format).load(source.path)
 
 
 # Hook SPI — the rebuild of DataX's pluggable job hooks
@@ -173,8 +213,14 @@ class JobSpec:
         if not os.path.exists(self.source.path):
             problems.append(f"source path missing: {self.source.path}")
             return problems
+        if (self.source.format in ENVELOPE_JSON_FORMATS
+                and not self.source.payload):
+            return problems + [
+                f"source.format={self.source.format!r} requires "
+                "source.payload (row schema DDL)"
+            ]
         try:
-            df = spark.read.format(self.source.format).load(self.source.path)
+            df = load_feed(spark, self.source)
         except Exception as e:  # unreadable source
             return problems + [f"source unreadable: {e}"]
         cols = set(df.columns)
@@ -197,6 +243,21 @@ class JobSpec:
                 "tail runs need run.tail_duration_sec or "
                 "run.tail_idle_stop_sec (else the job never returns)"
             )
+        if self.source.format in ENVELOPE_JSON_FORMATS:
+            if self.run.kind == "incremental":
+                problems.append(
+                    "run.kind='incremental' slices batches by "
+                    "lsn // batch_lsns, which never terminates on the "
+                    "sparse synthesized LSNs of wire-format feeds — use "
+                    "run.kind='stream' or 'tail' (file-based batching)"
+                )
+            if (self.run.max_bytes_per_trigger is not None
+                    or self.run.max_rows_per_trigger is not None):
+                problems.append(
+                    "byte/row rate caps pre-scan parquet footers and do "
+                    "not apply to JSON wire feeds — use "
+                    "run.max_files_per_trigger"
+                )
         bucket = self.target.bucket_col or self.target.key_cols[0]
         if bucket not in cols:
             problems.append(f"bucket column missing from feed: {bucket}")
@@ -252,7 +313,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     from datax_spark.transforms import TransformerRegistry
 
     t0 = time.monotonic()
-    feed = spark.read.format(spec.source.format).load(spec.source.path)
+    feed = load_feed(spark, spec.source)
     if spec.transforms:
         feed = TransformerRegistry().apply_chain(feed, spec.transforms)
 
@@ -324,6 +385,8 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             or spec.quarantine_path
         )
         shared = dict(
+            feed_format=spec.source.format,
+            payload=spec.source.payload,
             max_files_per_trigger=spec.run.max_files_per_trigger,
             max_bytes_per_trigger=spec.run.max_bytes_per_trigger,
             max_rows_per_trigger=spec.run.max_rows_per_trigger,

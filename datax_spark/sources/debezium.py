@@ -88,12 +88,15 @@ def normalize(
 
 def from_json_lines(
     spark: SparkSession, path: str, payload: T.StructType, n_shards: int = 8,
-    streaming: bool = False,
+    streaming: bool = False, options: dict | None = None,
 ) -> DataFrame:
     """Read a Debezium JSON-lines directory (batch or streaming) into the
-    engine envelope."""
+    engine envelope.  ``options`` pass through to the text reader (e.g.
+    ``maxFilesPerTrigger`` for a rate-capped stream)."""
     schema = envelope_schema(payload)
     reader = spark.readStream if streaming else spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     raw = reader.schema(
         T.StructType([T.StructField("value", T.StringType())])
     ).text(path).withColumnRenamed("value", "json")
@@ -193,12 +196,14 @@ def normalize_maxwell(
 
 def from_maxwell_json_lines(
     spark: SparkSession, path: str, payload: T.StructType, n_shards: int = 8,
-    streaming: bool = False,
+    streaming: bool = False, options: dict | None = None,
 ) -> DataFrame:
     """Read a Maxwell JSON-lines directory (batch or streaming) into the
     engine envelope."""
     schema = maxwell_schema(payload)
     reader = spark.readStream if streaming else spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     raw = reader.schema(
         T.StructType([T.StructField("value", T.StringType())])
     ).text(path).withColumnRenamed("value", "json")
@@ -301,11 +306,13 @@ def normalize_canal(
 
 def from_canal_json_lines(
     spark: SparkSession, path: str, payload: T.StructType, n_shards: int = 8,
-    streaming: bool = False,
+    streaming: bool = False, options: dict | None = None,
 ) -> DataFrame:
     """Read a Canal flat-message JSON-lines directory (batch or streaming)
     into the engine envelope."""
     reader = spark.readStream if streaming else spark.read
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
     raw = reader.schema(
         T.StructType([T.StructField("value", T.StringType())])
     ).text(path).withColumnRenamed("value", "json")

@@ -143,6 +143,8 @@ def run_available_now(
     error_limits=None,
     transform=None,
     on_batch=None,
+    feed_format: str = "parquet",
+    payload=None,
     **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
@@ -172,6 +174,7 @@ def run_available_now(
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
         transform, applier_opts, on_batch=on_batch,
+        feed_format=feed_format, payload=payload,
     )
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -204,35 +207,76 @@ def _build_tail(
     spark, feed_dir, table, feed_schema, checkpoint_dir,
     max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
     filter_watermark, quarantine_rules, quarantine_path, error_limits,
-    transform, applier_opts, on_batch=None,
+    transform, applier_opts, on_batch=None, feed_format="parquet",
+    payload=None,
 ):
     """Shared setup for the bounded drain and the continuous tail: the
     rate-capped file-source reader plus the foreachBatch apply closure.
     ``on_batch(lineage)`` (same hook as run_incremental's) fires after
-    each APPLIED batch — e.g. live aggregate-view refresh.  Returns
-    ``(stream, checkpoint_dir, handle, applied, activity)``."""
-    if feed_schema is None:
-        feed_schema = spark.read.parquet(feed_dir).schema
+    each APPLIED batch — e.g. live aggregate-view refresh.
+    ``feed_format`` accepts "parquet" (engine-envelope files, the default)
+    or a connector wire shape ("debezium-json" / "maxwell-json" /
+    "canal-json", normalized at read; ``payload`` = row schema DDL).
+    Returns ``(stream, checkpoint_dir, handle, applied, activity)``."""
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(table.location, "_stream_checkpoint")
-    if max_bytes_per_trigger is not None or max_rows_per_trigger is not None:
-        derived = []
-        if max_bytes_per_trigger is not None:
-            derived.append(
-                files_per_trigger_for_bytes(feed_dir, max_bytes_per_trigger)
-            )
-        if max_rows_per_trigger is not None:
-            derived.append(
-                files_per_trigger_for_rows(feed_dir, max_rows_per_trigger)
-            )
-        if max_files_per_trigger is not None:
-            derived.append(max_files_per_trigger)
-        max_files_per_trigger = min(derived)
+    if feed_format != "parquet":
+        from datax_spark.sources import debezium as _DBZ
 
-    reader = spark.readStream.schema(feed_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(feed_dir)
+        readers = {
+            "debezium-json": _DBZ.from_json_lines,
+            "maxwell-json": _DBZ.from_maxwell_json_lines,
+            "canal-json": _DBZ.from_canal_json_lines,
+        }
+        if feed_format not in readers:
+            raise ValueError(
+                f"unsupported streaming feed format {feed_format!r}: "
+                f"parquet or one of {sorted(readers)}"
+            )
+        if payload is None:
+            raise ValueError(
+                f"feed_format={feed_format!r} requires payload "
+                "(row schema DDL)"
+            )
+        if (max_bytes_per_trigger is not None
+                or max_rows_per_trigger is not None):
+            raise ValueError(
+                "byte/row rate caps pre-scan parquet footers and do not "
+                "apply to JSON wire feeds — use max_files_per_trigger"
+            )
+        pl = (payload if isinstance(payload, T.StructType)
+              else T.StructType.fromDDL(payload))
+        opts = ({"maxFilesPerTrigger": max_files_per_trigger}
+                if max_files_per_trigger is not None else None)
+        stream = readers[feed_format](
+            spark, feed_dir, pl, streaming=True, options=opts
+        )
+    else:
+        if feed_schema is None:
+            feed_schema = spark.read.parquet(feed_dir).schema
+        if (max_bytes_per_trigger is not None
+                or max_rows_per_trigger is not None):
+            derived = []
+            if max_bytes_per_trigger is not None:
+                derived.append(
+                    files_per_trigger_for_bytes(
+                        feed_dir, max_bytes_per_trigger
+                    )
+                )
+            if max_rows_per_trigger is not None:
+                derived.append(
+                    files_per_trigger_for_rows(feed_dir, max_rows_per_trigger)
+                )
+            if max_files_per_trigger is not None:
+                derived.append(max_files_per_trigger)
+            max_files_per_trigger = min(derived)
+
+        reader = spark.readStream.schema(feed_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = reader.parquet(feed_dir)
 
     applier = CdcApplier(table, **applier_opts)
     applied: list[dict] = []
@@ -405,6 +449,8 @@ def run_continuous(
     error_limits=None,
     transform=None,
     on_batch=None,
+    feed_format: str = "parquet",
+    payload=None,
     **applier_opts,
 ) -> ContinuousTail:
     """Tail the feed directory CONTINUOUSLY — the live binlog/WAL shape.
@@ -428,6 +474,7 @@ def run_continuous(
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
         transform, applier_opts, on_batch=on_batch,
+        feed_format=feed_format, payload=payload,
     )
     q = (
         stream.writeStream.foreachBatch(handle)

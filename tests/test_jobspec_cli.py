@@ -507,3 +507,59 @@ def test_tail_live_agg_views(spark, tmp_path):
     }
     got = {(r.lang,): r.n_rows for r in view.read().collect()}
     assert got == expected
+
+
+def test_wire_format_source_through_stream_job(spark, tmp_path):
+    """job.json can point straight at a connector JSON dump:
+    source.format='maxwell-json' + payload DDL normalizes at read and the
+    stream drain syncs the lake table; pre-check guards the footguns."""
+    import json as _json
+
+    from datax_spark.lake.table import LakeTable
+
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def mx(type_, ts, xid, xoff, data):
+        return _json.dumps({"database": "d", "table": "t", "type": type_,
+                            "ts": ts, "xid": xid, "xoffset": xoff,
+                            "commit": True, "data": data, "old": None})
+
+    (src / "a.jsonl").write_text("\n".join([
+        mx("insert", 1700000100, 1, 0, {"k": 1, "v": "one"}),
+        mx("insert", 1700000100, 1, 1, {"k": 2, "v": "two"}),
+        mx("update", 1700000101, 2, 0, {"k": 1, "v": "one-upd"}),
+        mx("delete", 1700000102, 3, 0, {"k": 2, "v": "two"}),
+    ]))
+    d = {
+        "source": {"path": str(src), "format": "maxwell-json",
+                   "payload": "k long, v string"},
+        "target": {"location": str(tmp_path / "lake"), "key_cols": ["k"],
+                   "bucket_col": "k", "num_buckets": 4},
+        "merge": {"mode": "mor", "auto_compact": 4},
+        "run": {"kind": "stream"},
+    }
+    # footguns: payload required; incremental kind refused; row cap refused
+    probs = JobSpec.from_dict(
+        {**d, "source": {"path": str(src), "format": "maxwell-json"}}
+    ).pre_check(spark)
+    assert any("source.payload" in p for p in probs)
+    probs = JobSpec.from_dict(
+        {**d, "run": {"kind": "incremental"}}
+    ).pre_check(spark)
+    assert any("never terminates" in p for p in probs)
+    probs = JobSpec.from_dict(
+        {**d, "run": {"kind": "stream", "max_rows_per_trigger": 10}}
+    ).pre_check(spark)
+    assert any("do not apply to JSON wire feeds" in p for p in probs)
+
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 4
+    t = LakeTable(spark, spec.target.location)
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "one-upd"}
+    # exactly-once rerun over the same checkpoint
+    summary2 = run_job(spark, JobSpec.from_dict(d))
+    assert summary2["batches"] == 0
