@@ -118,12 +118,27 @@ def _cdcout_cmd(args) -> int:
     """Publish a table's changelog as Debezium JSON-lines commit dirs —
     the CLI face of sources/debezium.emit_table_changes (CDC interchange
     out; re-running resumes from the last published commit)."""
+    import os
+
     from datax_spark.lake.table import LakeTable
-    from datax_spark.sources.debezium import emit_table_changes
+    from datax_spark.sources.debezium import (
+        emit_table_changes,
+        emit_table_snapshot,
+    )
 
     spark = get_session("datax-spark-cdcout", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "out": args.out}
+    published = os.path.isdir(args.out) and any(
+        d.startswith("_commit_version=") or d == "_last_version"
+        for d in os.listdir(args.out)
+    )
+    if args.bootstrap and not published:
+        # snapshot-then-follow: publish op:"r" records + the watermark,
+        # then the ordinary changes pass below no-ops until new commits
+        out.update(emit_table_snapshot(
+            upstream, args.out, db=args.db, name=args.name
+        ))
     out.update(
         emit_table_changes(upstream, args.out, db=args.db, name=args.name,
                            on_rewrite=args.on_rewrite)
@@ -278,6 +293,10 @@ def main(argv: list[str] | None = None) -> int:
                      choices=["error", "skip"],
                      help="changelog behavior across compaction/rewrite "
                           "commits")
+    cdc.add_argument("--bootstrap", action="store_true",
+                     help="on an empty output dir, publish a snapshot "
+                          "bootstrap (op:'r' records) before following "
+                          "the changelog")
     cdc.add_argument("--cores", default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)

@@ -454,6 +454,82 @@ def write_json_lines(values: DataFrame, path: str, mode: str = "error") -> None:
     )
 
 
+def emit_table_snapshot(
+    table, out_dir: str, db: str = "lake", name: str | None = None,
+    version: int | None = None,
+) -> dict:
+    """Bootstrap-out: a consistent snapshot serialized as Debezium
+    ``op:"r"`` (snapshot-read) records — the snapshot-then-follow contract
+    of Debezium's snapshot mode / Maxwell's bootstrap.
+
+    The snapshot is published as the ``_commit_version=<v>`` directory and
+    the ``_last_version`` watermark is set to ``v``, so a subsequent
+    :func:`emit_table_changes` on the same ``out_dir`` resumes at exactly
+    the next commit — consumers replay the directories in order and
+    converge to the live table.  Refuses a non-empty ``out_dir`` (a
+    bootstrap must come first; re-running after a crash before the
+    watermark write simply re-publishes)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    v = table.current_version() if version is None else version
+    _os.makedirs(out_dir, exist_ok=True)
+    existing = [
+        d for d in _os.listdir(out_dir)
+        if d.startswith("_commit_version=") or d == "_last_version"
+    ]
+    dst = _os.path.join(out_dir, f"_commit_version={v}")
+    if [d for d in existing if d != f"_commit_version={v}"]:
+        raise ValueError(
+            f"{out_dir} already holds published commits {sorted(existing)}: "
+            "a snapshot bootstrap must be the FIRST publication — use "
+            "emit_table_changes to continue an existing feed"
+        )
+    m = table.manifest(v)
+    ts_ms = (int(m.committed_at * 1000)
+             if m.committed_at is not None else None)
+    img = F.struct(*[F.col(f.name) for f in m.schema.fields])
+    value = F.to_json(
+        F.struct(
+            F.lit("r").alias("op"),
+            F.when(F.lit(False), img).alias("before"),  # typed null
+            img.alias("after"),
+            F.struct(
+                F.lit(-1).cast("long").alias("lsn"),
+                F.lit(ts_ms).cast("long").alias("ts_ms"),
+                F.lit(db).alias("db"),
+                F.lit(
+                    name or _os.path.basename(table.location.rstrip("/"))
+                ).alias("table"),
+            ).alias("source"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+        )
+    )
+    vals = table.read(version=v).select(
+        value.alias("value"), F.lit(int(v)).alias("_commit_version")
+    )
+    staging = f"{out_dir.rstrip('/')}.staging-{_uuid.uuid4().hex}"
+    try:
+        write_json_lines(vals, staging)
+        src = _os.path.join(staging, f"_commit_version={v}")
+        if not _os.path.exists(dst):
+            if _os.path.exists(src):
+                _os.rename(src, dst)
+            else:
+                _os.makedirs(dst)  # empty snapshot still marks the version
+    finally:
+        _shutil.rmtree(staging, ignore_errors=True)
+    side = _os.path.join(out_dir, "_last_version")
+    tmp = side + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(v))
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, side)
+    return {"snapshot_version": v, "out": out_dir}
+
+
 def emit_table_changes(
     table, out_dir: str, db: str = "lake", name: str | None = None,
     on_rewrite: str = "error",

@@ -310,3 +310,47 @@ def test_canal_lines_to_final_state(spark, tmp_path):
 
     from datax_spark.plans import checks
     checks.assert_no_python_row_udf(feed)
+
+
+def test_snapshot_bootstrap_then_follow(spark, tmp_path):
+    """emit_table_snapshot publishes op:'r' records and sets the watermark
+    so emit_table_changes follows from the next commit; replaying the
+    whole directory converges to the live table."""
+    from datax_spark.lake.merge import merge_into
+
+    t, schema = _mk_table_with_history(spark, tmp_path)
+    out = str(tmp_path / "boot")
+    res = DBZ.emit_table_snapshot(t, out, db="d", name="t")
+    assert res["snapshot_version"] == 3
+    # bootstrap must be first: refuse on a dirty dir (other versions)
+    import pytest as _pytest
+
+    merge_into(t, spark.createDataFrame([(9, "nine", "insert", 8)],
+                                        "k long, v string, op string, lsn long"),
+               op_col="op", order_col="lsn", mode="mor")
+    follow = DBZ.emit_table_changes(t, out)
+    assert follow["emitted_versions"] == [4]
+    with _pytest.raises(ValueError, match="FIRST publication"):
+        DBZ.emit_table_snapshot(t, out)
+
+    # snapshot rows are op:"r" with the table image
+    import json as _json
+    import os as _os
+
+    snap_dir = _os.path.join(out, "_commit_version=3")
+    rows = []
+    for fn in _os.listdir(snap_dir):
+        if fn.endswith(".txt"):
+            with open(_os.path.join(snap_dir, fn)) as f:
+                rows += [_json.loads(line) for line in f if line.strip()]
+    assert {r["op"] for r in rows} == {"r"}
+    assert {r["after"]["k"] for r in rows} == {1, 3}
+
+    # full replay (bootstrap + follow) == live table state
+    feed = DBZ.from_json_lines(spark, out + "/_commit_version=*", schema,
+                               n_shards=2)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), schema=schema,
+                           key_cols=["k"], num_buckets=4)
+    CdcApplier(tgt, dedup_batch=False).apply_batch(feed, "replay")
+    assert ({r.k: r.v for r in tgt.read().collect()}
+            == {r.k: r.v for r in t.read().collect()})
