@@ -366,3 +366,24 @@ def test_vacuum_preserves_kept_cow_files(spark, tmp_path):
         expect[i] = f"new{i}"
     got = {r.k: r.v for r in t.read().collect()}
     assert got == expect
+
+
+def test_cow_file_scoping_with_schema_evolution(spark, tmp_path):
+    """A file-scoped COW merge that ADDS a column: kept (unrewritten)
+    files stay on their old schema id and null-fill the new column at
+    read; rewritten files carry it."""
+    t, expect = _cow_cluster_table(spark, tmp_path)
+    before = {e[0] for es in t.manifest().files.values() for e in es}
+    batch = spark.createDataFrame(
+        [(i, f"new{i}", f"x{i}", "insert", 1) for i in range(30)],
+        "k long, v string, extra string, op string, lsn long",
+    )
+    merge_into(t, batch, op_col="op", order_col="lsn", mode="cow")
+    after = {e[0] for es in t.manifest().files.values() for e in es}
+    assert before & after  # scoping fired despite the evolution
+    got = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    for i in range(1000):
+        if i < 30:
+            assert got[i] == (f"new{i}", f"x{i}")
+        else:
+            assert got[i] == (f"v{i}", None)  # kept files null-fill
