@@ -118,22 +118,18 @@ def _cdcout_cmd(args) -> int:
     """Publish a table's changelog as Debezium JSON-lines commit dirs —
     the CLI face of sources/debezium.emit_table_changes (CDC interchange
     out; re-running resumes from the last published commit)."""
-    import os
 
     from datax_spark.lake.table import LakeTable
     from datax_spark.sources.debezium import (
         emit_table_changes,
         emit_table_snapshot,
+        is_published,
     )
 
     spark = get_session("datax-spark-cdcout", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "out": args.out}
-    published = os.path.isdir(args.out) and any(
-        d.startswith("_commit_version=") or d == "_last_version"
-        for d in os.listdir(args.out)
-    )
-    if args.bootstrap and not published:
+    if args.bootstrap and not is_published(args.out):
         # snapshot-then-follow: publish op:"r" records + the watermark,
         # then the ordinary changes pass below no-ops until new commits
         out.update(emit_table_snapshot(

@@ -31,6 +31,7 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from datax_spark.cdc.apply import ENVELOPE_COLS
+from datax_spark.sources.debezium import WIRE_FORMATS as ENVELOPE_JSON_FORMATS
 
 
 @dataclass
@@ -104,39 +105,25 @@ class ErrorLimitSpec:
     percentage: float | None = None
 
 
-# connector wire formats the source can normalize at read (the engine's
-# CDC-in surface, sources/debezium.py); everything else goes through
-# spark.read.format() verbatim
-ENVELOPE_JSON_FORMATS = ("debezium-json", "maxwell-json", "canal-json")
-
-
-def load_feed(spark: SparkSession, source: SourceSpec,
-              streaming: bool = False,
-              options: dict | None = None):
-    """Build the feed DataFrame a SourceSpec describes: plain Spark formats
-    load verbatim; envelope wire formats (ENVELOPE_JSON_FORMATS) parse the
-    connector JSON and normalize it into the engine envelope."""
+def load_feed(spark: SparkSession, source: SourceSpec):
+    """Build the BATCH feed DataFrame a SourceSpec describes: plain Spark
+    formats load verbatim; envelope wire formats parse the connector JSON
+    and normalize it into the engine envelope.  (Stream/tail runs build
+    their rate-capped streaming reader in streaming/runner._build_tail.)"""
     if source.format in ENVELOPE_JSON_FORMATS:
         if not source.payload:
             raise ValueError(
                 f"source.format={source.format!r} requires source.payload "
                 "(the row schema as a DDL string)"
             )
-        from datax_spark.sources import debezium as DBZ
+        from datax_spark.sources.debezium import WIRE_FORMAT_READERS
         from pyspark.sql import types as T
 
         payload = T.StructType.fromDDL(source.payload)
-        fn = {
-            "debezium-json": DBZ.from_json_lines,
-            "maxwell-json": DBZ.from_maxwell_json_lines,
-            "canal-json": DBZ.from_canal_json_lines,
-        }[source.format]
-        return fn(spark, source.path, payload, streaming=streaming,
-                  options=options)
-    reader = spark.readStream if streaming else spark.read
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    return reader.format(source.format).load(source.path)
+        return WIRE_FORMAT_READERS[source.format](
+            spark, source.path, payload
+        )
+    return spark.read.format(source.format).load(source.path)
 
 
 # Hook SPI — the rebuild of DataX's pluggable job hooks
@@ -242,6 +229,14 @@ class JobSpec:
             problems.append(
                 "tail runs need run.tail_duration_sec or "
                 "run.tail_idle_stop_sec (else the job never returns)"
+            )
+        if (self.run.kind in ("stream", "tail")
+                and self.source.format != "parquet"
+                and self.source.format not in ENVELOPE_JSON_FORMATS):
+            problems.append(
+                f"source.format={self.source.format!r} is not streamable: "
+                "stream/tail runs support parquet or "
+                f"{sorted(ENVELOPE_JSON_FORMATS)}"
             )
         if self.source.format in ENVELOPE_JSON_FORMATS:
             if self.run.kind == "incremental":

@@ -436,9 +436,18 @@ def _static_planning_if_small(spark, change_bytes: int | None):
         yield
         return
     old_sp = spark.conf.get(skey, None)
-    spark.conf.set(key, "false")
+    # parse BEFORE touching any conf: a platform value like "auto" must
+    # not leave AQE disabled via an exception mid-toggle — unparsable
+    # widths just skip the narrowing and keep the AQE toggle alone
+    try:
+        sp_int = None if old_sp is None else int(old_sp)
+    except ValueError:
+        sp_int = None
+        old_sp = "__unparsable__"
     narrow = (old_sp is None
-              or int(old_sp) > _STATIC_PLAN_SHUFFLE_PARTITIONS)
+              or (sp_int is not None
+                  and sp_int > _STATIC_PLAN_SHUFFLE_PARTITIONS))
+    spark.conf.set(key, "false")
     if narrow:
         spark.conf.set(skey, str(_STATIC_PLAN_SHUFFLE_PARTITIONS))
     try:

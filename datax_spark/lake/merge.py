@@ -330,27 +330,9 @@ def merge_into(
             # clustered table this turns COW write amplification from
             # O(touched buckets) into O(files overlapping the batch's key
             # range) — the Iceberg copy-on-write file-scoping analogue.
-            aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
-            for i, c in enumerate(key_cols):
-                aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
-                aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
-                aggs.append(
-                    F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}")
-                )
-            head = batch.agg(*aggs).first()
-            touched = [int(b) for b in head["__bs"]]
-            if touched and all(
-                head[f"__nn_{i}"] == 0 for i in range(len(key_cols))
-            ):
-                # NULL-free batch keys: every batch key lies inside the
-                # per-column box, so interval disjointness disproves
-                # membership (min/max ignore NULLs, so a NULL-keyed batch
-                # would escape the box — skip the pass entirely then)
-                preds = []
-                for i, c in enumerate(key_cols):
-                    preds.append((c, ">=", head[f"__lo_{i}"]))
-                    preds.append((c, "<=", head[f"__hi_{i}"]))
-                keep_map = _cow_keepable_files(base, touched, preds)
+            touched, box = _batch_key_box(batch, bexpr, key_cols)
+            if box is not None:
+                keep_map = _cow_keepable_files(base, touched, box)
         if keep_map:
             # scan only the files being rewritten: a synthetic manifest
             # carrying the touched buckets minus the kept entries (the
@@ -437,6 +419,31 @@ def merge_into(
     finally:
         if fold_cache is not None:
             fold_cache.unpersist()
+
+
+def _batch_key_box(batch: DataFrame, bexpr, key_cols: list[str]):
+    """ONE planning job shared by the COW file scoping, the dv position
+    scan and the partial-update patch read: the batch's touched bucket ids
+    plus its per-key-column bounding box as ``read(where=)``-shaped
+    predicates.  The box is ``None`` when the batch is empty or any key
+    column holds NULLs — min/max ignore NULLs, so a NULL-keyed row would
+    escape the box and break the disjointness proof."""
+    aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
+    for i, c in enumerate(key_cols):
+        aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+        aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+        aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
+    head = batch.agg(*aggs).first()
+    touched = [int(b) for b in head["__bs"]]
+    if not touched or any(
+        head[f"__nn_{i}"] for i in range(len(key_cols))
+    ):
+        return touched, None
+    preds = []
+    for i, c in enumerate(key_cols):
+        preds.append((c, ">=", head[f"__lo_{i}"]))
+        preds.append((c, "<=", head[f"__hi_{i}"]))
+    return touched, preds
 
 
 def _cow_keepable_files(
@@ -552,19 +559,7 @@ def _fold_partial_batch(
     # residual-safe — it drops only rows the join would drop — and its
     # zone-map file skipping makes the patch read O(files overlapping the
     # batch key range) on a clustered table.
-    aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
-    for i, c in enumerate(key_cols):
-        aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
-        aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
-        aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
-    head = folded.agg(*aggs).first()
-    touched = [int(b) for b in head["__bs"]]
-    box = None
-    if touched and all(head[f"__nn_{i}"] == 0 for i in range(len(key_cols))):
-        box = []
-        for i, c in enumerate(key_cols):
-            box.append((c, ">=", head[f"__lo_{i}"]))
-            box.append((c, "<=", head[f"__hi_{i}"]))
+    touched, box = _batch_key_box(folded, bexpr, key_cols)
     current = table.read(buckets=touched, where=box)
     keys_b = F.broadcast(
         folded.select(*[F.col(c).alias(f"__k_{c}") for c in key_cols])
@@ -683,22 +678,7 @@ def _merge_dv(
         # scoping; the key join provides exactness).  On a sort/z-order
         # clustered table the dv position scan reads O(files overlapping
         # the batch key range), not O(touched buckets).
-        key_cols = base.key_cols
-        aggs = [F.collect_set(bexpr.cast("int")).alias("__bs")]
-        for i, c in enumerate(key_cols):
-            aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
-            aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
-            aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
-        head = batch.agg(*aggs).first()
-        touched = [int(b) for b in head["__bs"]]
-        scan_preds = None
-        if touched and all(
-            head[f"__nn_{i}"] == 0 for i in range(len(key_cols))
-        ):
-            scan_preds = []
-            for i, c in enumerate(key_cols):
-                scan_preds.append((c, ">=", head[f"__lo_{i}"]))
-                scan_preds.append((c, "<=", head[f"__hi_{i}"]))
+        touched, scan_preds = _batch_key_box(batch, bexpr, base.key_cols)
         frag: dict = {}
         raw, _ = table._scan_raw(
             base, touched, expose_pos=True, where=scan_preds

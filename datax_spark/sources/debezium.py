@@ -135,12 +135,17 @@ _MAXWELL_OPS = {
     "update": "update",
     "delete": "delete",
 }
-# lsn = ts·2^30 + (xid mod 2^20)·2^10 + (xoffset mod 2^10): strictly
-# ordered by commit second, then transaction, then row-within-transaction.
-_MAXWELL_TS_SHIFT = 1 << 30
-_MAXWELL_XID_SHIFT = 1 << 10
-_MAXWELL_XID_MOD = 1 << 20
-_MAXWELL_XOFF_MOD = 1 << 10
+# lsn = ts·2^31 + (xid mod 2^12)·2^19 + (xoffset mod 2^19): ordered by
+# commit second, then transaction, then row-within-transaction.  Budget
+# arithmetic for the 63 usable bits: ts(sec) < 2^32 (through year 2106)
+# in the top bits — max value (2^32-1)·2^31 + 2^31-1 = 2^63-1, no
+# overflow; 2^12 = 4096 transactions/second and 2^19 = 524,288 rows per
+# transaction before the respective mod wraps (a wrap only matters when
+# the SAME KEY is touched on both sides of it within one second).
+_MAXWELL_TS_SHIFT = 1 << 31
+_MAXWELL_XID_SHIFT = 1 << 19
+_MAXWELL_XID_MOD = 1 << 12
+_MAXWELL_XOFF_MOD = 1 << 19
 
 
 def maxwell_schema(payload: T.StructType) -> T.StructType:
@@ -168,7 +173,8 @@ def normalize_maxwell(
 
     ``lsn`` is synthesized from (ts, xid, xoffset) — see the bit split
     above; same-second transactions order by xid, rows within a
-    transaction by xoffset, exactly Maxwell's emission order.  Rows with
+    transaction by xoffset — Maxwell's emission order, up to the
+    documented per-field mod wraps.  Rows with
     unknown ``type`` (ddl, heartbeats) or no ``ts`` are dropped like the
     Debezium path drops unknown ops.  ``data`` is the payload for every
     type (Maxwell deletes carry the full old row there)."""
@@ -234,12 +240,16 @@ def from_maxwell_value_column(
 # - ordering: es (binlog event ms) then id (batch id) then row position.
 
 _CANAL_OPS = {"INSERT": "insert", "UPDATE": "update", "DELETE": "delete"}
-# lsn = es·2^20 + (id mod 2^10)·2^10 + (pos mod 2^10); es is epoch MS so
-# the product stays < 2^63 until year ~2248.
-_CANAL_ES_SHIFT = 1 << 20
-_CANAL_ID_SHIFT = 1 << 10
-_CANAL_ID_MOD = 1 << 10
-_CANAL_POS_MOD = 1 << 10
+# lsn = (es//1000)·2^31 + (id mod 2^12)·2^19 + (pos mod 2^19): the same
+# 63-bit split as Maxwell's (second · transaction/batch · row) — es is
+# epoch MS, coarsened to seconds for the LSN (within a second Canal's
+# monotone batch id orders; the envelope's ``ts`` column keeps the full
+# ms precision); 2^19 = 524,288 rows per flat message before the row-
+# position mod wraps.
+_CANAL_ES_SHIFT = 1 << 31
+_CANAL_ID_SHIFT = 1 << 19
+_CANAL_ID_MOD = 1 << 12
+_CANAL_POS_MOD = 1 << 19
 
 
 def canal_schema() -> T.StructType:
@@ -283,7 +293,7 @@ def normalize_canal(
     )
     es = F.coalesce(F.col("e.es"), F.col("e.ts"))
     lsn = (
-        es * F.lit(_CANAL_ES_SHIFT)
+        F.floor(es / F.lit(1000)).cast("long") * F.lit(_CANAL_ES_SHIFT)
         + F.pmod(F.coalesce(F.col("e.id"), F.lit(0)),
                  F.lit(_CANAL_ID_MOD)) * F.lit(_CANAL_ID_SHIFT)
         + F.pmod(F.col("__pos"), F.lit(_CANAL_POS_MOD))
@@ -331,6 +341,29 @@ def from_canal_value_column(
         F.from_json(F.col(value_col).cast("string"), canal_schema()).alias("e")
     ).filter(F.col("e").isNotNull())
     return normalize_canal(parsed, payload, n_shards)
+
+
+# the one registry every consumer dispatches on (jobspec.load_feed, the
+# streaming runner's wire branch): adding a format here is the single
+# change point
+WIRE_FORMAT_READERS = {
+    "debezium-json": from_json_lines,
+    "maxwell-json": from_maxwell_json_lines,
+    "canal-json": from_canal_json_lines,
+}
+WIRE_FORMATS = tuple(WIRE_FORMAT_READERS)
+
+
+def is_published(out_dir: str) -> bool:
+    """True when ``out_dir`` already holds a published feed (commit dirs
+    or the watermark sidecar) — the single definition of "published" the
+    snapshot-bootstrap guard and the CLI share."""
+    import os as _os
+
+    return _os.path.isdir(out_dir) and any(
+        d.startswith("_commit_version=") or d == "_last_version"
+        for d in _os.listdir(out_dir)
+    )
 
 
 # --------------------------------------------------------------- CDC OUT

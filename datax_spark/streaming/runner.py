@@ -221,13 +221,10 @@ def _build_tail(
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(table.location, "_stream_checkpoint")
     if feed_format != "parquet":
-        from datax_spark.sources import debezium as _DBZ
+        from datax_spark.sources.debezium import (
+            WIRE_FORMAT_READERS as readers,
+        )
 
-        readers = {
-            "debezium-json": _DBZ.from_json_lines,
-            "maxwell-json": _DBZ.from_maxwell_json_lines,
-            "canal-json": _DBZ.from_canal_json_lines,
-        }
         if feed_format not in readers:
             raise ValueError(
                 f"unsupported streaming feed format {feed_format!r}: "
@@ -369,7 +366,8 @@ class ContinuousTail:
                         and not st.get("isTriggerActive")):
                     break
             if (self._stall is not None
-                    and self.idle_seconds() > self._stall):
+                    and self.idle_seconds() > self._stall
+                    and self._should_be_progressing()):
                 self._q.stop()
                 raise TimeoutError(
                     f"stream made no progress for {self._stall}s "
@@ -382,6 +380,13 @@ class ContinuousTail:
     def _check(self) -> None:
         if self._q.exception() is not None:
             raise self._q.exception()
+
+    def _should_be_progressing(self) -> bool:
+        """True when the source reports pending data or an in-flight
+        trigger — the only states where lack of completed batches means
+        HUNG rather than merely caught up/idle."""
+        st = self._q.status
+        return bool(st.get("isDataAvailable") or st.get("isTriggerActive"))
 
     def wait_for(self, predicate, timeout_sec: float = 60.0,
                  poll_sec: float = 0.25) -> None:
@@ -403,7 +408,8 @@ class ContinuousTail:
                     f"({len(self._applied)} batches applied)"
                 )
             if (self._stall is not None
-                    and now - self._activity["t"] > self._stall):
+                    and now - self._activity["t"] > self._stall
+                    and self._should_be_progressing()):
                 self._q.stop()
                 raise TimeoutError(
                     f"stream made no progress for {self._stall}s "
@@ -423,10 +429,12 @@ class ContinuousTail:
     def stop(self) -> list[dict]:
         """Stop the query (the in-flight micro-batch finishes or aborts;
         either way the checkpoint + lineage guard make the restart
-        exactly-once) and return the applied lineages."""
-        exc = self._q.exception()
+        exactly-once) and return the applied lineages.  The terminal
+        exception is read AFTER termination so a batch failure landing
+        during the stop still surfaces instead of reporting success."""
         self._q.stop()
         self._q.awaitTermination()
+        exc = self._q.exception()
         if exc is not None:
             raise exc
         return list(self._applied)

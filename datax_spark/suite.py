@@ -3321,10 +3321,10 @@ FROM events
 """
 
 # The Maxwell roundtrip: op map (bootstrap-insert folds into insert) and
-# the synthesized LSN bit split ts·2^30 + (xid mod 2^20)·2^10 + xoffset.
+# the synthesized LSN bit split ts·2^31 + (xid mod 2^12)·2^19 + xoffset.
 _ORACLES["cdc_maxwell_envelope"] = """
-SELECT CAST((epoch_ms(ts) // 1000) * 1073741824
-            + ((event_id // 4) % 1048576) * 1024
+SELECT CAST((epoch_ms(ts) // 1000) * 2147483648
+            + ((event_id // 4) % 4096) * 524288
             + (event_id % 4) AS BIGINT) AS lsn,
        CASE WHEN event_type = 'error' THEN 'delete'
             WHEN event_type = 'purchase' THEN 'update'
@@ -3336,10 +3336,10 @@ FROM events
 """
 
 # The Canal roundtrip: op map, text→typed casts, and the synthesized LSN
-# bit split es·2^20 + (id mod 2^10)·2^10 + pos (single-row messages → 0).
+# bit split (es//1000)·2^31 + (id mod 2^12)·2^19 + pos (single-row → 0).
 _ORACLES["cdc_canal_envelope"] = """
-SELECT CAST(epoch_ms(ts) * 1048576
-            + (event_id % 1024) * 1024 AS BIGINT) AS lsn,
+SELECT CAST((epoch_ms(ts) // 1000) * 2147483648
+            + (event_id % 4096) * 524288 AS BIGINT) AS lsn,
        CASE WHEN event_type = 'error' THEN 'delete'
             WHEN event_type = 'purchase' THEN 'update'
             ELSE 'insert' END AS op,
