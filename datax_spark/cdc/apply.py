@@ -117,15 +117,28 @@ class CdcApplier:
         Used when resuming a feed read from a position older than the table
         state (at-least-once source → exactly-once effect).  The shard→LSN
         map is tiny (one row per source shard) and broadcast.
+
+        SENTINEL rows — ``lsn < 0`` (snapshot ``op:"r"`` records and
+        append-commit CDC-out rows, ``sources/debezium.py``) — always pass:
+        they carry no binlog position, never advance a watermark (see the
+        ``wm_lsn`` aggregates below), and within the feed's commit-ordered
+        delivery contract a rewind that re-delivers them also re-delivers
+        every later commit in order, so replaying their images converges.
+        Without the exemption a multi-micro-batch snapshot poisons the
+        shard watermark to -1 after batch 1 and ``lsn > -1`` silently
+        drops the rest of the snapshot.
         """
         shard_lsns = dict(self.table.manifest().shard_lsns)
         if not shard_lsns:
             return feed
+        sentinel = F.col("lsn") < 0
         # -1 = global watermark (lineage_detail="global"): applies to all
         # shards — valid because that mode requires LSN-ordered consumption
         global_wm = shard_lsns.pop("-1", None)
         if global_wm is not None:
-            feed = feed.filter(F.col("lsn") > F.lit(int(global_wm)))
+            feed = feed.filter(
+                sentinel | (F.col("lsn") > F.lit(int(global_wm)))
+            )
         if not shard_lsns:
             return feed
         if len(shard_lsns) <= FUSED_SHARDS_MAX:
@@ -134,7 +147,9 @@ class CdcApplier:
             # action, and the OR-of-AND literals reach parquet row-group
             # stats — on resume, fully-applied row groups never leave the
             # scan.  Shards with no watermark (new splits) pass whole.
-            keep = ~F.col("shard").isin([int(s) for s in shard_lsns])
+            keep = sentinel | ~F.col("shard").isin(
+                [int(s) for s in shard_lsns]
+            )
             for s, l in shard_lsns.items():
                 keep = keep | (
                     (F.col("shard") == F.lit(int(s)))
@@ -148,7 +163,8 @@ class CdcApplier:
         return (
             feed.join(F.broadcast(wm), on="shard", how="left")
             .filter(
-                F.col("__applied_lsn").isNull()
+                sentinel
+                | F.col("__applied_lsn").isNull()
                 | (F.col("lsn") > F.col("__applied_lsn"))
             )
             .drop("__applied_lsn")
@@ -186,10 +202,15 @@ class CdcApplier:
         # for lineage — per-shard consumption metrics (≈ DataX Communication
         # counters, core/.../statistics/communication/
         # CommunicationTool.java:17-53, merged task→job)
+        # watermarks advance only on REAL (lsn >= 0) events: sentinel rows
+        # (snapshot op:"r" / append-commit CDC-out, lsn = -1) carry no
+        # binlog position — a shard whose batch was all-sentinel keeps its
+        # previous watermark instead of poisoning it to -1
+        wm_expr = F.max(F.when(F.col("lsn") >= 0, F.col("lsn")))
         stats = (
             batch.groupBy("shard")
             .agg(
-                F.max("lsn").alias("last_lsn"),
+                wm_expr.alias("wm_lsn"),
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(byte_expr).alias("bytes"),
             )
@@ -201,11 +222,15 @@ class CdcApplier:
             "batch_id": batch_id if isinstance(batch_id, str) else int(batch_id),
             "rows": int(sum(r["rows"] for r in stats)),
             "bytes": int(sum(r["bytes"] for r in stats)),
-            "shard_lsns": {int(r["shard"]): int(r["last_lsn"]) for r in stats},
+            "shard_lsns": {
+                int(r["shard"]): int(r["wm_lsn"])
+                for r in stats if r["wm_lsn"] is not None
+            },
             "partitions": [
                 {
                     "partition_id": int(r["shard"]),
-                    "last_lsn": int(r["last_lsn"]),
+                    "last_lsn": (-1 if r["wm_lsn"] is None
+                                 else int(r["wm_lsn"])),
                     "rows": int(r["rows"]),
                     "bytes": int(r["bytes"]),
                 }
@@ -256,7 +281,10 @@ class CdcApplier:
         for s in known:
             hit = sh == F.lit(s)
             metrics += [
-                F.max(F.when(hit, F.col("lsn"))).alias(f"lsn_{s}"),
+                # watermark = max REAL lsn only (sentinel lsn<0 rows never
+                # advance it — see filter_already_applied)
+                F.max(F.when(hit & (F.col("lsn") >= 0), F.col("lsn")))
+                .alias(f"lsn_{s}"),
                 F.count(F.when(hit, F.lit(1))).alias(f"rows_{s}"),
                 F.sum(F.when(hit, byte_expr)).alias(f"bytes_{s}"),
             ]
@@ -274,7 +302,8 @@ class CdcApplier:
             parts = [
                 {
                     "partition_id": int(s),
-                    "last_lsn": int(m[f"lsn_{s}"]),
+                    "last_lsn": (-1 if m[f"lsn_{s}"] is None
+                                 else int(m[f"lsn_{s}"])),
                     "rows": int(m[f"rows_{s}"]),
                     "bytes": int(m[f"bytes_{s}"] or 0),
                 }
@@ -286,7 +315,8 @@ class CdcApplier:
                     batch.filter(~sh.isin(known))
                     .groupBy("shard")
                     .agg(
-                        F.max("lsn").alias("last_lsn"),
+                        F.max(F.when(F.col("lsn") >= 0, F.col("lsn")))
+                        .alias("wm_lsn"),
                         F.count(F.lit(1)).alias("rows"),
                         F.sum(byte_expr).alias("bytes"),
                     )
@@ -295,7 +325,8 @@ class CdcApplier:
                 parts += [
                     {
                         "partition_id": int(r["shard"]),
-                        "last_lsn": int(r["last_lsn"]),
+                        "last_lsn": (-1 if r["wm_lsn"] is None
+                                     else int(r["wm_lsn"])),
                         "rows": int(r["rows"]),
                         "bytes": int(r["bytes"]),
                     }
@@ -308,7 +339,8 @@ class CdcApplier:
                 "rows": int(sum(p["rows"] for p in parts)),
                 "bytes": int(sum(p["bytes"] for p in parts)),
                 "shard_lsns": {
-                    p["partition_id"]: p["last_lsn"] for p in parts
+                    p["partition_id"]: p["last_lsn"]
+                    for p in parts if p["last_lsn"] >= 0
                 },
                 "partitions": parts,
             })
@@ -363,7 +395,9 @@ class CdcApplier:
         batch = batch.observe(
             obs,
             F.count(F.lit(1)).alias("rows"),
-            F.max("lsn").alias("last_lsn"),
+            # watermark = max REAL lsn only; an all-sentinel batch (lsn<0
+            # snapshot/append-commit rows) leaves the watermark untouched
+            F.max(F.when(F.col("lsn") >= 0, F.col("lsn"))).alias("last_lsn"),
             F.sum(byte_expr).alias("bytes"),
         )
 
@@ -375,7 +409,7 @@ class CdcApplier:
             return {
                 "rows": rows,
                 "bytes": nbytes,
-                "shard_lsns": {-1: last} if rows else {},
+                "shard_lsns": {-1: last} if rows and last >= 0 else {},
                 "partitions": [
                     {"partition_id": -1, "last_lsn": last,
                      "rows": rows, "bytes": nbytes}

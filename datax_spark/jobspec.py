@@ -97,6 +97,17 @@ class RunSpec:
     # job end); a refresh failure fails the batch loudly.  Off = views
     # refresh once after the tail stops, like every other run kind.
     tail_live_agg_views: bool = False
+    # per-shard watermark filter (drop events at-or-below the shard's last
+    # applied LSN — the at-least-once→exactly-once resume guard).  Sentinel
+    # lsn<0 rows (snapshots, append-commit CDC-out) are always exempt, so
+    # wire feeds produced by emit_table_changes/emit_table_snapshot work
+    # with the default.  Turn OFF for Maxwell/Canal feeds that split one
+    # commit-second across micro-batches: their synthesized LSNs order by
+    # (xid mod 4096) within a second, and a cross-batch collision in the
+    # wrong order would be dropped by the key-agnostic filter (see
+    # sources/debezium.py bit-budget notes); the batch-id lineage guard
+    # still holds exactly-once without it.
+    filter_watermark: bool = True
 
 
 @dataclass
@@ -386,6 +397,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             max_bytes_per_trigger=spec.run.max_bytes_per_trigger,
             max_rows_per_trigger=spec.run.max_rows_per_trigger,
             stall_timeout_sec=spec.run.stall_timeout_sec,
+            filter_watermark=spec.run.filter_watermark,
             transform=(
                 (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))
                 if spec.transforms else None

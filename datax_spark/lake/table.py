@@ -53,6 +53,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datax_spark.lake.catalog import (  # noqa: F401 (re-exported)
+    CommitConflict,
+    FileCatalog,
+    ManifestCatalog,
+)
+
 _BUCKET_COL = "__dx_bucket"
 # Hidden merge-on-read columns carried in delta files only: the event's LSN
 # (ordering authority) and the tombstone flag.  Base files never carry them.
@@ -96,15 +102,6 @@ _WIDEN_FAMILY: dict[str, str] = {
     "float": "fp",
     "double": "fp",
 }
-
-
-def _atomic_write_text(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
 
 
 def merge_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
@@ -450,18 +447,23 @@ class Manifest:
         )
 
 
-class CommitConflict(RuntimeError):
-    pass
-
-
 class LakeTable:
-    """Bucketed ACID parquet table with manifest-tracked snapshots."""
+    """Bucketed ACID parquet table with manifest-tracked snapshots.
 
-    def __init__(self, spark: SparkSession, location: str):
+    The commit protocol lives behind the ``ManifestCatalog`` seam
+    (lake/catalog.py): default ``FileCatalog`` (O_EXCL + pointer rename —
+    today's behavior, byte-identical layout); pass ``catalog=`` to target
+    another backend (the contract test runs the full fold on
+    ``MemoryCatalog``; a real deployment maps the same five methods onto
+    an Iceberg/Nessie/Glue commit-if-version-matches)."""
+
+    def __init__(self, spark: SparkSession, location: str,
+                 catalog: "ManifestCatalog | None" = None):
         self.spark = spark
         self.location = os.path.abspath(location)
         self.meta_dir = os.path.join(self.location, "meta")
         self.data_dir = os.path.join(self.location, "data")
+        self.catalog = catalog or FileCatalog(self.meta_dir)
 
     # ---------------------------------------------------------------- create
     @staticmethod
@@ -473,12 +475,16 @@ class LakeTable:
         bucket_col: str | None = None,
         num_buckets: int = 16,
         properties: dict | None = None,
+        catalog: "ManifestCatalog | None" = None,
     ) -> "LakeTable":
-        t = LakeTable(spark, location)
+        t = LakeTable(spark, location, catalog=catalog)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
-        if os.path.exists(os.path.join(t.meta_dir, "current")):
+        try:
+            t.catalog.read_pointer()
             raise FileExistsError(f"table already exists at {location}")
+        except FileNotFoundError:
+            pass
         m = Manifest(
             version=0,
             schema=schema,
@@ -499,27 +505,17 @@ class LakeTable:
 
     # ------------------------------------------------------------- manifests
     def current_version(self) -> int:
-        with open(os.path.join(self.meta_dir, "current"), encoding="utf-8") as f:
-            return int(f.read().strip())
+        return self.catalog.read_pointer()
 
     def manifest(self, version: int | None = None) -> Manifest:
         v = self.current_version() if version is None else version
-        with open(os.path.join(self.meta_dir, f"v{v:08d}.json"), encoding="utf-8") as f:
-            return Manifest.from_json(f.read())
+        return Manifest.from_json(self.catalog.read_manifest(v))
 
     def _write_manifest(self, m: Manifest) -> None:
         m.committed_at = time.time()
-        path = os.path.join(self.meta_dir, f"v{m.version:08d}.json")
-        try:
-            with open(path, "x", encoding="utf-8") as f:
-                f.write(m.to_json())
-                f.flush()
-                os.fsync(f.fileno())
-        except FileExistsError as e:  # optimistic-concurrency loss
-            raise CommitConflict(
-                f"version {m.version} already committed at {self.location}"
-            ) from e
-        _atomic_write_text(os.path.join(self.meta_dir, "current"), str(m.version))
+        # the catalog's atomic claim IS the commit point: data visible and
+        # lineage recorded in one event (CommitConflict = rebase + retry)
+        self.catalog.commit(m.version, m.to_json())
 
     # ----------------------------------------------------------------- reads
     def schema(self) -> T.StructType:
@@ -1840,7 +1836,7 @@ class LakeTable:
         through retention.  Stored in table properties (a properties-only
         commit), so tags survive restarts and are visible to every reader."""
         v = self.current_version() if version is None else int(version)
-        if not os.path.exists(os.path.join(self.meta_dir, f"v{v:08d}.json")):
+        if not self.catalog.exists_version(v):
             raise FileNotFoundError(f"no snapshot v{v} to tag")
         tags = dict(self.manifest().properties.get("tags") or {})
         if name in tags:
@@ -1922,23 +1918,18 @@ class LakeTable:
         cutoff = self.current_version() - keep_versions + 1
         pinned = set(self.tags().values())
         removed = 0
-        for fn in os.listdir(self.meta_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
+        for v in self.catalog.list_versions():
+            if v >= cutoff or v in pinned:
+                continue
+            if older_than is not None:
                 try:
-                    v = int(fn[1:-5])
-                except ValueError:
+                    ts = self.manifest(v).committed_at
+                except FileNotFoundError:
                     continue
-                if v >= cutoff or v in pinned:
-                    continue
-                if older_than is not None:
-                    try:
-                        ts = self.manifest(v).committed_at
-                    except FileNotFoundError:
-                        continue
-                    if ts is not None and ts >= older_than:
-                        continue  # too recent to expire
-                os.remove(os.path.join(self.meta_dir, fn))
-                removed += 1
+                if ts is not None and ts >= older_than:
+                    continue  # too recent to expire
+            self.catalog.delete_version(v)
+            removed += 1
         return removed
 
     def vacuum(self, keep_versions: int = 2) -> int:
@@ -1972,3 +1963,37 @@ class LakeTable:
                     os.remove(os.path.join(full, fn))
                     removed += 1
         return removed
+
+    def verify_files(self, version: int | None = None) -> list[dict]:
+        """Audit the snapshot's data files against the manifest: every
+        referenced file must exist with exactly its recorded byte size.
+
+        Catches the corruption classes a read cannot: missing files,
+        truncation, and whole-file swaps (an external process replacing a
+        data file).  BIT FLIPS inside a file keep its size — those are
+        caught at scan time by parquet page CRC verification, which every
+        session enables (``parquet.page.verify-checksum.enabled``,
+        session.py) because published files carry no filesystem sidecar
+        checksums after the staging rename.  Manifest-recorded sizes make
+        this a pure metadata pass — zero Spark jobs, zero data reads — so
+        it is cheap enough to run before any irreversible maintenance
+        (vacuum, retention, rebucket).
+
+        Returns a list of findings (empty = clean); each finding is
+        ``{"path", "problem": "missing"|"size", "expected", "actual"}``."""
+        m = self.manifest(version)
+        findings: list[dict] = []
+        for entries in m.files.values():
+            for e in entries:
+                full = os.path.join(self.location, e[0])
+                expected = int(e[3]) if len(e) > 3 else None
+                try:
+                    actual = os.path.getsize(full)
+                except OSError:
+                    findings.append({"path": e[0], "problem": "missing",
+                                     "expected": expected, "actual": None})
+                    continue
+                if expected is not None and actual != expected:
+                    findings.append({"path": e[0], "problem": "size",
+                                     "expected": expected, "actual": actual})
+        return findings

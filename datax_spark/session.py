@@ -32,6 +32,17 @@ _BASE_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # At-rest integrity: parquet page-level CRC32 on write (parquet-mr
+    # default, pinned explicitly) and VERIFIED on every read (not the
+    # default).  This is the filesystem-independent layer — the lake
+    # publishes staged files with os.rename, so Hadoop LocalFS .crc
+    # sidecars do not follow them, and object stores (S3A) verify nothing
+    # on read; a flipped bit in any data page fails the scan loudly
+    # (ParquetDecodingException: CRC checksum verification failed)
+    # instead of silently folding garbage into query results.  Cost is a
+    # CRC32 per page — noise next to decompression.
+    "spark.hadoop.parquet.page.write-checksum.enabled": "true",
+    "spark.hadoop.parquet.page.verify-checksum.enabled": "true",
 }
 
 

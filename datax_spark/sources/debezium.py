@@ -135,13 +135,27 @@ _MAXWELL_OPS = {
     "update": "update",
     "delete": "delete",
 }
-# lsn = ts·2^31 + (xid mod 2^12)·2^19 + (xoffset mod 2^19): ordered by
-# commit second, then transaction, then row-within-transaction.  Budget
+# lsn = ts·2^31 + (xid mod 2^12)·2^19 + xoffset: ordered by commit
+# second, then transaction, then row-within-transaction.  Budget
 # arithmetic for the 63 usable bits: ts(sec) < 2^32 (through year 2106)
 # in the top bits — max value (2^32-1)·2^31 + 2^31-1 = 2^63-1, no
-# overflow; 2^12 = 4096 transactions/second and 2^19 = 524,288 rows per
-# transaction before the respective mod wraps (a wrap only matters when
-# the SAME KEY is touched on both sides of it within one second).
+# overflow; 2^12 = 4096 transactions/second; 2^19 = 524,288 rows per
+# transaction is a HARD limit — an xoffset at or beyond it FAILS LOUDLY
+# (raise_error) instead of mod-wrapping, because a wrapped LSN is not
+# merely a reorder: the per-shard watermark filter is key-agnostic, so a
+# wrapped (smaller) LSN landing in a later micro-batch than the shard's
+# watermark is silently DROPPED.  The xid mod is unavoidable (MySQL xids
+# grow without bound and only same-second relative order matters), which
+# leaves a documented hazard: two transactions in the same commit-second
+# whose xids collide mod 4096 in the wrong order ACROSS micro-batches
+# can likewise be dropped by the watermark filter — feeds that split
+# commit-seconds across micro-batches should run filter_watermark=False
+# (exactly-once is still held by the batch-id lineage guard).
+# 'bootstrap-insert' rows carry NO (xid, xoffset) at all — instead of
+# packing them into colliding same-second LSNs they get the snapshot
+# SENTINEL lsn = -1, which the engine exempts from watermark advance and
+# comparison (cdc/apply.py:filter_already_applied), matching
+# emit_table_snapshot's op:"r" records.
 _MAXWELL_TS_SHIFT = 1 << 31
 _MAXWELL_XID_SHIFT = 1 << 19
 _MAXWELL_XID_MOD = 1 << 12
@@ -172,9 +186,12 @@ def normalize_maxwell(
     """Maxwell struct frame → engine envelope.
 
     ``lsn`` is synthesized from (ts, xid, xoffset) — see the bit split
-    above; same-second transactions order by xid, rows within a
-    transaction by xoffset — Maxwell's emission order, up to the
-    documented per-field mod wraps.  Rows with
+    above; same-second transactions order by xid (mod 4096 — the one
+    documented collision hazard), rows within a transaction by xoffset —
+    Maxwell's emission order.  An ``xoffset`` ≥ 2^19 raises instead of
+    wrapping (a wrapped LSN would be silently dropped by the watermark
+    filter, not just reordered).  ``bootstrap-insert`` rows (no
+    xid/xoffset) get the snapshot sentinel ``lsn = -1``.  Rows with
     unknown ``type`` (ddl, heartbeats) or no ``ts`` are dropped like the
     Debezium path drops unknown ops.  ``data`` is the payload for every
     type (Maxwell deletes carry the full old row there)."""
@@ -183,12 +200,30 @@ def normalize_maxwell(
     for k, v in _MAXWELL_OPS.items():
         op = F.when(F.col("e.type") == k, F.lit(v)).otherwise(op)
     row = F.col("e.data")
-    lsn = (
+    xoff = F.coalesce(F.col("e.xoffset"), F.lit(0))
+    # assert_true yields NULL when the guard holds and raises otherwise;
+    # coalescing it to 0 keeps the whole expression JVM-side and codegen'd
+    wrap_guard = F.coalesce(
+        F.assert_true(
+            xoff < F.lit(_MAXWELL_XOFF_MOD),
+            F.concat(
+                F.lit("maxwell xoffset >= 2^19 ("), xoff.cast("string"),
+                F.lit("): transaction too large for the synthesized LSN's "
+                      "row bits — a mod-wrap here would be silently dropped "
+                      "by the watermark filter; split the transaction or "
+                      "run filter_watermark=False"),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    lsn = F.when(
+        (F.col("e.type") == "bootstrap-insert") & F.col("e.ts").isNotNull(),
+        F.lit(-1),
+    ).otherwise(
         F.col("e.ts") * F.lit(_MAXWELL_TS_SHIFT)
         + F.pmod(F.coalesce(F.col("e.xid"), F.lit(0)),
                  F.lit(_MAXWELL_XID_MOD)) * F.lit(_MAXWELL_XID_SHIFT)
-        + F.pmod(F.coalesce(F.col("e.xoffset"), F.lit(0)),
-                 F.lit(_MAXWELL_XOFF_MOD))
+        + xoff + wrap_guard
     )
     out = parsed.select(
         lsn.cast("long").alias("lsn"),
@@ -240,12 +275,16 @@ def from_maxwell_value_column(
 # - ordering: es (binlog event ms) then id (batch id) then row position.
 
 _CANAL_OPS = {"INSERT": "insert", "UPDATE": "update", "DELETE": "delete"}
-# lsn = (es//1000)·2^31 + (id mod 2^12)·2^19 + (pos mod 2^19): the same
-# 63-bit split as Maxwell's (second · transaction/batch · row) — es is
-# epoch MS, coarsened to seconds for the LSN (within a second Canal's
-# monotone batch id orders; the envelope's ``ts`` column keeps the full
-# ms precision); 2^19 = 524,288 rows per flat message before the row-
-# position mod wraps.
+# lsn = (es//1000)·2^31 + (id mod 2^12)·2^19 + pos: the same 63-bit
+# split as Maxwell's (second · transaction/batch · row) — es is epoch
+# MS, coarsened to seconds for the LSN (within a second Canal's monotone
+# batch id orders; the envelope's ``ts`` column keeps the full ms
+# precision).  A row position ≥ 2^19 = 524,288 FAILS LOUDLY instead of
+# mod-wrapping — a wrapped LSN in a later micro-batch falls at-or-below
+# the shard watermark and is silently DROPPED, not merely reordered; the
+# batch-id mod shares Maxwell's same-second collision hazard (see the
+# Maxwell bit-budget comment above — run filter_watermark=False for
+# feeds that split commit-seconds across micro-batches).
 _CANAL_ES_SHIFT = 1 << 31
 _CANAL_ID_SHIFT = 1 << 19
 _CANAL_ID_MOD = 1 << 12
@@ -292,11 +331,28 @@ def normalize_canal(
         F.col("e"), F.posexplode(F.col("e.data")).alias("__pos", "__row")
     )
     es = F.coalesce(F.col("e.es"), F.col("e.ts"))
+    # row-position wrap fails loudly (see the bit-budget comment above):
+    # assert_true is NULL when the guard holds, coalesced to 0 so the
+    # expression stays JVM-side
+    pos_guard = F.coalesce(
+        F.assert_true(
+            F.col("__pos") < F.lit(_CANAL_POS_MOD),
+            F.concat(
+                F.lit("canal row position >= 2^19 ("),
+                F.col("__pos").cast("string"),
+                F.lit("): flat message too large for the synthesized LSN's "
+                      "row bits — a mod-wrap would be silently dropped by "
+                      "the watermark filter; shrink canal.mq.flatMessage "
+                      "batches or run filter_watermark=False"),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     lsn = (
         F.floor(es / F.lit(1000)).cast("long") * F.lit(_CANAL_ES_SHIFT)
         + F.pmod(F.coalesce(F.col("e.id"), F.lit(0)),
                  F.lit(_CANAL_ID_MOD)) * F.lit(_CANAL_ID_SHIFT)
-        + F.pmod(F.col("__pos"), F.lit(_CANAL_POS_MOD))
+        + F.col("__pos") + pos_guard
     )
     out = ex.select(
         lsn.cast("long").alias("lsn"),
@@ -501,7 +557,15 @@ def emit_table_snapshot(
     the next commit — consumers replay the directories in order and
     converge to the live table.  Refuses a non-empty ``out_dir`` (a
     bootstrap must come first; re-running after a crash before the
-    watermark write simply re-publishes)."""
+    watermark write simply re-publishes).
+
+    Snapshot rows carry the SENTINEL ``source.lsn = -1`` ("before any
+    LSN").  The consumer side treats lsn<0 as position-less: such rows
+    never advance a shard watermark and are exempt from the watermark
+    filter (``cdc/apply.py:filter_already_applied``), so a snapshot that
+    spans many micro-batches replays in full even with
+    ``filter_watermark=True`` — batch 1 cannot poison the watermark to -1
+    and drop the rest."""
     import os as _os
     import shutil as _shutil
     import uuid as _uuid

@@ -124,8 +124,20 @@ def _read_csv_like(
     )
     if null_format is not None:
         reader = reader.option("nullValue", null_format)
-    if compression:
-        reader = reader.option("compression", compression)
+    # Read-side decompression is EXTENSION-DRIVEN in Spark (.gz/.bz2/...
+    # are decoded by the Hadoop codec factory from the file name); the
+    # "compression" option only exists on the WRITE path.  Setting it on a
+    # read is a silent no-op, so a passed value is validated against the
+    # codecs Spark actually auto-detects instead of implying a knob.
+    if compression and str(compression).lower() not in (
+        "none", "gzip", "gz", "bzip2", "bz2", "deflate", "lz4", "snappy",
+        "zstd", "zstandard",
+    ):
+        raise ValueError(
+            f"unknown compression {compression!r}: delimited reads "
+            "decompress by file extension (.gz/.bz2/.deflate/.lz4/.zst); "
+            "rename the files to carry the codec extension"
+        )
     df = reader.csv(source)
     if columns is None:
         return df

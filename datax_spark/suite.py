@@ -935,8 +935,10 @@ def q_cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete/bootstrap-insert, full row in ``data`` for every type, ordering
     carried by (ts, xid, xoffset) — no LSN on the wire) with ``to_json``,
     then parsed back through ``sources.debezium.from_maxwell_value_column``.
-    The oracle recomputes the synthesized LSN's bit split and the op map
-    directly, so any parse/ordering bug breaks the hash."""
+    The oracle recomputes the synthesized LSN's bit split, the
+    bootstrap-insert sentinel (lsn = -1 — snapshot rows carry no binlog
+    position) and the op map directly, so any parse/ordering bug breaks
+    the hash."""
     from datax_spark.sources import debezium as DBZ
 
     ev = _t(spark, sf_dir, "events")
@@ -960,8 +962,11 @@ def q_cdc_maxwell_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ts_s = (F.unix_millis(F.col("ts").cast("timestamp"))
             / F.lit(1000)).cast("long")
-    xid = F.floor(F.col("event_id") / F.lit(4)).cast("long")
-    xoff = F.pmod("event_id", F.lit(4)).cast("long")
+    live = typ != "bootstrap-insert"
+    # real Maxwell bootstrap rows carry NO xid/xoffset (to_json drops the
+    # nulls, so the wire shape is faithful: the fields are absent)
+    xid = F.when(live, F.floor(F.col("event_id") / F.lit(4))).cast("long")
+    xoff = F.when(live, F.pmod("event_id", F.lit(4))).cast("long")
     value = F.to_json(
         F.struct(
             F.lit("appdb").alias("database"),
@@ -3320,12 +3325,15 @@ SELECT event_id AS lsn,
 FROM events
 """
 
-# The Maxwell roundtrip: op map (bootstrap-insert folds into insert) and
-# the synthesized LSN bit split ts·2^31 + (xid mod 2^12)·2^19 + xoffset.
+# The Maxwell roundtrip: op map (bootstrap-insert folds into insert,
+# carrying the snapshot SENTINEL lsn = -1) and the synthesized LSN bit
+# split ts·2^31 + (xid mod 2^12)·2^19 + xoffset for live rows.
 _ORACLES["cdc_maxwell_envelope"] = """
-SELECT CAST((epoch_ms(ts) // 1000) * 2147483648
-            + ((event_id // 4) % 4096) * 524288
-            + (event_id % 4) AS BIGINT) AS lsn,
+SELECT CAST(CASE WHEN event_type NOT IN ('error', 'purchase')
+                  AND event_id % 13 = 0 THEN -1
+            ELSE (epoch_ms(ts) // 1000) * 2147483648
+                 + ((event_id // 4) % 4096) * 524288
+                 + (event_id % 4) END AS BIGINT) AS lsn,
        CASE WHEN event_type = 'error' THEN 'delete'
             WHEN event_type = 'purchase' THEN 'update'
             ELSE 'insert' END AS op,
@@ -3396,9 +3404,20 @@ LEFT JOIN reb ON reb.doc_id = d.doc_id
 # Registry order matters: the driver gate evaluates the FIRST 50 entries
 # against their DuckDB oracles each round.  The least-proven operators
 # (newest additions) therefore sit inside the first 50; rows rotated to the
-# tail below all have two rounds of driver-green evidence (CORRECTNESS_r01
-# + _r02) and full pytest coverage.
+# tail below all have two rounds of driver-green evidence and full pytest
+# coverage.  Round 4 rotates IN the 8 entries that have never had a driver
+# row (q8/q13/q15/q17/q19, lake_point_lookup, cdc_debezium_out,
+# text_normalize — all judge-verified green in round 3) and rotates OUT 8
+# rows green in BOTH r2 and r3 whose code is untouched this round.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q8_market_share": q_q8_market_share,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q19_discounted_revenue": q_q19_discounted_revenue,
+    "lake_point_lookup": q_lake_point_lookup,
+    "cdc_debezium_out": q_cdc_debezium_out,
+    "text_normalize": q_text_normalize,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
@@ -3414,27 +3433,19 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_canal_envelope": q_cdc_canal_envelope,
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
-    "cdc_changelog_images": q_cdc_changelog_images,
-    "cdc_mirror_relay": q_cdc_mirror_relay,
     "cdc_wap_publish": q_cdc_wap_publish,
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
     "cdc_stream_continuous": q_cdc_stream_continuous,
     "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
-    "asof_purchase_attrib": q_asof_purchase_attrib,
-    "asof_forward_next_purchase": q_asof_forward_next_purchase,
-    "range_error_window": q_range_error_window,
-    "temporal_dim_join": q_temporal_dim_join,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
     "text_bm25_topk": q_text_bm25_topk,
     "embed_quantize": q_embed_quantize,
     "text_pii_scrub": q_text_pii_scrub,
     "text_contamination": q_text_contamination,
-    "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
     "text_repetition": q_text_repetition,
     "text_token_stats": q_text_token_stats,
     "dedup_paragraphs": q_dedup_paragraphs,
-    "sample_stratified": q_sample_stratified,
     "sample_split": q_sample_split,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
@@ -3477,11 +3488,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q_q10_returned_items,
     "q14_promo_revenue": q_q14_promo_revenue,
     "q18_large_volume": q_q18_large_volume,
-    "q8_market_share": q_q8_market_share,
-    "q13_customer_distribution": q_q13_customer_distribution,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-    "q19_discounted_revenue": q_q19_discounted_revenue,
     "top_orders_per_segment": q_top_orders_per_segment,
     "q22_rich_idle_customers": q_q22_rich_idle_customers,
     "events_tumbling_window": q_events_tumbling_window,
@@ -3489,9 +3495,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "q3_top_shipping": q_q3_top_shipping,
     "q1_pricing_summary": q_q1_pricing_summary,
-    "lake_point_lookup": q_lake_point_lookup,
-    "cdc_debezium_out": q_cdc_debezium_out,
-    "text_normalize": q_text_normalize,
+    "asof_purchase_attrib": q_asof_purchase_attrib,
+    "asof_forward_next_purchase": q_asof_forward_next_purchase,
+    "range_error_window": q_range_error_window,
+    "temporal_dim_join": q_temporal_dim_join,
+    "cdc_changelog_images": q_cdc_changelog_images,
+    "cdc_mirror_relay": q_cdc_mirror_relay,
+    "sample_stratified": q_sample_stratified,
+    "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
 }
 
 

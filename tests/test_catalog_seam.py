@@ -1,0 +1,125 @@
+"""ManifestCatalog contract test — the Iceberg swap seam is real.
+
+LakeTable's commit protocol (stage files → atomically claim version N →
+swap the current pointer) lives behind ``lake.catalog.ManifestCatalog``.
+This suite runs the SAME fold — full sync → incremental MERGE batches →
+'crash'/reopen → replay → sha256-free state parity — against BOTH
+backends (``FileCatalog``, today's O_EXCL+rename; ``MemoryCatalog``, a
+dict-backed stand-in for an external catalog service) and pins the
+compare-and-swap semantics (CommitConflict on a double-claim) each must
+honor.  Reference analogue: the writer SPI seam
+(common/.../spi/Writer.java:18-37)."""
+
+import pytest
+
+from datax_spark import fixtures
+from datax_spark.cdc.runner import full_sync, run_incremental
+from datax_spark.lake.catalog import CommitConflict, FileCatalog, MemoryCatalog
+from datax_spark.lake.table import LakeTable
+
+
+def _mk_catalog(kind, location):
+    if kind == "file":
+        return None  # LakeTable default
+    return MemoryCatalog(location)
+
+
+@pytest.mark.parametrize("kind", ["file", "memory"])
+def test_fold_replay_parity_on_backend(spark, tmp_path, kind):
+    loc = str(tmp_path / f"lake_{kind}")
+    feed_dir = str(tmp_path / "feed")
+    fixtures.change_events(spark, 1500, n_keys=300, seed=42) \
+        .write.mode("overwrite").parquet(feed_dir)
+    feed = spark.read.parquet(feed_dir)
+
+    # the repo-table shape (create_repo_table), but on the chosen backend
+    from datax_spark.cdc.runner import KEY_COLS, REPO_SCHEMA
+
+    t = LakeTable.create(
+        spark, loc, schema=REPO_SCHEMA, key_cols=KEY_COLS,
+        bucket_col="repo", num_buckets=8, catalog=_mk_catalog(kind, loc),
+    )
+    full_sync(t, fixtures.repo_files(spark, 400, seed=42))
+    v_sync = t.current_version()
+
+    # two batches, then a 'crash' (drop the object) and reopen
+    run_incremental(t, feed, batch_lsns=500, max_batches=2)
+    v_mid = t.current_version()
+    assert v_mid > v_sync
+
+    t2 = LakeTable(spark, loc, catalog=_mk_catalog(kind, loc))
+    assert t2.current_version() == v_mid  # reopen sees committed state
+    lineages = run_incremental(t2, feed, batch_lsns=500)
+    # replayed batch ids 0 and 1 are exactly-once no-ops
+    replayed = [l["batch_id"] for l in lineages]
+    assert 0 not in replayed and 1 not in replayed and replayed
+
+    # parity vs the pure-Python fold oracle: every folded key present,
+    # every feed-deleted key absent (full-sync-only keys legitimately stay)
+    expected = fixtures.expected_state(feed_dir)
+    feed_keys = {
+        (r.repo, r.path, r.commit)
+        for r in feed.select("repo", "path", "commit").distinct().collect()
+    }
+    got = {
+        (r.repo, r.path, r.commit)
+        for r in t2.read().select("repo", "path", "commit").collect()
+    }
+    assert set(expected) <= got
+    assert not (feed_keys - set(expected)) & got  # deletes applied
+
+
+def test_memory_backend_commit_is_compare_and_swap(spark, tmp_path):
+    loc = str(tmp_path / "cas")
+    cat = MemoryCatalog(loc)
+    cat.commit(0, "{}")
+    with pytest.raises(CommitConflict):
+        cat.commit(0, "{}")  # double-claim of the same version
+    cat.commit(1, '{"v": 1}')
+    assert cat.read_pointer() == 1
+    assert cat.read_manifest(1) == '{"v": 1}'
+    assert cat.list_versions() == [0, 1]
+    cat.delete_version(0)
+    assert cat.list_versions() == [1]
+    with pytest.raises(FileNotFoundError):
+        cat.read_manifest(0)
+    MemoryCatalog.drop(loc)
+    with pytest.raises(FileNotFoundError):
+        MemoryCatalog(loc).read_pointer()
+
+
+def test_file_backend_same_contract(tmp_path):
+    meta = tmp_path / "meta"
+    meta.mkdir()
+    cat = FileCatalog(str(meta))
+    with pytest.raises(FileNotFoundError):
+        cat.read_pointer()
+    cat.commit(0, "{}")
+    with pytest.raises(CommitConflict):
+        cat.commit(0, "{}")
+    cat.commit(1, '{"v": 1}')
+    assert cat.read_pointer() == 1
+    assert cat.list_versions() == [0, 1]
+    cat.delete_version(0)
+    assert cat.list_versions() == [1]
+
+
+def test_snapshot_ops_on_memory_backend(spark, tmp_path):
+    """Time travel, tags, and snapshot expiry ride the same seam."""
+    from pyspark.sql import types as T
+
+    loc = str(tmp_path / "mem_ops")
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = LakeTable.create(spark, loc, schema=schema, key_cols=["k"],
+                         num_buckets=4, catalog=MemoryCatalog(loc))
+    for i in range(4):
+        t.overwrite(spark.createDataFrame([(1, f"gen{i}")], schema))
+    assert t.read(version=2).collect()[0].v == "gen1"  # time travel
+    t.create_tag("keep", version=2)
+    removed = t.expire_snapshots(keep_versions=2)
+    assert removed > 0
+    assert t.read(version=2).collect()[0].v == "gen1"  # tag pinned it
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)  # expired
+    MemoryCatalog.drop(loc)

@@ -391,3 +391,143 @@ def test_cdcout_to_cdcin_replication_loop(spark, tmp_path):
         filter_watermark=False, dedup_batch=False,
     )
     assert state(tgt) == state(t)
+
+
+# ---------------------------------------------------- sentinel LSN semantics
+# Round-3 advisory (high): snapshot rows carry lsn = -1; consumed through
+# the wire path across SEVERAL micro-batches, batch 1 used to set the
+# shard watermark to -1 and `lsn > -1` silently dropped the rest of the
+# snapshot.  Sentinel (lsn<0) rows now neither advance a watermark nor
+# compare against one.
+
+def test_multi_batch_snapshot_survives_watermark_filter(spark, tmp_path):
+    import glob
+    import os
+
+    from datax_spark.streaming.runner import run_available_now
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), schema=PAYLOAD, key_cols=["k"],
+        num_buckets=4,
+    )
+    t.overwrite(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k long, v string"))
+    out = str(tmp_path / "boot")
+    DBZ.emit_table_snapshot(t, out, db="d", name="t")
+    nfiles = len(glob.glob(os.path.join(out, "_commit_version=*", "*.txt")))
+    assert nfiles > 1, "repro needs a snapshot spanning several part files"
+
+    tgt = LakeTable.create(
+        spark, str(tmp_path / "tgt"), schema=PAYLOAD, key_cols=["k"],
+        num_buckets=4,
+    )
+    # one file per micro-batch, watermark filter at its DEFAULT (True):
+    # before the fix batch 1 poisoned the watermark and later batches lost
+    # every row
+    run_available_now(
+        spark, out + "/_commit_version=*", tgt,
+        feed_format="debezium-json", payload="k long, v string",
+        max_files_per_trigger=1, dedup_batch=False,
+    )
+    assert ({r.k: r.v for r in tgt.read().collect()}
+            == {r.k: r.v for r in t.read().collect()})
+    # sentinel rows never advanced any shard watermark
+    assert tgt.manifest().shard_lsns == {}
+
+
+def test_sentinel_rows_never_advance_or_hit_watermark(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "lk"), schema=PAYLOAD, key_cols=["k"],
+        num_buckets=4,
+    )
+    ap = CdcApplier(t, dedup_batch=False, lineage_detail="shards")
+    env = "lsn long, shard int, ts timestamp, op string, k long, v string"
+    snap = spark.createDataFrame(
+        [(-1, 0, None, "insert", 1, "s1"), (-1, 1, None, "insert", 2, "s2")],
+        env,
+    )
+    lin = ap.apply_batch(snap, "snap0")
+    assert lin["rows"] == 2
+    assert lin["shard_lsns"] == {}          # sentinels advance nothing
+    assert t.manifest().shard_lsns == {}
+
+    real = spark.createDataFrame(
+        [(5, 0, None, "update", 1, "live")], env)
+    ap.apply_batch(real, "live1")
+    assert t.manifest().shard_lsns == {"0": 5}
+
+    # filter: stale real row dropped, newer real row and sentinel both pass
+    mix = spark.createDataFrame(
+        [(3, 0, None, "update", 1, "stale"),
+         (7, 0, None, "update", 1, "new"),
+         (-1, 0, None, "insert", 9, "snap-late")],
+        env,
+    )
+    kept = {(r.lsn, r.v) for r in ap.filter_already_applied(mix).collect()}
+    assert kept == {(7, "new"), (-1, "snap-late")}
+
+
+def test_maxwell_bootstrap_sentinel_and_xoffset_wrap(spark, tmp_path):
+    import pytest as _pytest
+
+    src = tmp_path / "mx2"
+    src.mkdir()
+    lines = [
+        _maxwell("bootstrap-insert", 1700000100, None, None,
+                 {"k": 1, "v": "s1"}),
+        _maxwell("bootstrap-insert", 1700000100, None, None,
+                 {"k": 2, "v": "s2"}),
+        _maxwell("insert", 1700000101, 7, 0, {"k": 3, "v": "live"}),
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines))
+    feed = DBZ.from_maxwell_json_lines(spark, str(src), PAYLOAD, n_shards=4)
+    rows = {r.k: r for r in feed.collect()}
+    # bootstrap rows: SENTINEL lsn, not same-second colliding packed LSNs
+    assert rows[1].lsn == -1 and rows[2].lsn == -1
+    assert rows[3].lsn > 0
+
+    # an xoffset beyond the LSN's 19 row bits fails LOUDLY (a silent
+    # mod-wrap would be dropped by the watermark filter, not reordered)
+    src2 = tmp_path / "mx3"
+    src2.mkdir()
+    (src2 / "a.jsonl").write_text(
+        _maxwell("insert", 1700000101, 7, 1 << 19, {"k": 9, "v": "big"}))
+    bad = DBZ.from_maxwell_json_lines(spark, str(src2), PAYLOAD, n_shards=4)
+    with _pytest.raises(Exception, match="xoffset"):
+        bad.collect()
+
+
+def test_replication_loop_with_default_watermark_filter(spark, tmp_path):
+    """The cdcout→cdcin loop with run defaults (filter_watermark=True):
+    append-commit rows serialize as sentinel lsn=-1 and must still land
+    (round-3 advisory, low)."""
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.streaming.runner import run_available_now
+
+    t, schema = _mk_table_with_history(spark, tmp_path)
+    out = str(tmp_path / "wire-default")
+    DBZ.emit_table_changes(t, out, db="d", name="t")
+
+    tgt = LakeTable.create(
+        spark, str(tmp_path / "replica-default"), schema=schema,
+        key_cols=["k"], num_buckets=4,
+    )
+    run_available_now(
+        spark, out + "/_commit_version=*", tgt,
+        feed_format="debezium-json", payload="k long, v string",
+        dedup_batch=False,  # filter_watermark left at its True default
+    )
+    state = lambda table: {r.k: r.v for r in table.read().collect()}  # noqa: E731
+    assert state(tgt) == state(t)
+
+    # a follow-up commit rides the same checkpointed pipe, still defaults
+    merge_into(t, spark.createDataFrame(
+        [(8, "h", "insert", 9)], "k long, v string, op string, lsn long"),
+        op_col="op", order_col="lsn", mode="mor")
+    DBZ.emit_table_changes(t, out)
+    run_available_now(
+        spark, out + "/_commit_version=*", tgt,
+        feed_format="debezium-json", payload="k long, v string",
+        dedup_batch=False,
+    )
+    assert state(tgt) == state(t)

@@ -92,6 +92,28 @@ def test_read_delimited_projection_cast_const(spark, csv_dir):
     assert rows[1].tag == "fixed"
 
 
+def test_read_delimited_gzip_by_extension(spark, tmp_path):
+    # Read-side decompression is extension-driven (Hadoop codec factory);
+    # the compression= arg is validated but never becomes a read option.
+    import gzip
+
+    p = tmp_path / "gz"
+    p.mkdir()
+    with gzip.open(p / "a.csv.gz", "wt") as f:
+        f.write("1;alice\n2;bob\n")
+    df = FS.read_delimited(
+        spark, str(p),
+        columns=[{"index": 0, "type": "long", "name": "id"},
+                 {"index": 1, "type": "string", "name": "who"}],
+        field_delimiter=";", compression="gzip",
+    )
+    rows = {r.id: r.who for r in df.collect()}
+    assert rows == {1: "alice", 2: "bob"}
+    with pytest.raises(ValueError, match="extension"):
+        FS.read_delimited(spark, str(p), field_delimiter=";",
+                          compression="zip")
+
+
 def test_read_delimited_bad_index(spark, csv_dir):
     with pytest.raises(IndexError):
         FS.read_delimited(
