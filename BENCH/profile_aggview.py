@@ -61,9 +61,10 @@ def main() -> None:
         print(f"{label:<28} {dt:7.2f}s  {dj:3d} jobs", flush=True)
         return out
 
+    minmax = os.environ.get("DX_PROFILE_MINMAX", "1") == "1"
     # warmup pass (codegen/scan caches) then the measured pass
     for tag in ("warmup", "measured"):
-        print(f"--- {tag} ---")
+        print(f"--- {tag} (minmax={minmax}) ---")
         loc = tempfile.mkdtemp(prefix="dx_pa_t_")
         os.rmdir(loc)
         vloc = tempfile.mkdtemp(prefix="dx_pa_v_")
@@ -87,7 +88,8 @@ def main() -> None:
             auto_compact=None, keys_unique=True))
         view = phase("create_agg_view", lambda: create_agg_view(
             table, vloc, dims=["prio"], sums=["total_cents"],
-            mins=["total_cents"], maxs=["total_cents"], num_buckets=4))
+            mins=["total_cents"] if minmax else [],
+            maxs=["total_cents"] if minmax else [], num_buckets=4))
         changes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
             F.col("o_orderkey").cast("long").alias("k"),
             F.col("o_orderpriority").alias("prio"),

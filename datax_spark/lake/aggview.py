@@ -53,6 +53,8 @@ path.
 from __future__ import annotations
 
 import json
+import os
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -375,7 +377,7 @@ def _maintain_levels(
         jc = e if jc is None else (jc & e)
     inside = (F.col(c) <= F.col("__H")) if asc else (F.col(c) >= F.col("__H"))
     clv = (
-        contrib.join(F.broadcast(hz), on=jc, how="left")
+        contrib.join(_bcast(hz), on=jc, how="left")
         .filter(F.col(c).isNotNull() & (F.col("__H").isNull() | inside))
         .select(*dims, F.col(c).alias("__v"),
                 F.col("__w").cast("long").alias("__k"))
@@ -418,16 +420,55 @@ _STATIC_PLAN_MAX_BYTES = 64 << 20
 # coalesce these to ~1 partition but pays its own replan jobs; a fixed
 # small width is the static equivalent.  Only plans compiled inside the
 # scope are affected; the session value is restored on exit.
-_STATIC_PLAN_SHUFFLE_PARTITIONS = 8
+_STATIC_PLAN_SHUFFLE_PARTITIONS = 1
+
+
+# True while compiling plans inside the static scope.  Used by ``_bcast``:
+# EVERY broadcast join materializes its build side as a SEPARATE Spark job
+# (the broadcast-exchange job), and the refresh pipeline carries many small
+# joins (delta keys, per-extremum level tops, horizons, rescan keys) — at
+# the ~0.15-0.25s/job scheduling floor those build jobs, not the data,
+# dominated a small refresh (measured 15 jobs ≈ 3.8s warm where the plan
+# has ~2 real actions).  Inside the static scope the same joins run as
+# narrow shuffle joins: extra STAGES inside the action's one job, each a
+# handful of 8-partition tasks — stages are ~ms, jobs are ~250ms.  At
+# production change-layer sizes the scope never engages and every hint
+# stays a real broadcast.
+_IN_STATIC_SCOPE = False
+
+
+def _bcast(df: DataFrame) -> DataFrame:
+    """Broadcast hint that defers to the static small-batch scope (above)."""
+    return df if _IN_STATIC_SCOPE else F.broadcast(df)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Materialization for a frame referenced by several refresh branches.
+
+    Outside the static scope: ``persist()`` — recomputable, the right call
+    when the change layer is big.  Inside it: EAGER ``localCheckpoint()``,
+    which additionally TRUNCATES THE LOGICAL PLAN — measured to matter
+    more than job count on small refreshes: every downstream action
+    (deltas, per-extremum level pipelines, the stat aggregate, the merge)
+    re-runs Catalyst analysis + whole-stage codegen over the full
+    changelog-winners-snapshot tree, and because each refresh bakes new
+    literals (versions, file lists) into the plan, none of that compiles
+    from cache.  Rooting the branches at a LogicalRDD makes every
+    downstream plan shallow.  The recompute-on-failure loss is irrelevant
+    at this size (a failed refresh re-runs wholesale), and ``unpersist()``
+    frees checkpoint blocks the same way."""
+    return df.localCheckpoint(eager=True) if _IN_STATIC_SCOPE else df.persist()
 
 
 @contextmanager
 def _static_planning_if_small(spark, change_bytes: int | None):
-    """Scoped AQE toggle + narrow shuffle width for small refresh batches —
-    restored on any exit, no-op when the change layer is big, unknown, or
-    AQE is already off."""
+    """Scoped AQE toggle + narrow shuffle width + no-broadcast-joins for
+    small refresh batches — restored on any exit, no-op when the change
+    layer is big, unknown, or AQE is already off."""
+    global _IN_STATIC_SCOPE
     key = "spark.sql.adaptive.enabled"
     skey = "spark.sql.shuffle.partitions"
+    bkey = "spark.sql.autoBroadcastJoinThreshold"
     if change_bytes is None or change_bytes > _STATIC_PLAN_MAX_BYTES:
         yield
         return
@@ -447,13 +488,33 @@ def _static_planning_if_small(spark, change_bytes: int | None):
     narrow = (old_sp is None
               or (sp_int is not None
                   and sp_int > _STATIC_PLAN_SHUFFLE_PARTITIONS))
+    old_bt = spark.conf.get(bkey, None)
+    ckey = "spark.sql.codegen.wholeStage"
+    old_cg = spark.conf.get(ckey, None)
     spark.conf.set(key, "false")
+    spark.conf.set(bkey, "-1")  # no auto-broadcast: keep joins in-job
+    # interpreted execution beats compiling: each refresh bakes fresh
+    # literals (versions, watermarks) into every generated class, so none
+    # compile from cache — at 5-row stage sizes the janino compile time
+    # IS the stage time
+    spark.conf.set(ckey, "false")
     if narrow:
         spark.conf.set(skey, str(_STATIC_PLAN_SHUFFLE_PARTITIONS))
+    prev_scope = _IN_STATIC_SCOPE
+    _IN_STATIC_SCOPE = True
     try:
         yield
     finally:
+        _IN_STATIC_SCOPE = prev_scope
         spark.conf.set(key, old)
+        if old_bt is not None:
+            spark.conf.set(bkey, old_bt)
+        else:
+            spark.conf.unset(bkey)
+        if old_cg is not None:
+            spark.conf.set(ckey, old_cg)
+        else:
+            spark.conf.unset(ckey)
         if narrow:
             if old_sp is not None:
                 spark.conf.set(skey, old_sp)
@@ -483,6 +544,16 @@ def refresh_agg_view(
             upstream, view, on_rewrite=on_rewrite, mode=mode,
             auto_compact=auto_compact, recompute_ratio=recompute_ratio,
         )
+
+
+def _trace(label, t0):
+    """Env-gated phase timer (DX_AGGVIEW_TRACE=1): prints the elapsed
+    wall-clock of each refresh phase — the breakdown that drove the
+    small-refresh static-scope work (BENCH/profile_aggview.py)."""
+    if os.environ.get("DX_AGGVIEW_TRACE"):
+        print(f"    TRACE {label:<22} {time.monotonic() - t0:6.2f}s",
+              flush=True)
+    return time.monotonic()
 
 
 def _refresh_agg_view(
@@ -604,8 +675,10 @@ def _refresh_agg_view(
                 order,
             ).alias("__win")
         )
-        .persist()
     )
+    _t = time.monotonic()
+    winners = _pin(winners)
+    _t = _trace("pin winners", _t)
     changed = winners.select(*ukeys)
 
     new_rows = winners.filter(F.col("__win.__t") != "delete").select(
@@ -638,7 +711,8 @@ def _refresh_agg_view(
             # referenced once by the delta aggregation and once per
             # maintained extremum's level pipeline — materialize instead
             # of re-folding the from_v snapshot per branch
-            contrib = contrib.persist()
+            contrib = _pin(contrib)
+            _t = _trace("pin contrib", _t)
 
         weight = F.col("__w")
         delta_aggs = [F.sum(weight).cast("long").alias("__d_n")]
@@ -667,7 +741,8 @@ def _refresh_agg_view(
             keep = keep | (F.col(f"__d_{c}") != 0)
         for c in dict.fromkeys([*mins, *maxs]):
             keep = keep | (F.col(f"__hs_{c}") != 0)
-        deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep).persist()
+        deltas = _pin(contrib.groupBy(*dims).agg(*delta_aggs).filter(keep))
+        _t = _trace("pin deltas", _t)
         m_view = view.manifest()
         bexpr = view.bucket_expr(m_view.bucket_col, m_view.num_buckets)
         view_bytes = sum(
@@ -702,7 +777,14 @@ def _refresh_agg_view(
         for c in dims:
             e = cur[c].eqNullSafe(F.col(f"__k_{c}"))
             cond = e if cond is None else (cond & e)
-        cur = cur.join(F.broadcast(keys), on=cond, how="left_semi")
+        cur = cur.join(_bcast(keys), on=cond, how="left_semi")
+        if _IN_STATIC_SCOPE:
+            # referenced by the merged join, both level pipelines' stored-
+            # level explodes AND their horizon frames — pin once so five
+            # branches plan against one tiny LogicalRDD instead of five
+            # re-planned view scans + semi joins
+            cur = _pin(cur)
+            _t = _trace("pin cur", _t)
 
         jcond = None
         for c in dims:
@@ -723,7 +805,7 @@ def _refresh_agg_view(
             for d in dims:
                 e = deltas[d].eqNullSafe(F.col(f"__t{tag}_{d}"))
                 tcond = e if tcond is None else (tcond & e)
-            merged = merged.join(F.broadcast(t), on=tcond, how="left")
+            merged = merged.join(_bcast(t), on=tcond, how="left")
 
         new_n = F.coalesce(cur["n_rows"], F.lit(0)) + F.col("__d_n")
         cur_exists = cur["n_rows"].isNotNull()
@@ -763,11 +845,13 @@ def _refresh_agg_view(
         # monotonic LSN across refreshes for MOR last-writer-wins
         out_cols.append(F.lit(int(to_v)).alias(_ORDER))
         batch = merged.select(*out_cols)
+        _t = _trace("build batch plan", _t)
 
         rescan_plan = None  # scan_plan() of the level-exhausted pass
         batch_persisted = fused_stats or bool(ext)
         if batch_persisted:
-            batch = batch.persist()
+            batch = _pin(batch)
+            _t = _trace("pin batch", _t)
         if fused_stats:
             # ONE aggregate action yields every planning stat the refresh
             # needs: group count (early exit), the batch's view buckets
@@ -791,6 +875,7 @@ def _refresh_agg_view(
                     ).alias("need")
                 )
             head = batch.agg(*stat_aggs).first()
+            _t = _trace("stat agg", _t)
             n_groups, touched = int(head["n"]), list(head["bs"])
             if n_groups == 0:
                 batch.unpersist()
@@ -844,7 +929,7 @@ def _refresh_agg_view(
                     e = snap2[c].eqNullSafe(F.col(f"__n_{c}"))
                     scond = e if scond is None else (scond & e)
                 snap_f = snap2.join(
-                    F.broadcast(nk), on=scond, how="left_semi"
+                    _bcast(nk), on=scond, how="left_semi"
                 )
                 if len(ext) > 1:
                     # one pruned scan feeds every per-extremum top-K pass
@@ -863,7 +948,7 @@ def _refresh_agg_view(
                 for c in dims:
                     e = batch[c].eqNullSafe(rescanned[c])
                     rcond = e if rcond is None else (rcond & e)
-                joined = batch.join(F.broadcast(rescanned), on=rcond,
+                joined = batch.join(_bcast(rescanned), on=rcond,
                                     how="left")
                 fixed = [batch[c].alias(c) for c in dims]
                 fixed.append(batch["n_rows"].alias("n_rows"))
@@ -890,6 +975,7 @@ def _refresh_agg_view(
         batch_final = out
 
         try:
+            _t = _trace("pre merge", _t)
             m = merge_into(
                 view,
                 batch_final,
