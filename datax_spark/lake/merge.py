@@ -244,9 +244,10 @@ def merge_into(
         fold_cache = batch  # persisted by the fold; released on every exit
         keep = [c for c in batch.columns if c not in (op_col, order_col)]
         partial_update = False  # batch is whole-row now; proceed normally
-    elif order_col is not None and not partial_update and (
+    mor_dedup = False
+    if order_col is not None and not partial_update and (
         dedup_batch or mode in ("cow", "dv")
-    ) and not keys_unique:
+    ) and not keys_unique and fold_cache is None:
         # COW/DV require the dedup (whole-row replace has no LSN at read);
         # MOR may skip it — reconstruction collapses duplicates by __lsn.
         # Partial MOR MUST skip it: dropping a delete that precedes a
@@ -254,7 +255,13 @@ def merge_into(
         # fold needs the full event sequence).  ``keys_unique=True`` is the
         # caller GUARANTEEING one event per key (e.g. a groupBy output) —
         # the dedup window would be a no-op shuffle, so it is skipped.
-        batch = dedup_last_per_key(batch, key_cols, order_col)
+        if mode == "mor":
+            # deferred into _merge_mor: when the delta write is bucketed,
+            # the dedup hash-agg rides the write's own exchange (ONE
+            # full-batch shuffle instead of two — _bucketed_lww_frame)
+            mor_dedup = True
+        else:
+            batch = dedup_last_per_key(batch, key_cols, order_col)
     lsn_col = (
         [F.col(order_col).cast("long").alias(LSN_COL)]
         if mode == "mor" else []
@@ -283,6 +290,7 @@ def merge_into(
                     bucket_deltas=bucket_deltas,
                     properties_update=properties_update,
                     partial=partial_update,
+                    dedup_lww=mor_dedup,
                 )
             except CommitConflict as e:
                 last_err = e
@@ -760,6 +768,7 @@ def _merge_mor(
     bucket_deltas: bool | str = "auto",
     properties_update: dict | None = None,
     partial: bool = False,
+    dedup_lww: bool = False,
 ) -> Manifest:
     """Merge-on-read apply: append the deduped batch as delta files.
 
@@ -767,6 +776,12 @@ def _merge_mor(
     existing state, no key anti-join, no bucket collect.  Tombstones are
     written for deletes so reconstruction drops the key; later re-inserts
     win by LSN.
+
+    ``dedup_lww``: the in-batch last-writer-wins dedup was deferred here by
+    merge_into so it can FUSE with the delta write: bucketed writes run the
+    dedup hash-agg inside the write's own exchange (one full-batch shuffle
+    total — ``LakeTable._bucketed_lww_frame``); L0 writes, which have no
+    exchange to ride, dedup as their own hash-agg exactly as before.
 
     ``partial``: files are tagged kind="pdelta" and carry ``__present`` (the
     batch's column set, constant per batch → dictionary-encoded to ~nothing)
@@ -802,12 +817,20 @@ def _merge_mor(
             **base.schemas,
             str(staged_base.current_schema_id): new_schema.jsonValue(),
         }
+    # fused dedup needs the bucket id to be key-functional (bucket_col is a
+    # key column — the default layout); otherwise fall back to a standalone
+    # dedup hash-agg ahead of the write, as L0 (no write exchange) always does
+    fuse = (dedup_lww and bucket_deltas
+            and base.bucket_col in base.key_cols)
+    if dedup_lww and not fuse:
+        delta = dedup_last_per_key(delta, base.key_cols, LSN_COL)
     frag = table._stage_write(
         delta, staged_base, files_per_bucket,
         kind="pdelta" if partial else "delta",
         extra_cols=[LSN_COL, DELETED_COL]
         + ([PRESENT_COL] if partial else []),
         bucketed=bucket_deltas,
+        dedup_lww=fuse,
     )
     lineage = _resolve_lineage(lineage)
     if lineage is not None and lineage.get("rows") == 0 and not frag:

@@ -60,6 +60,7 @@ from datax_spark.lake.catalog import (  # noqa: F401 (re-exported)
 )
 
 _BUCKET_COL = "__dx_bucket"
+_SALT_COL = "__dx_salt"
 # Hidden merge-on-read columns carried in delta files only: the event's LSN
 # (ordering authority) and the tombstone flag.  Base files never carry them.
 LSN_COL = "__lsn"
@@ -954,6 +955,44 @@ class LakeTable:
         return folded.select(*data_cols)
 
     # ---------------------------------------------------------------- writes
+    def _bucketed_lww_frame(
+        self, selected: DataFrame, m: Manifest, files_per_bucket: int
+    ) -> DataFrame:
+        """Fuse in-batch last-writer-wins dedup INTO the bucketed write's
+        exchange — one shuffle where the naive plan (dedup hash-agg, then
+        repartition on the bucket id) costs two full-batch shuffles.
+
+        How: partition on (bucket[, salt]) — both pure functions of the key
+        columns, so every event of a key lands in one task — then hash-agg
+        ``max_by(whole_row, __lsn)`` grouped by (bucket[, salt], *key_cols).
+        The grouping is a superset of the partitioning expressions, so
+        Catalyst plans the aggregate with NO second exchange (verified by
+        tests/test_fused_dedup_write.py), and the write downstream sees each
+        bucket co-located exactly as the plain repartition would deliver it.
+        Requires ``bucket_col ∈ key_cols`` (callers gate on it): otherwise
+        the bucket id is not key-functional and the groupBy would split keys.
+        """
+        bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
+        staged = selected.withColumn(_BUCKET_COL, bexpr)
+        shuffle_n = max(1, m.num_buckets * files_per_bucket)
+        parts = [F.col(_BUCKET_COL)]
+        if files_per_bucket > 1:
+            salt = F.pmod(
+                F.hash(*[F.col(c) for c in m.key_cols]),
+                F.lit(files_per_bucket),
+            )
+            staged = staged.withColumn(_SALT_COL, salt)
+            parts.append(F.col(_SALT_COL))
+        staged = staged.repartition(shuffle_n, *parts)
+        payload = F.struct(
+            *[F.col(c) for c in staged.columns if c != _SALT_COL]
+        )
+        return (
+            staged.groupBy(*parts, *[F.col(k) for k in m.key_cols])
+            .agg(F.max_by(payload, F.col(LSN_COL)).alias("__row"))
+            .select("__row.*")
+        )
+
     def _stage_write(
         self,
         df: DataFrame,
@@ -963,6 +1002,7 @@ class LakeTable:
         extra_cols: list[str] | None = None,
         bucketed: bool = True,
         sort_cols: list[str] | None = None,
+        dedup_lww: bool = False,
     ) -> dict[str, list[list[Any]]]:
         """Write df into per-bucket parquet files; returns files map fragment.
 
@@ -976,6 +1016,11 @@ class LakeTable:
         narrow sort-key range and its manifest zone maps become selective —
         the write-side half of predicate file-skipping.  Costs one range
         shuffle + local sort; meant for compaction, not the ingest hot path.
+
+        ``dedup_lww``: collapse the batch to the last event per key (by
+        ``LSN_COL``) inside the bucket exchange itself — see
+        ``_bucketed_lww_frame``.  Only meaningful with ``bucketed=True`` and
+        no ``sort_cols``; the caller must guarantee ``bucket_col ∈ key_cols``.
         """
         staging = os.path.join(self.location, f".staging-{uuid.uuid4().hex}")
         selected = df.select(
@@ -1006,6 +1051,14 @@ class LakeTable:
                 )
             shutil.rmtree(staging, ignore_errors=True)
             return frag
+        if dedup_lww and not sort_cols:
+            staged = self._bucketed_lww_frame(selected, m, files_per_bucket)
+            (
+                staged.write.mode("overwrite")
+                .partitionBy(_BUCKET_COL)
+                .parquet(staging)
+            )
+            return self._collect_staged(staging, m.current_schema_id, kind)
         bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
         staged = selected.withColumn(_BUCKET_COL, bexpr)
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
@@ -1032,8 +1085,18 @@ class LakeTable:
             .partitionBy(_BUCKET_COL)
             .parquet(staging)
         )
+        return self._collect_staged(staging, m.current_schema_id, kind)
+
+    def _collect_staged(
+        self, staging: str, schema_id: int, kind: str
+    ) -> dict[str, list[list[Any]]]:
+        """Move ``<staging>/__dx_bucket=<k>/*.parquet`` into the table's
+        per-bucket data dirs and return the files-map fragment.  Size, row
+        count, and column min/max zone maps ride in the manifest (Iceberg's
+        file_size_in_bytes / record_count / lower_bounds / upper_bounds):
+        compaction planning and predicate file-skipping never re-list or
+        re-read footers."""
         frag: dict[str, list[list[Any]]] = {}
-        schema_id = m.current_schema_id
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith(f"{_BUCKET_COL}="):
                 continue
@@ -1044,10 +1107,6 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 src = os.path.join(staging, entry, fn)
-                # size + row count + column min/max zone maps ride in the
-                # manifest (Iceberg's file_size_in_bytes / record_count /
-                # lower_bounds / upper_bounds): compaction planning and
-                # predicate file-skipping never re-list or re-read footers
                 md = pq.read_metadata(src)
                 if md.num_rows == 0:
                     continue  # empty partition — nothing to register
