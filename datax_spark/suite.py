@@ -3401,14 +3401,153 @@ LEFT JOIN tot ON tot.doc_id = d.doc_id
 LEFT JOIN reb ON reb.doc_id = d.doc_id
 """
 
+# ------------------------------------------------- round-4 operator additions
+def q_lake_snapshot_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION MAINTENANCE end-to-end (LakeTable.expire_snapshots +
+    vacuum + verify_files — Iceberg expire_snapshots / remove_orphan_files
+    analogue; the reference has no table lifecycle at all): fold the feed
+    in 3 COW batches (bucket rewrites leave orphanable files), tag the
+    first snapshot as an audit pin, expire every untagged old version,
+    vacuum the unreferenced data files, and PROVE the maintenance bit:
+    expired versions must no longer time-travel, the tagged version must,
+    orphaned files must physically disappear, and verify_files() must stay
+    clean.  Returns the final state — retention must never change the
+    readable table (the oracle is the plain SQL fold)."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_exp_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    run_incremental(table, feed, batch_lsns=max(1, (hi + 3) // 3),
+                    mode="cow")
+    v_final = table.current_version()
+    if v_final < 3:
+        raise AssertionError(f"expected >=3 commits, got {v_final}")
+    table.create_tag("audit", version=1)
+    n_expired = table.expire_snapshots(keep_versions=1)
+    n_removed = table.vacuum(keep_versions=1)
+    if n_expired == 0 or n_removed == 0:
+        raise AssertionError(
+            f"retention was vacuous: expired={n_expired} removed={n_removed}"
+        )
+    # expired version: time travel must fail loudly
+    expired = next(v for v in range(2, v_final)
+                   if v not in table.tags().values())
+    try:
+        table.read(version=expired).count()
+    except Exception:
+        pass
+    else:
+        raise AssertionError(f"expired version {expired} still readable")
+    # tagged + current versions: readable and physically intact
+    table.read(version=table.tag_version("audit")).count()
+    bad = table.verify_files()
+    if bad:
+        raise AssertionError(f"verify_files after vacuum: {bad}")
+    return table.read().select("user_id", "event_type", "value_cents",
+                               "props")
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample_topk — Efraimidis–Spirakis exponential keys
+    over the content-hash draw): keep the 25 highest-priority documents
+    per language, weighted by document length.  The oracle replays the
+    identical md5 draw, ``round(-ln(u)/w, 9)`` key, and top-k window in
+    SQL — bit-for-bit, including the selection (see the function's
+    cross-engine ln analysis)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = SMP.weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"),
+        key_cols=["doc_id"], weight_col="n_chars", k=25,
+        strata_cols=["lang"], salt="ws",
+    )
+    return out.select("doc_id", "lang", "n_chars", "es_key")
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (F.window with a slide — each event lands
+    in window_len/slide overlapping windows; the hopping-window shape of
+    rate metrics).  10-minute windows sliding by 5: every event belongs to
+    exactly 2 windows; the oracle reproduces them with integer
+    epoch-microsecond arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.window("ts", "10 minutes", "5 minutes").alias("w"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("sum_value_cents"),
+    )
+    return w.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+_ORACLES["lake_snapshot_expiry"] = _CDC_FOLD_ORACLE
+
+# identical md5 draw → u=(draw+0.5)/1e6 → round(-ln(u)/w, 9) → top-25/lang
+_ORACLES["sample_weighted"] = r"""
+WITH d AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         ('0x' || substr(md5('ws' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000 AS draw
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+e AS (
+  SELECT doc_id, lang, n_chars, draw,
+         round(-ln((CAST(draw AS DOUBLE) + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE), 9) AS es_key
+  FROM d),
+r AS (
+  SELECT doc_id, lang, n_chars, es_key,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY es_key, draw, doc_id) AS rn
+  FROM e)
+SELECT doc_id, lang, n_chars, es_key FROM r WHERE rn <= 25
+"""
+
+# each event falls in exactly two 10-min/5-min-slide windows: starts at
+# floor(t/5min)*5min and 5min earlier — pure integer microsecond arithmetic
+_ORACLES["events_sliding_window"] = """
+WITH e AS (
+  SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         epoch_us(ts) AS us
+  FROM events),
+w AS (
+  SELECT event_type, value_cents,
+         (us // 300000000 - o.o) * 300000000 AS ws
+  FROM e, (VALUES (0), (1)) o(o))
+SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM w GROUP BY 1, 2
+"""
+
+
 # Registry order matters: the driver gate evaluates the FIRST 50 entries
 # against their DuckDB oracles each round.  The least-proven operators
 # (newest additions) therefore sit inside the first 50; rows rotated to the
 # tail below all have two rounds of driver-green evidence and full pytest
 # coverage.  Round 4 rotates IN the 8 entries that have never had a driver
 # row (q8/q13/q15/q17/q19, lake_point_lookup, cdc_debezium_out,
-# text_normalize — all judge-verified green in round 3) and rotates OUT 8
-# rows green in BOTH r2 and r3 whose code is untouched this round.
+# text_normalize — all judge-verified green in round 3) plus the round-4
+# additions, and rotates OUT rows green in BOTH r2 and r3 whose code is
+# untouched this round.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q_q8_market_share,
     "q13_customer_distribution": q_q13_customer_distribution,
@@ -3418,6 +3557,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_point_lookup": q_lake_point_lookup,
     "cdc_debezium_out": q_cdc_debezium_out,
     "text_normalize": q_text_normalize,
+    # ---- round-4 additions (never driver-gated yet) ----
+    "lake_snapshot_expiry": q_lake_snapshot_expiry,
+    "sample_weighted": q_sample_weighted,
+    "events_sliding_window": q_events_sliding_window,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
@@ -3449,9 +3592,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "pack_sequences": q_pack_sequences,
     "chunk_documents": q_chunk_documents,
-    "text_fingerprint": q_text_fingerprint,
-    "embed_cosine_topk": q_embed_cosine_topk,
-    "ann_bucketed_topk": q_ann_bucketed_topk,
     "ivf_kmeans_assign": q_ivf_kmeans_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
@@ -3461,6 +3601,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "text_fingerprint": q_text_fingerprint,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "ann_bucketed_topk": q_ann_bucketed_topk,
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
     "split_quantile_pk": q_split_quantile_pk,

@@ -173,3 +173,48 @@ def test_scaled_documents_shape_and_structure(spark):
              for r in fixtures.scaled_documents(
                  spark, docs, 3, boilerplate="hdr x").collect()}
     assert again == rows
+
+
+def test_weighted_topk_deterministic_and_weighted(spark):
+    """weighted_sample_topk: selection is a pure function of
+    (salt, key, weight) — repartitioning must not change it; higher-weight
+    rows are favored; non-positive/NULL weights never sampled; k bound
+    holds per stratum."""
+    from datax_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, "a" if i % 2 == 0 else "b",
+             10_000 if i < 40 else 1,
+             ) for i in range(400)]
+    rows.append((9991, "a", 0))      # w = 0: never kept
+    rows.append((9992, "a", -5))     # w < 0: never kept
+    rows.append((9993, "a", None))   # NULL: never kept
+    df = spark.createDataFrame(rows, "id long, s string, w long")
+    out = weighted_sample_topk(df, ["id"], "w", 10, ["s"], salt="t")
+    got = out.select("id", "s", "es_key").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.s, []).append(r.id)
+    assert all(len(v) == 10 for v in per.values())
+    assert not {9991, 9992, 9993} & {r.id for r in got}
+    # heavy rows (w=10000, ids<40) should dominate the selection
+    heavy = sum(1 for r in got if r.id < 40)
+    assert heavy >= 15, heavy
+    # partitioning-independence: identical selection at any layout
+    again = weighted_sample_topk(
+        df.repartition(13), ["id"], "w", 10, ["s"], salt="t"
+    ).select("id", "s", "es_key").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    # different salt: an independent draw
+    other = weighted_sample_topk(df, ["id"], "w", 10, ["s"], salt="u")
+    assert {r.id for r in other.collect()} != {r.id for r in got}
+
+
+def test_weighted_topk_validation(spark):
+    from datax_spark.functions.sampling import weighted_sample_topk
+    import pytest
+
+    df = spark.createDataFrame([(1, "x", 2)], "id long, s string, w long")
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, ["id"], "w", 0, ["s"])
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, ["id"], "w", 5, [])
