@@ -1015,3 +1015,166 @@ def _refresh_agg_view(
             except Exception:
                 pass
         winners.unpersist()
+
+
+# -------------------------------------------------- exact distinct counting
+# COUNT(DISTINCT col) per group, maintained INCREMENTALLY and EXACTLY under
+# retraction — the aggregate the n_rows/sum algebra cannot carry (a
+# departing value only changes the distinct count if it was the group's
+# LAST occurrence, which requires per-(group, value) multiplicities).  The
+# classic dataflow answer (Materialize / Flink "nested rollup"): a SUPPORT
+# view keyed by (dims…, col) tracks multiplicities — itself an ordinary
+# incremental aggview — and the distinct count is the number of LIVE
+# support groups per dims.  Support groups only ever appear (multiplicity
+# 0→n: changelog `insert`) or disappear (n→0: `delete`); multiplicity
+# changes that stay positive are `update_*` pairs and contribute nothing.
+# So the main view folds the support CHANGELOG with ±1 per insert/delete —
+# O(changed (dims, value) pairs) per refresh, never O(distinct values),
+# and the multiplicity state lives distributed in the support table, never
+# driver-side.  NULL values are ignored (SQL COUNT(DISTINCT) semantics).
+
+DISTINCT_SPEC_PROP = "distinctview_spec"
+DISTINCT_WATERMARK_PROP = "distinctview_support_version"
+
+
+def create_distinct_view(
+    upstream: LakeTable,
+    location: str,
+    dims: list[str],
+    col: str,
+    num_buckets: int = 16,
+    support_num_buckets: int | None = None,
+    version: int | None = None,
+) -> LakeTable:
+    """Create a ``COUNT(DISTINCT col) GROUP BY dims`` view over
+    ``upstream`` plus its support table (at ``<location>__support``),
+    bootstrapped from the snapshot at ``version`` (default current).
+    Schema: dims + ``n_distinct_<col>`` (long).  Refresh with
+    :func:`refresh_distinct_view`.
+
+    Same two-commit bootstrap contract as :func:`create_agg_view`: a crash
+    between the data overwrite and the spec/watermark commit leaves no
+    spec and the bootstrap is simply re-run."""
+    if col in dims:
+        raise ValueError(f"column {col!r} cannot be both a dim and the "
+                         "distinct-counted column")
+    support_loc = location.rstrip("/") + "__support"
+    support = create_agg_view(
+        upstream, support_loc, dims=[*dims, col],
+        num_buckets=support_num_buckets or max(num_buckets, 16),
+        version=version,
+    )
+    uschema = upstream.schema()
+    by_name = {f.name: f for f in uschema.fields}
+    out = f"n_distinct_{col}"
+    fields = [T.StructField(c, by_name[c].dataType) for c in dims]
+    fields.append(T.StructField(out, T.LongType()))
+    try:
+        view = LakeTable.create(
+            upstream.spark, location, schema=T.StructType(fields),
+            key_cols=list(dims), bucket_col=dims[0],
+            num_buckets=num_buckets,
+        )
+    except FileExistsError:
+        view = LakeTable(upstream.spark, location)
+        if view.manifest().properties.get(DISTINCT_SPEC_PROP) is not None:
+            raise FileExistsError(
+                f"distinct view already exists at {location}"
+            ) from None
+    state = (
+        support.read()
+        .filter(F.col(col).isNotNull())
+        .groupBy(*[F.col(c) for c in dims])
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+    view.overwrite(state.select(*[f.name for f in fields]))
+    view.set_properties(**{
+        DISTINCT_WATERMARK_PROP: int(support.current_version()),
+        DISTINCT_SPEC_PROP: json.dumps(
+            {"dims": dims, "col": col, "support_location": support_loc}
+        ),
+    })
+    return view
+
+
+def refresh_distinct_view(
+    upstream: LakeTable,
+    view: LakeTable,
+    support: LakeTable | None = None,
+    mode: str = "mor",
+    auto_compact: int | None = 8,
+) -> dict:
+    """Advance the support view from the upstream changelog, then fold the
+    support CHANGELOG's insert/delete rows (value appeared / disappeared
+    in a group) into the distinct counts — one ±1 aggregate over O(changed
+    pairs) and a WHEN-clause merge touching only the affected dims groups.
+    The support watermark publishes in the SAME atomic commit as the
+    counts (exactly-once; a replayed refresh re-reads an already-consumed
+    changelog range only if the commit itself didn't happen)."""
+    from datax_spark.lake.merge import merge_builder
+
+    raw = view.manifest().properties.get(DISTINCT_SPEC_PROP)
+    if raw is None:
+        raise ValueError("table has no distinct-view spec — create it "
+                         "with create_distinct_view()")
+    spec = json.loads(raw)
+    dims, col = spec["dims"], spec["col"]
+    out = f"n_distinct_{col}"
+    if support is None:
+        support = LakeTable(view.spark, spec["support_location"])
+    sup = refresh_agg_view(upstream, support, mode=mode,
+                           auto_compact=auto_compact)
+    wm = int(view.manifest().properties[DISTINCT_WATERMARK_PROP])
+    to_v = support.current_version()
+    if to_v <= wm:
+        return {"from_version": wm, "to_version": to_v, "applied": False,
+                "support": sup}
+    # the support's cost-based refresh may have taken the RECOMPUTE regime
+    # (an `overwrite` commit — total churn), whose file diff is a state
+    # rewrite with no changelog; mirror the decision: recompute the
+    # distinct counts from support state (one aggregate — the same cost
+    # class as the support recompute that just ran)
+    safe_ops = ("append", "merge-mor", "properties", "create")
+    if any(support.manifest(v).operation not in safe_ops
+           for v in range(wm + 1, to_v + 1)):
+        state = (
+            support.read()
+            .filter(F.col(col).isNotNull())
+            .groupBy(*[F.col(c) for c in dims])
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+        view.overwrite(state.select(*dims, out))
+        view.set_properties(**{DISTINCT_WATERMARK_PROP: int(to_v)})
+        return {"from_version": wm, "to_version": to_v, "applied": True,
+                "mode": "recompute", "support": sup}
+    ch = support.read_changes_with_images(wm, to_v)
+    deltas = (
+        ch.filter(F.col(col).isNotNull()
+                  & F.col("_change_type").isin("insert", "delete"))
+        .groupBy(*[F.col(c) for c in dims])
+        .agg(F.sum(
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias("__d"))
+        .filter(F.col("__d") != 0)
+    )
+    n = (
+        merge_builder(view, deltas)
+        .when_matched_delete(condition=f"t.{out} + s.__d <= 0")
+        .when_matched_update(set={out: f"t.{out} + s.__d"})
+        .when_not_matched_insert(values={out: "s.__d"},
+                                 condition="s.__d > 0")
+        .execute(
+            mode=mode,
+            auto_compact=auto_compact,
+            source_unique=True,  # groupBy output: one row per dims
+            lineage={"batch_id": f"dview{wm}->{to_v}", "shard_lsns": {}},
+            properties_update={DISTINCT_WATERMARK_PROP: int(to_v)},
+        )
+    )
+    if n == 0:
+        # no distinct transitions in the range: the merge committed
+        # nothing, so publish the watermark as a metadata-only commit
+        view.set_properties(**{DISTINCT_WATERMARK_PROP: int(to_v)})
+    return {"from_version": wm, "to_version": to_v, "applied": True,
+            "groups": int(n), "support": sup}

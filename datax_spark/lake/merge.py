@@ -984,3 +984,229 @@ def update_where(
 
 def _is_column(where) -> bool:
     return isinstance(where, F.Column)
+
+
+class MergeBuilder:
+    """Declarative ``MERGE INTO`` with Delta/Iceberg-style WHEN clauses —
+    the user-facing merge surface on top of :func:`merge_into`'s whole-row
+    event machinery (which itself models DataX's fixed
+    REPLACE/ON-DUPLICATE-KEY semantics, WriterUtil.java:110-167; the
+    builder generalizes them to arbitrary conditional clauses).
+
+        merge_builder(table, source)
+            .when_matched_update(set={"qty": "t.qty + s.qty"},
+                                 condition="s.op = 'add'")
+            .when_matched_delete(condition="s.op = 'del'")
+            .when_not_matched_insert(condition="s.op <> 'del'")
+            .execute()
+
+    Semantics (Delta's): source rows join target CURRENT state on the
+    table's key columns (null-safe); per source row the FIRST clause whose
+    kind (matched/not-matched) and condition apply wins; rows matching no
+    clause change nothing.  ``condition`` / ``set`` / ``values``
+    expressions are Columns or SQL strings over two namespaces: ``t``
+    (target current row) and ``s`` (source row).  ``set=None`` updates
+    every source column (Delta ``updateAll``); a ``set`` dict updates only
+    the listed columns and the rest keep their target value.  ``values``
+    columns not listed take the source column of the same name, else NULL.  The source must have at
+    most one row per key (checked; ``source_unique=True`` skips the check
+    when the caller can guarantee it — e.g. a groupBy output).
+
+    Scale: one planning aggregate over the source (per-bucket key stats —
+    also the uniqueness check), a bucket-pruned read of only the target
+    buckets the source touches, a key equi-join (AQE broadcasts the small
+    side), then an O(emitted-rows) MOR merge — never O(table).  All pure
+    Column expressions; no Python row path."""
+
+    def __init__(self, table: LakeTable, source: DataFrame):
+        self.table = table
+        self.source = source
+        self._clauses: list[tuple[str, dict | None, object]] = []
+        m = table.manifest()
+        missing = [k for k in m.key_cols if k not in source.columns]
+        if missing:
+            raise ValueError(f"merge source lacks key columns {missing}")
+
+    # -- clause registration (returns self for chaining) ------------------
+    def when_matched_update(self, set: dict | None = None,  # noqa: A002
+                            condition=None) -> "MergeBuilder":
+        if set is not None:
+            schema_cols = {f.name for f in self.table.manifest().schema.fields}
+            bad = sorted(set.keys() - schema_cols)
+            if bad:
+                raise ValueError(f"update SET of unknown columns: {bad}")
+            key_hit = sorted(set.keys() & {*self.table.manifest().key_cols})
+            if key_hit:
+                raise ValueError(
+                    f"update SET cannot change key columns {key_hit} — "
+                    "delete + insert instead"
+                )
+        self._clauses.append(("update", set, condition))
+        return self
+
+    def when_matched_delete(self, condition=None) -> "MergeBuilder":
+        self._clauses.append(("delete", None, condition))
+        return self
+
+    def when_not_matched_insert(self, values: dict | None = None,
+                                condition=None) -> "MergeBuilder":
+        if values is not None:
+            schema_cols = {f.name for f in self.table.manifest().schema.fields}
+            bad = sorted(values.keys() - schema_cols)
+            if bad:
+                raise ValueError(f"insert VALUES of unknown columns: {bad}")
+        self._clauses.append(("insert", values, condition))
+        return self
+
+    # -- execution ---------------------------------------------------------
+    def execute(
+        self,
+        mode: str = "mor",
+        lineage: dict | None = None,
+        auto_compact: int | None = None,
+        source_unique: bool = False,
+        properties_update: dict | None = None,
+    ) -> int:
+        """Run the merge as one ACID commit; returns rows affected
+        (updates + deletes + inserts).  0-clause or 0-match merges commit
+        nothing and return 0.  ``properties_update`` publishes table
+        properties in the SAME atomic commit as the merged rows (the
+        watermark-rides-the-commit pattern of aggview/mirror)."""
+        if not self._clauses:
+            raise ValueError("merge has no WHEN clauses")
+        t = self.table
+        m = t.manifest()
+        keys = list(m.key_cols)
+        src = self.source
+
+        # one planning aggregate: per-bucket row/distinct-key counts —
+        # the touched-bucket list for pruning AND the uniqueness check
+        buckets: list[int] | None = None
+        if m.bucket_col in keys:
+            bexpr = t.bucket_expr(m.bucket_col, m.num_buckets)
+            stats = (
+                src.groupBy(bexpr.alias("__b"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     # struct-wrapped so NULL key values still count as a
+                     # key (DISTINCT skips only a NULL whole-expression)
+                     F.count_distinct(
+                         F.struct(*[F.col(k) for k in keys])).alias("d"))
+                .collect()
+            )
+            if not stats:
+                return 0
+            if not source_unique and any(r["n"] != r["d"] for r in stats):
+                raise ValueError(
+                    "merge source has multiple rows per key — dedup it "
+                    "first (or pass source_unique=True when the caller "
+                    "guarantees it)"
+                )
+            buckets = sorted({int(r["__b"]) for r in stats
+                              if r["__b"] is not None})
+        elif not source_unique:
+            dup = (src.groupBy(*keys).count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "merge source has multiple rows per key — dedup it first"
+                )
+
+        cur = (t.read(buckets=buckets)
+               .withColumn("__t_exists", F.lit(True)).alias("t"))
+        on = None
+        for k in keys:
+            e = F.col(f"s.{k}").eqNullSafe(F.col(f"t.{k}"))
+            on = e if on is None else (on & e)
+        joined = src.alias("s").join(cur, on=on, how="left")
+        matched = F.col("__t_exists").isNotNull()
+
+        def cond_col(c):
+            if c is None:
+                return F.lit(True)
+            return F.expr(c) if isinstance(c, str) else c
+
+        def val_col(v):
+            return F.expr(v) if isinstance(v, str) else (
+                v if isinstance(v, F.Column) else F.lit(v))
+
+        # first-match-wins action index (matched/not-matched disjoint by
+        # the flag, so one chain in declaration order is exact)
+        act = None
+        for i, (kind, _, cond) in enumerate(self._clauses):
+            gate = (matched if kind in ("update", "delete") else ~matched) \
+                & cond_col(cond)
+            act = F.when(gate, F.lit(i)) if act is None else act.when(
+                gate, F.lit(i))
+        out = joined.withColumn("__act", act).filter(
+            F.col("__act").isNotNull())
+
+        # per-column value = CASE over the winning clause
+        cols = []
+        for f in m.schema.fields:
+            expr = None
+            for i, (kind, mapping, _) in enumerate(self._clauses):
+                if kind == "update":
+                    if mapping is not None:
+                        v = (val_col(mapping[f.name])
+                             if f.name in mapping else F.col(f"t.{f.name}"))
+                    elif f.name in src.columns and f.name not in keys:
+                        # set=None — Delta updateAll: every source column
+                        # overwrites; columns the source lacks keep target
+                        v = F.col(f"s.{f.name}")
+                    else:
+                        v = F.col(f"t.{f.name}")
+                elif kind == "delete":
+                    v = F.col(f"t.{f.name}")
+                else:  # insert
+                    if mapping and f.name in mapping:
+                        v = val_col(mapping[f.name])
+                    elif f.name in src.columns:
+                        v = F.col(f"s.{f.name}")
+                    else:
+                        v = F.lit(None)
+                hit = F.col("__act") == F.lit(i)
+                expr = F.when(hit, v) if expr is None else expr.when(hit, v)
+            cols.append(expr.cast(f.dataType).alias(f.name))
+
+        is_del = F.col("__act").isin([
+            i for i, (k, _, _) in enumerate(self._clauses) if k == "delete"
+        ]) if any(k == "delete" for k, _, _ in self._clauses) else F.lit(False)
+        lsn = t.last_lsn() + 1
+        batch = out.select(
+            *cols,
+            F.when(is_del, F.lit(DELETE_OP)).otherwise(F.lit("insert"))
+            .alias("__dml_op"),
+            F.lit(lsn).cast("long").alias("__dml_lsn"),
+        ).persist()
+        n = batch.count()
+        if n == 0:
+            batch.unpersist()
+            return 0
+        if lineage is None:
+            lineage = _dml_lineage(t, lsn, n)
+        else:
+            lineage = dict(lineage)
+            lineage.setdefault("rows", int(n))
+            lineage.setdefault("bytes", 0)
+        try:
+            merge_into(
+                t,
+                batch,
+                op_col="__dml_op",
+                order_col="__dml_lsn",
+                lineage=lineage,
+                evolve_schema=False,
+                mode=mode,
+                auto_compact=auto_compact,
+                keys_unique=True,
+                known_buckets=buckets,
+                properties_update=properties_update,
+            )
+        finally:
+            batch.unpersist()
+        return n
+
+
+def merge_builder(table: LakeTable, source: DataFrame) -> MergeBuilder:
+    """Entry point for WHEN-clause merges — see :class:`MergeBuilder`."""
+    return MergeBuilder(table, source)

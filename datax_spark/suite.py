@@ -3499,6 +3499,156 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_agg_view_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT COUNT(DISTINCT) maintenance
+    (lake/aggview.create_distinct_view — support-multiplicity composition;
+    the aggregate plain retraction algebra cannot carry): orders base,
+    distinct customers per priority, then a ~1% change batch that
+    reassigns some orders' customers (collapsing them onto a small id
+    range) and deletes a subset.  The refresh folds ONLY the support
+    changelog's appear/disappear transitions (±1), never rescanning the
+    value space.  The oracle applies the same mutation in SQL and
+    aggregates COUNT(DISTINCT) one-shot."""
+    from datax_spark.lake.aggview import (
+        create_distinct_view,
+        refresh_distinct_view,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="dx_dvup_")
+    os.rmdir(loc)
+    vloc = tempfile.mkdtemp(prefix="dx_dvvw_")
+    os.rmdir(vloc)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("prio", T.StringType()),
+            T.StructField("cust", T.LongType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["k"],
+        bucket_col="k", num_buckets=8,
+    )
+    base = orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        F.col("o_orderkey").cast("long").alias("lsn"),
+        F.lit("insert").alias("op"),
+    )
+    merge_into(table, base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    view = create_distinct_view(table, vloc, dims=["prio"], col="cust",
+                                num_buckets=4)
+    changes = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_custkey").cast("long") % 50).alias("cust"),
+        (F.col("o_orderkey").cast("long") + F.lit(10**9)).alias("lsn"),
+        F.when(F.col("o_orderkey") % 291 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    merge_into(table, changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_distinct_view(table, view)
+    return view.read().select("prio", "n_distinct_cust")
+
+
+_ORACLES["cdc_agg_view_distinct"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_custkey AS cust
+  FROM orders),
+final AS (
+  SELECT k, prio,
+         CASE WHEN k % 97 = 0 THEN cust % 50 ELSE cust END AS cust
+  FROM base WHERE NOT (k % 97 = 0 AND k % 291 = 0))
+SELECT prio, CAST(count(DISTINCT cust) AS BIGINT) AS n_distinct_cust
+FROM final GROUP BY prio
+"""
+
+
+def q_cdc_merge_when_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN-clause MERGE (lake/merge.MergeBuilder — the Delta/Iceberg
+    MERGE INTO surface generalizing DataX's fixed REPLACE semantics):
+    fold the feed into a table, then merge per-user activity stats with
+    a 3-clause program — matched & higher total ⇒ UPDATE (boost),
+    matched & 7-divisible activity ⇒ DELETE, unmatched & even activity ⇒
+    INSERT (restore a folded-away user) — first clause wins.  The oracle
+    replays the same program over the SQL fold with IS TRUE three-valued
+    gating (a NULL condition falls through, exactly like F.when)."""
+    from datax_spark.lake.merge import merge_builder
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_mrg_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    run_incremental(table, feed, batch_lsns=max(1, (hi + 2) // 2))
+    ev = _t(spark, sf_dir, "events")
+    src = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("total_cents"),
+    )
+    (
+        merge_builder(table, src)
+        .when_matched_update(
+            set={"value_cents": "s.total_cents",
+                 "event_type": F.lit("boosted")},
+            condition="s.total_cents > t.value_cents")
+        .when_matched_delete(condition="s.n_events % 7 = 0")
+        .when_not_matched_insert(
+            values={"event_type": F.lit("restored"),
+                    "value_cents": "s.total_cents"},
+            condition="s.n_events % 2 = 0")
+        .execute(source_unique=True)  # groupBy output: one row per key
+    )
+    return table.read().select("user_id", "event_type", "value_cents",
+                               "props")
+
+
+_ORACLES["cdc_merge_when_clauses"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events),
+state AS (SELECT user_id, event_type, value_cents, props
+          FROM ranked WHERE rn = 1 AND NOT is_delete),
+src AS (SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM events GROUP BY user_id),
+j AS (SELECT s.user_id AS uid, t.user_id IS NOT NULL AS matched,
+             t.event_type, t.value_cents, t.props, s.n_events, s.total_cents,
+             (s.total_cents > t.value_cents) IS TRUE AS upd,
+             (s.n_events % 7 = 0) IS TRUE AS del,
+             (s.n_events % 2 = 0) IS TRUE AS ins
+      FROM src s LEFT JOIN state t ON t.user_id = s.user_id)
+SELECT uid AS user_id,
+       CASE WHEN matched AND upd THEN 'boosted'
+            WHEN matched THEN event_type
+            ELSE 'restored' END AS event_type,
+       CASE WHEN matched AND upd THEN total_cents
+            WHEN matched THEN value_cents
+            ELSE total_cents END AS value_cents,
+       CASE WHEN matched THEN props ELSE NULL END AS props
+FROM j
+WHERE NOT (matched AND NOT upd AND del) AND (matched OR ins)
+"""
+
+
 _ORACLES["lake_snapshot_expiry"] = _CDC_FOLD_ORACLE
 
 # identical md5 draw → u=(draw+0.5)/1e6 → round(-ln(u)/w, 9) → top-25/lang
@@ -3561,6 +3711,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,
     "events_sliding_window": q_events_sliding_window,
+    "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
+    "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
@@ -3577,8 +3729,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_wap_publish": q_cdc_wap_publish,
-    "lake_prune_read": q_lake_prune_read,
-    "lake_zorder_read": q_lake_zorder_read,
     "cdc_stream_continuous": q_cdc_stream_continuous,
     "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
@@ -3601,6 +3751,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_audio": q_multimodal_decode_audio,
     "multimodal_decode_video": q_multimodal_decode_video,
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
+    "lake_prune_read": q_lake_prune_read,
+    "lake_zorder_read": q_lake_zorder_read,
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
