@@ -108,6 +108,11 @@ class RunSpec:
     # sources/debezium.py bit-budget notes); the batch-id lineage guard
     # still holds exactly-once without it.
     filter_watermark: bool = True
+    # transaction-consistent apply: [txid_col, commit_col] — only events of
+    # transactions whose commit marker arrived are applied; open tails hold
+    # under the checkpoint (streaming/runner.py txn_boundary).  The two
+    # columns are consumed by the runner and never reach the table.
+    txn_boundary: list | None = None
 
 
 @dataclass
@@ -241,6 +246,21 @@ class JobSpec:
                 "tail runs need run.tail_duration_sec or "
                 "run.tail_idle_stop_sec (else the job never returns)"
             )
+        if self.run.txn_boundary is not None:
+            if self.run.kind not in ("stream", "tail"):
+                problems.append(
+                    "run.txn_boundary only applies to stream/tail runs"
+                )
+            elif len(self.run.txn_boundary) != 2:
+                problems.append(
+                    "run.txn_boundary must be [txid_col, commit_col]"
+                )
+            else:
+                for c in self.run.txn_boundary:
+                    if c not in cols:
+                        problems.append(
+                            f"feed missing txn_boundary column: {c}"
+                        )
         if (self.run.kind in ("stream", "tail")
                 and self.source.format != "parquet"
                 and self.source.format not in ENVELOPE_JSON_FORMATS):
@@ -337,11 +357,14 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     if LakeTable.exists(target_loc):
         table = LakeTable(spark, target_loc)
     else:
+        # txn_boundary columns are runner metadata, never table columns
+        txn_cols = list(spec.run.txn_boundary or [])
         if spec.run.kind == "full":
-            payload_schema = feed.drop(*[c for c in ENVELOPE_COLS]).schema
+            payload_schema = feed.drop(*ENVELOPE_COLS, *txn_cols).schema
         else:
-            payload_schema = feed.drop(*[c for c in ENVELOPE_COLS
-                                         if c in feed.columns]).schema
+            payload_schema = feed.drop(
+                *[c for c in (*ENVELOPE_COLS, *txn_cols)
+                  if c in feed.columns]).schema
         table = LakeTable.create(
             spark, target_loc,
             schema=payload_schema,
@@ -398,6 +421,8 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             max_rows_per_trigger=spec.run.max_rows_per_trigger,
             stall_timeout_sec=spec.run.stall_timeout_sec,
             filter_watermark=spec.run.filter_watermark,
+            txn_boundary=(tuple(spec.run.txn_boundary)
+                          if spec.run.txn_boundary else None),
             transform=(
                 (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))
                 if spec.transforms else None

@@ -145,6 +145,7 @@ def run_available_now(
     on_batch=None,
     feed_format: str = "parquet",
     payload=None,
+    txn_boundary: tuple[str, str] | None = None,
     **applier_opts,
 ) -> list[dict]:
     """Drain the feed directory through Structured Streaming into the table.
@@ -168,13 +169,25 @@ def run_available_now(
     — both caps given, the stricter file count wins.  ``stall_timeout_sec``
     fails the drain when no batch completes for that long while the query
     is active (≈ the reference's hung-task expiry, TaskMonitor.java:80-97)
-    — distinct from ``timeout_sec``, the bound on TOTAL drain time."""
+    — distinct from ``timeout_sec``, the bound on TOTAL drain time.
+
+    ``txn_boundary=(txid_col, commit_col)`` turns on TRANSACTION-CONSISTENT
+    apply: only events of transactions whose commit marker (``commit_col``
+    true on the last event, the Maxwell shape) has arrived are applied;
+    open-transaction tails persist under the checkpoint and re-inject into
+    the next micro-batch, so a transaction split across micro-batches is
+    never half-applied.  NULL ``txid_col`` rows are auto-commit.  The two
+    columns are consumed by the runner and never reach the table.  A
+    transaction whose commit marker never arrives is held indefinitely —
+    the contract of any txn-consistent consumer.  Held events apply out of
+    LSN order when their commit lands later; per-key max-LSN
+    reconstruction makes that safe."""
     stream, checkpoint_dir, handle, applied, activity = _build_tail(
         spark, feed_dir, table, feed_schema, checkpoint_dir,
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
         transform, applier_opts, on_batch=on_batch,
-        feed_format=feed_format, payload=payload,
+        feed_format=feed_format, payload=payload, txn_boundary=txn_boundary,
     )
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -203,12 +216,31 @@ def run_available_now(
     return applied
 
 
+def _txn_carry_prev(spark, carry_dir: str, batch_id: int):
+    """Newest persisted carry-over (incomplete-transaction events) from a
+    batch STRICTLY BEFORE ``batch_id`` — strict, because a crashed attempt
+    of this very batch may have left its own carry dir, which must not
+    feed back into its replay.  None when no predecessor exists."""
+    if not os.path.isdir(carry_dir):
+        return None
+    prev = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(carry_dir)
+        if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+    ]
+    if not prev:
+        return None
+    return spark.read.parquet(
+        os.path.join(carry_dir, f"batch={max(prev)}")
+    )
+
+
 def _build_tail(
     spark, feed_dir, table, feed_schema, checkpoint_dir,
     max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
     filter_watermark, quarantine_rules, quarantine_path, error_limits,
     transform, applier_opts, on_batch=None, feed_format="parquet",
-    payload=None,
+    payload=None, txn_boundary=None,
 ):
     """Shared setup for the bounded drain and the continuous tail: the
     rate-capped file-source reader plus the foreachBatch apply closure.
@@ -278,6 +310,9 @@ def _build_tail(
     applier = CdcApplier(table, **applier_opts)
     applied: list[dict] = []
     activity = {"t": time.monotonic()}
+    if txn_boundary is not None:
+        txn_col, commit_col = txn_boundary
+        carry_dir = os.path.join(checkpoint_dir, "_txn_carry")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
@@ -293,8 +328,66 @@ def _build_tail(
             )
         if filter_watermark:
             batch_df = applier.filter_already_applied(batch_df)
-        lineage = applier.apply_batch(batch_df, f"s{batch_id}")
+        n_held = None
+        if txn_boundary is not None:
+            # TRANSACTION-BOUNDARY ALIGNMENT (Debezium/Flink-CDC
+            # txn-consistent apply): only events of transactions whose
+            # COMMIT MARKER has arrived are applied; the open-transaction
+            # tail is persisted under the checkpoint and re-injected into
+            # the next micro-batch (where its completions may land).
+            # Carried rows are injected AFTER the watermark filter — they
+            # passed it in their original batch, and the watermark has
+            # since advanced past their LSNs by design: held events apply
+            # out of LSN order, which the engine's max-LSN-per-key
+            # reconstruction is insensitive to.  Crash-safe: the carry dir
+            # is keyed by the stable micro-batch id and rewritten
+            # deterministically on replay (the apply itself no-ops via the
+            # lineage guard).  NULL transaction ids are auto-commit rows
+            # and always apply.
+            prev = _txn_carry_prev(spark, carry_dir, batch_id)
+            if prev is not None:
+                batch_df = batch_df.unionByName(prev)
+            batch_df = batch_df.persist()
+            txid = F.col(txn_col)
+            done = (
+                batch_df
+                .filter(txid.isNotNull()
+                        & (F.col(commit_col) == F.lit(True)))
+                .select(txid.alias("__txn_done")).distinct()
+            )
+            applyable = batch_df.join(
+                F.broadcast(done),
+                on=txid.eqNullSafe(F.col("__txn_done")), how="left",
+            )
+            held = (applyable
+                    .filter(txid.isNotNull()
+                            & F.col("__txn_done").isNull())
+                    .drop("__txn_done"))
+            held.write.mode("overwrite").parquet(
+                os.path.join(carry_dir, f"batch={batch_id}")
+            )
+            n_held = held.count()
+            batch_out = (
+                applyable
+                .filter(txid.isNull() | F.col("__txn_done").isNotNull())
+                .drop("__txn_done", txn_col, commit_col)
+            )
+            # retire carry dirs two batches back (their rows are either
+            # applied or re-persisted under this batch's dir)
+            import shutil
+
+            for d in os.listdir(carry_dir):
+                if d.startswith("batch=") and \
+                        int(d.split("=", 1)[1]) < batch_id - 1:
+                    shutil.rmtree(os.path.join(carry_dir, d),
+                                  ignore_errors=True)
+            lineage = applier.apply_batch(batch_out, f"s{batch_id}")
+            batch_df.unpersist()
+        else:
+            lineage = applier.apply_batch(batch_df, f"s{batch_id}")
         if lineage is not None:
+            if n_held is not None:
+                lineage["txn_held"] = int(n_held)
             applied.append(lineage)
             if on_batch is not None:
                 # inside the micro-batch, so a failure here fails the batch
@@ -459,6 +552,7 @@ def run_continuous(
     on_batch=None,
     feed_format: str = "parquet",
     payload=None,
+    txn_boundary: tuple[str, str] | None = None,
     **applier_opts,
 ) -> ContinuousTail:
     """Tail the feed directory CONTINUOUSLY — the live binlog/WAL shape.
@@ -482,7 +576,7 @@ def run_continuous(
         max_files_per_trigger, max_bytes_per_trigger, max_rows_per_trigger,
         filter_watermark, quarantine_rules, quarantine_path, error_limits,
         transform, applier_opts, on_batch=on_batch,
-        feed_format=feed_format, payload=payload,
+        feed_format=feed_format, payload=payload, txn_boundary=txn_boundary,
     )
     q = (
         stream.writeStream.foreachBatch(handle)

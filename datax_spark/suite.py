@@ -3568,6 +3568,66 @@ FROM final GROUP BY prio
 """
 
 
+def q_cdc_txn_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-CONSISTENT streaming apply (streaming/runner.py
+    txn_boundary — the Debezium/Flink-CDC txn-alignment semantic the
+    reference's FIFO channel cannot express): the feed carries synthetic
+    transactions of 7 consecutive LSNs with a commit marker on the last;
+    micro-batch cuts are placed MID-transaction, so the runner must hold
+    the open tail under the checkpoint and apply it only when its commit
+    arrives.  Verifies some events were actually held (non-vacuous) and
+    that the final state equals the plain fold — a half-applied
+    transaction would diverge."""
+    from datax_spark.streaming.runner import run_available_now
+
+    ev = _events_feed(_t(spark, sf_dir, "events"))
+    hi = int(ev.agg(F.max("lsn")).collect()[0][0])
+    txid = (F.col("lsn") / 7).cast("long")
+    feed = ev.withColumn("txn_id", txid).withColumn(
+        "txn_commit", (F.col("lsn") % 7 == 6) | (F.col("lsn") == hi))
+    work = tempfile.mkdtemp(prefix="dx_txnb_")
+    fdir = os.path.join(work, "feed")
+    os.makedirs(fdir)
+    # three files cut mid-transaction (offset +3 into a 7-LSN txn)
+    c1 = (hi // 3) // 7 * 7 + 3
+    c2 = (2 * hi // 3) // 7 * 7 + 3
+    slices = [(0, c1), (c1, c2), (c2, hi + 1)]
+    for i, (lo, hi_x) in enumerate(slices):
+        part = feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi_x))
+        tmp = os.path.join(work, f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(fdir, f"{i}.parquet")
+        os.rename(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    loc = tempfile.mkdtemp(prefix="dx_txnt_")
+    os.rmdir(loc)
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    applied = run_available_now(
+        spark, fdir, table, max_files_per_trigger=1,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        txn_boundary=("txn_id", "txn_commit"),
+    )
+    if sum(l.get("txn_held", 0) for l in applied) == 0:
+        raise AssertionError("txn boundary was vacuous: nothing held")
+    return table.read().select("user_id", "event_type", "value_cents",
+                               "props")
+
+
+_ORACLES["cdc_txn_boundary"] = _CDC_FOLD_ORACLE
+
+
 def q_cdc_merge_when_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHEN-clause MERGE (lake/merge.MergeBuilder — the Delta/Iceberg
     MERGE INTO surface generalizing DataX's fixed REPLACE semantics):
@@ -3713,6 +3773,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding_window": q_events_sliding_window,
     "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
     "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
+    "cdc_txn_boundary": q_cdc_txn_boundary,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
@@ -3728,7 +3789,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_canal_envelope": q_cdc_canal_envelope,
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
     "cdc_changelog_read": q_cdc_changelog_read,
-    "cdc_wap_publish": q_cdc_wap_publish,
     "cdc_stream_continuous": q_cdc_stream_continuous,
     "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
@@ -3753,6 +3813,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
+    "cdc_wap_publish": q_cdc_wap_publish,
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,

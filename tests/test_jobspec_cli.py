@@ -563,3 +563,48 @@ def test_wire_format_source_through_stream_job(spark, tmp_path):
     # exactly-once rerun over the same checkpoint
     summary2 = run_job(spark, JobSpec.from_dict(d))
     assert summary2["batches"] == 0
+
+
+def test_txn_boundary_spec_validation_and_stream_run(spark, tmp_path):
+    """run.txn_boundary: pre_check rejects wrong kinds/shapes/columns;
+    a stream job.json with the knob holds open transactions and still
+    converges to the fold."""
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1000, n_keys=200, seed=42)
+    txid = (F.col("lsn") / 5).cast("long")
+    feed = feed.withColumn("txn_id", txid).withColumn(
+        "txn_commit", (F.col("lsn") % 5 == 4) | (F.col("lsn") == 999))
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+
+    d = _spec_dict(tmp_path, kind="stream")
+    d["run"]["txn_boundary"] = ["txn_id", "txn_commit"]
+    d["run"]["max_files_per_trigger"] = 1
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+
+    bad = _spec_dict(tmp_path)  # incremental kind
+    bad["run"]["txn_boundary"] = ["txn_id", "txn_commit"]
+    assert any("stream/tail" in p
+               for p in JobSpec.from_dict(bad).pre_check(spark))
+    bad2 = _spec_dict(tmp_path, kind="stream")
+    bad2["run"]["txn_boundary"] = ["txn_id"]
+    assert any("txid_col, commit_col" in p
+               for p in JobSpec.from_dict(bad2).pre_check(spark))
+    bad3 = _spec_dict(tmp_path, kind="stream")
+    bad3["run"]["txn_boundary"] = ["nope", "txn_commit"]
+    assert any("missing txn_boundary column" in p
+               for p in JobSpec.from_dict(bad3).pre_check(spark))
+
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1000
+    expected = fixtures.expected_state(str(tmp_path / "feed"))
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable(spark, spec.target.location)
+    got = {
+        (r.repo, r.path, r.commit)
+        for r in t.read().select("repo", "path", "commit").collect()
+    }
+    assert got == set(expected)
+    assert "txn_id" not in t.read().columns
