@@ -677,8 +677,15 @@ def _refresh_agg_view(
         )
     )
     _t = time.monotonic()
-    winners = _pin(winners)
-    _t = _trace("pin winners", _t)
+    if not _IN_STATIC_SCOPE:
+        # big change layers: materialize once — the changelog scan + agg
+        # is real IO referenced by both contrib branches.  In the static
+        # (small-batch) scope the double in-job recompute costs ~ms while
+        # a separate eager checkpoint costs a whole job at the ~0.2s
+        # scheduling floor — contrib's pin right below truncates the plan
+        # for everything downstream anyway.
+        winners = _pin(winners)
+        _t = _trace("pin winners", _t)
     changed = winners.select(*ukeys)
 
     new_rows = winners.filter(F.col("__win.__t") != "delete").select(
@@ -741,8 +748,14 @@ def _refresh_agg_view(
             keep = keep | (F.col(f"__d_{c}") != 0)
         for c in dict.fromkeys([*mins, *maxs]):
             keep = keep | (F.col(f"__hs_{c}") != 0)
-        deltas = _pin(contrib.groupBy(*dims).agg(*delta_aggs).filter(keep))
-        _t = _trace("pin deltas", _t)
+        deltas = contrib.groupBy(*dims).agg(*delta_aggs).filter(keep)
+        if not (_IN_STATIC_SCOPE and ext):
+            # when contrib is already a pinned LocalRDD (static scope with
+            # maintained extrema), deltas is one shallow hash-agg over it —
+            # re-running it inside each downstream job costs ~ms while its
+            # own eager checkpoint costs a job at the scheduling floor
+            deltas = _pin(deltas)
+            _t = _trace("pin deltas", _t)
         m_view = view.manifest()
         bexpr = view.bucket_expr(m_view.bucket_col, m_view.num_buckets)
         view_bytes = sum(
@@ -782,7 +795,9 @@ def _refresh_agg_view(
             # referenced by the merged join, both level pipelines' stored-
             # level explodes AND their horizon frames — pin once so five
             # branches plan against one tiny LogicalRDD instead of five
-            # re-planned view scans + semi joins
+            # re-planned view scans + semi joins.  (Measured: skipping
+            # this pin ADDS a job and ~0.35s — the re-scans cost more
+            # than the checkpoint, unlike the winners/deltas pins.)
             cur = _pin(cur)
             _t = _trace("pin cur", _t)
 
