@@ -3568,6 +3568,92 @@ FROM final GROUP BY prio
 """
 
 
+def q_text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup (functions/web.py — the
+    web-crawl dedup key): deterministic URL variants are synthesized per
+    document (case noise, www label, default port, trailing slash,
+    tracking params, param order, fragments) and must collapse onto one
+    canonical form per (site, page).  The oracle re-derives the synth AND
+    the canonical rules independently in SQL (RFC 3986 §6 subset)."""
+    from datax_spark.functions import web as WEB
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTP://WWW."))
+        .when(did % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("HTTP://")),
+        F.lit("Site"), s(did % 37), F.lit(".Example.com"),
+        F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Page/"), s(did % 11),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?"),
+        F.when(did % 4 == 0, F.lit("utm_source=feed&")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.concat(F.lit("b=2&a="), s(did % 11)))
+        .otherwise(F.concat(F.lit("a="), s(did % 11), F.lit("&b=2"))),
+        F.when(did % 3 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    out = d.select(
+        "doc_id",
+        WEB.canonicalize_url(url).alias("canonical_url"),
+        WEB.url_host(url).alias("host"),
+    )
+    return out.groupBy("canonical_url", "host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_ORACLES["text_url_canonical"] = r"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'HTTP://WWW.' WHEN 1 THEN 'http://'
+          ELSE 'HTTP://' END
+     || 'Site' || (doc_id % 37) || '.Example.com'
+     || CASE doc_id % 2 WHEN 0 THEN ':80' ELSE '' END
+     || '/Page/' || (doc_id % 11)
+     || CASE doc_id % 5 WHEN 0 THEN '/' ELSE '' END
+     || '?'
+     || CASE doc_id % 4 WHEN 0 THEN 'utm_source=feed&' ELSE '' END
+     || CASE doc_id % 2 WHEN 0 THEN 'b=2&a=' || (doc_id % 11)
+             ELSE 'a=' || (doc_id % 11) || '&b=2' END
+     || CASE doc_id % 3 WHEN 0 THEN '#sec' ELSE '' END) AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(trim(url),
+          '^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?', 1)) AS scheme,
+    lower(regexp_extract(trim(url),
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?([^/?#]*)', 1)) AS auth0,
+    regexp_extract(trim(url),
+          '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(trim(url), '^[^?#]*\?([^#]*)', 1) AS query0
+  FROM u),
+norm AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+           ELSE auth0 END, '^www\.', '') AS auth,
+    regexp_replace(regexp_replace(auth0, ':[0-9]+$', ''), '^www\.', '')
+      AS host,
+    regexp_replace(path0, '/$', '') AS path,
+    array_to_string(list_sort(list_filter(string_split(query0, '&'),
+      x -> x <> '' AND NOT regexp_matches(
+        x, '^(utm_[^=]*|fbclid|gclid)(=.*)?$'))), '&') AS q
+  FROM parts),
+canon AS (
+  SELECT doc_id, host,
+    (CASE WHEN scheme <> '' THEN scheme || '://' || auth ELSE auth END)
+    || path || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM norm)
+SELECT canonical_url, host, count(*) AS n_urls,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM canon GROUP BY 1, 2
+"""
+
+
 def q_cdc_txn_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSACTION-CONSISTENT streaming apply (streaming/runner.py
     txn_boundary — the Debezium/Flink-CDC txn-alignment semantic the
@@ -3774,6 +3860,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
     "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
     "cdc_txn_boundary": q_cdc_txn_boundary,
+    "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
     "cdc_agg_view": q_cdc_agg_view,
@@ -3788,7 +3875,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_maxwell_envelope": q_cdc_maxwell_envelope,
     "cdc_canal_envelope": q_cdc_canal_envelope,
     "file_delimited_roundtrip": q_file_delimited_roundtrip,
-    "cdc_changelog_read": q_cdc_changelog_read,
     "cdc_stream_continuous": q_cdc_stream_continuous,
     "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
     "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
@@ -3801,7 +3887,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "sample_split": q_sample_split,
     "pack_sequences": q_pack_sequences,
-    "chunk_documents": q_chunk_documents,
     "ivf_kmeans_assign": q_ivf_kmeans_assign,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embed_near_dup": q_embed_near_dup,
@@ -3814,6 +3899,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_prune_read": q_lake_prune_read,
     "lake_zorder_read": q_lake_zorder_read,
     "cdc_wap_publish": q_cdc_wap_publish,
+    "cdc_changelog_read": q_cdc_changelog_read,
+    "chunk_documents": q_chunk_documents,
     "text_fingerprint": q_text_fingerprint,
     "embed_cosine_topk": q_embed_cosine_topk,
     "ann_bucketed_topk": q_ann_bucketed_topk,
