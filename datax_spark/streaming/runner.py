@@ -307,7 +307,17 @@ def _build_tail(
             )
         stream = reader.parquet(feed_dir)
 
-    applier = CdcApplier(table, **applier_opts)
+    if isinstance(table, LakeTable):
+        applier = CdcApplier(table, **applier_opts)
+    else:
+        # a pre-built applier (e.g. cdc/multitable.MultiTableApplier) —
+        # anything exposing filter_already_applied/apply_batch/location
+        if applier_opts:
+            raise ValueError(
+                "applier options are set on the applier object itself "
+                f"when one is passed (got {sorted(applier_opts)})"
+            )
+        applier = table
     applied: list[dict] = []
     activity = {"t": time.monotonic()}
     if txn_boundary is not None:

@@ -3714,6 +3714,73 @@ def q_cdc_txn_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["cdc_txn_boundary"] = _CDC_FOLD_ORACLE
 
 
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE TRANSACTIONAL APPLY (cdc/multitable.MultiTableApplier —
+    the binlog reality DataX fans out as independent per-table jobs,
+    ``ReaderSplitUtil.java:19-108``): one mixed feed routed on a table-name
+    column into two lake tables, each batch published to the consistent-
+    epoch ledger only after BOTH tables committed it.  Returns the union of
+    the CONSISTENT reads (must equal the per-route folds; a half-published
+    epoch or a routing error diverges).  The epoch-count assert is
+    non-vacuous: every batch must have published."""
+    from datax_spark.cdc.multitable import MultiTableApplier
+
+    feed = _events_feed(_t(spark, sf_dir, "events")).withColumn(
+        "tbl",
+        F.when(F.col("user_id") % 2 == 0, F.lit("even")).otherwise(
+            F.lit("odd")
+        ),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="dx_mtt_")
+    tables = {
+        n: LakeTable.create(
+            spark, os.path.join(work, n), schema=schema,
+            key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+        )
+        for n in ("even", "odd")
+    }
+    ap = MultiTableApplier(
+        tables, table_col="tbl", ledger_dir=os.path.join(work, "ledger")
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    step = max(1, (hi + 3) // 3)
+    for i in range(3):
+        lo, up = i * step, min((i + 1) * step, hi + 1)
+        ap.apply_batch(
+            feed.filter((F.col("lsn") >= lo) & (F.col("lsn") < up)), i
+        )
+    if len(ap._epochs()) != 3:
+        raise AssertionError("not every batch published an epoch")
+    out = None
+    for n in tables:
+        part = ap.read_consistent(n).select(
+            F.lit(n).alias("tbl"), "user_id", "event_type",
+            "value_cents", "props",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_ORACLES["cdc_multi_table"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS tbl,
+       user_id, event_type, value_cents, props
+FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
 def q_cdc_merge_when_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHEN-clause MERGE (lake/merge.MergeBuilder — the Delta/Iceberg
     MERGE INTO surface generalizing DataX's fixed REPLACE semantics):
@@ -3860,6 +3927,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
     "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
     "cdc_txn_boundary": q_cdc_txn_boundary,
+    "cdc_multi_table": q_cdc_multi_table,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
