@@ -275,6 +275,81 @@ def _file_may_match(stats: dict | None, preds: list[tuple[str, str, Any]]) -> bo
     return True
 
 
+# ------------------------------------------------------------ bloom filters
+# Per-file bloom filters on configured columns (Iceberg/Delta file-skipping
+# for EQUALITY lookups where zone maps are useless — high-cardinality
+# columns in unclustered files whose [min,max] spans everything).  The
+# bitmap rides in the manifest entry, so a point lookup tests membership
+# DRIVER-SIDE with zero Spark jobs and zero file opens, like the zone maps.
+# Bit positions are pmod(F.hash(col, lit(i)), m) for i in 0..k-1 — the
+# chained Murmur3 the driver mirrors exactly via lake/hashing.py (parity
+# pinned in tests/test_bloom_pruning.py).
+BLOOM_PROP = "bloom_filters"
+BLOOM_DEFAULT_M = 32768  # bits per file per column (4 KiB bitmap)
+BLOOM_DEFAULT_K = 3
+# above this fill ratio of distinct set bits the filter's false-positive
+# rate stops paying for its manifest bytes — store None (no pruning)
+_BLOOM_MAX_FILL = 0.5
+# Spark types whose F.hash the driver mirror supports (lake/hashing.py)
+_BLOOM_TYPES = (
+    "int", "integer", "smallint", "tinyint", "date", "bigint", "long",
+    "string",
+)
+
+
+def _bloom_positions_py(value, dtype: str, k: int, m: int) -> list[int] | None:
+    """Driver-side mirror of ``pmod(F.hash(col, lit(i)), m)`` for
+    i in 0..k-1: Spark's Murmur3Hash chains children, so the second child
+    (the literal int i) hashes with the first child's hash as its seed."""
+    from datax_spark.lake import hashing
+
+    h1 = hashing.spark_hash(value, dtype)
+    if h1 is None:
+        return None
+    return [hashing.hash_int(i, seed=h1) % m for i in range(k)]
+
+
+def _bloom_may_match(
+    blooms: dict | None, preds: list[tuple[str, str, Any]], schema
+) -> bool:
+    """False only when a bloom filter PROVES no =/in predicate value can
+    be present in the file.  Saturated (None) records, missing columns,
+    type-widened columns (the hash changes with the type), and unmirrored
+    types all keep the file — correctness never depends on pruning."""
+    if not blooms:
+        return True
+    import base64
+
+    for col, op, val in preds:
+        if op not in ("=", "in"):
+            continue
+        rec = blooms.get(col)
+        if not rec:
+            continue
+        try:
+            cur_t = schema[col].dataType.simpleString()
+        except KeyError:
+            continue
+        if cur_t != rec.get("t"):
+            continue  # widened/changed type: recorded bits used the old hash
+        bits = base64.b64decode(rec["b"])
+        m_bits, k = int(rec["m"]), int(rec["k"])
+        vals = [val] if op == "=" else list(val)
+        possible = False
+        for v in vals:
+            if v is None:
+                continue  # NULL never satisfies = / in (3VL)
+            pos = _bloom_positions_py(v, cur_t, k, m_bits)
+            if pos is None or all(
+                bits[p >> 3] & (1 << (p & 7)) for p in pos
+            ):
+                possible = True
+                break
+        if not possible:
+            return False
+    return True
+
+
 def _preds_to_column(preds: list[tuple[str, str, Any]]):
     """The same predicate conjunction as a Column — read() applies it as the
     residual filter so results are exact regardless of pruning decisions."""
@@ -581,19 +656,26 @@ class LakeTable:
         )
         key_preds = [p for p in preds if p[0] in m.key_cols]
         kept = []
+        bloom_skipped = 0
         for e in candidates:
             kind = e[2] if len(e) > 2 else "base"
             usable = (
                 key_preds if (kind in DELTA_KINDS or any_pdelta) else preds
             )
-            if not usable or _file_may_match(
-                e[5] if len(e) > 5 else None, usable
-            ):
-                kept.append(e)
+            if usable:
+                if not _file_may_match(e[5] if len(e) > 5 else None, usable):
+                    continue
+                if not _bloom_may_match(
+                    e[6] if len(e) > 6 else None, usable, m.schema
+                ):
+                    bloom_skipped += 1
+                    continue
+            kept.append(e)
         info = {
             "files_total": len(candidates),
             "files_kept": len(kept),
             "files_skipped": len(candidates) - len(kept),
+            "bloom_skipped": bloom_skipped,
             "dv_files": len(dv_paths),
             "any_delta": any_delta,
             "preds_used": len(key_preds if any_pdelta else preds),
@@ -1050,7 +1132,7 @@ class LakeTable:
                      os.path.getsize(dst), md.num_rows, _file_column_stats(md)]
                 )
             shutil.rmtree(staging, ignore_errors=True)
-            return frag
+            return self._attach_blooms(frag, m)
         if dedup_lww and not sort_cols:
             staged = self._bucketed_lww_frame(selected, m, files_per_bucket)
             (
@@ -1058,7 +1140,9 @@ class LakeTable:
                 .partitionBy(_BUCKET_COL)
                 .parquet(staging)
             )
-            return self._collect_staged(staging, m.current_schema_id, kind)
+            return self._attach_blooms(
+                self._collect_staged(staging, m.current_schema_id, kind), m
+            )
         bexpr = self.bucket_expr(m.bucket_col, m.num_buckets)
         staged = selected.withColumn(_BUCKET_COL, bexpr)
         shuffle_n = max(1, m.num_buckets * files_per_bucket)
@@ -1085,7 +1169,124 @@ class LakeTable:
             .partitionBy(_BUCKET_COL)
             .parquet(staging)
         )
-        return self._collect_staged(staging, m.current_schema_id, kind)
+        return self._attach_blooms(
+            self._collect_staged(staging, m.current_schema_id, kind), m
+        )
+
+    def set_bloom_filters(
+        self,
+        cols: list[str],
+        m_bits: int = BLOOM_DEFAULT_M,
+        k: int = BLOOM_DEFAULT_K,
+    ) -> "Manifest":
+        """Enable per-file bloom filters on ``cols`` for every FUTURE data
+        file (run :meth:`compact` to backfill existing files).  Costs one
+        extra Spark aggregation per write (over just-written files, bloom
+        columns only); buys driver-side file skipping for ``=``/``in``
+        lookups on columns zone maps can't serve.  Size ``m_bits`` ≳ 10×
+        the expected distinct values per file — filters that would exceed
+        50% fill are stored as None (honest no-pruning fallback)."""
+        if k < 1 or m_bits < 64 or m_bits % 8:
+            raise ValueError("need k >= 1 and m_bits >= 64 divisible by 8")
+        schema = self.schema()
+        by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"bloom column {c!r} not in schema")
+            if by_name[c] not in _BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {by_name[c]} — only "
+                    f"{sorted(set(_BLOOM_TYPES))} have the driver-side "
+                    "hash mirror pruning needs"
+                )
+        return self.set_properties(
+            **{BLOOM_PROP: {"cols": list(cols), "m": int(m_bits),
+                            "k": int(k)}}
+        )
+
+    def _attach_blooms(
+        self, frag: dict[str, list[list[Any]]], m: "Manifest"
+    ) -> dict[str, list[list[Any]]]:
+        """Compute and attach per-file bloom bitmaps for the configured
+        columns to a just-written files-map fragment.  One Spark job over
+        the new files (bloom columns + ``_metadata.file_path`` only —
+        column-pruned, map-side-combined ≤ m distinct positions per file);
+        the driver packs bitmaps.  No-op unless ``BLOOM_PROP`` is set."""
+        conf = m.properties.get(BLOOM_PROP)
+        if not conf:
+            return frag
+        import base64
+
+        paths = {
+            os.path.join(self.location, e[0]): e
+            for es in frag.values()
+            for e in es
+            if len(e) > 2 and e[2] != "dv"
+        }
+        if not paths:
+            return frag
+        df = self.spark.read.parquet(*paths)
+        m_bits, k = int(conf.get("m", BLOOM_DEFAULT_M)), int(conf.get("k", 3))
+        usable: list[tuple[int, str, str]] = []
+        for c in conf["cols"]:
+            if c not in df.columns:
+                continue  # partial-update files may omit the column
+            dtype = df.schema[c].dataType.simpleString()
+            if dtype in _BLOOM_TYPES:
+                usable.append((len(usable), c, dtype))
+        if not usable:
+            return frag
+        arrays = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.array(*[
+                    F.struct(
+                        F.lit(ci).alias("c"),
+                        F.pmod(F.hash(F.col(c), F.lit(i)), F.lit(m_bits))
+                        .alias("p"),
+                    )
+                    for i in range(k)
+                ]),
+            ).otherwise(F.array().cast(
+                "array<struct<c:int,p:int>>"
+            ))
+            for ci, c, _ in usable
+        ]
+        rows = (
+            df.select(
+                F.col("_metadata.file_path").alias("__f"),
+                F.explode(F.flatten(F.array(*arrays))).alias("cp"),
+            )
+            .groupBy("__f", "cp.c")
+            .agg(F.collect_set("cp.p").alias("ps"))
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        per_file: dict[str, dict[int, list[int]]] = {}
+        for r in rows:
+            # Spark reports "file:/abs/path" (or file:///): take the path
+            local = unquote(urlparse(r["__f"]).path)
+            per_file.setdefault(local, {})[r["c"]] = r["ps"]
+        for p, e in paths.items():
+            got = per_file.get(p, {})
+            rec: dict[str, Any] = {}
+            for ci, c, dtype in usable:
+                ps = got.get(ci, [])
+                if len(ps) > m_bits * _BLOOM_MAX_FILL:
+                    rec[c] = None  # saturated: fpp too high to be worth it
+                    continue
+                bits = bytearray(m_bits // 8)
+                for pos in ps:
+                    bits[pos >> 3] |= 1 << (pos & 7)
+                rec[c] = {
+                    "b": base64.b64encode(bytes(bits)).decode(),
+                    "t": dtype, "m": m_bits, "k": k,
+                }
+            while len(e) < 6:
+                e.append(None)
+            e.append(rec)
+        return frag
 
     def _collect_staged(
         self, staging: str, schema_id: int, kind: str

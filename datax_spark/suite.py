@@ -592,6 +592,51 @@ def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER FILE SKIPPING (lake/table.py BLOOM_PROP — the
+    Iceberg/Delta bloom story for equality lookups on high-cardinality
+    NON-clustered columns): ingest, enable per-file blooms on value_cents,
+    compact (bloom-bearing base files), then a point lookup on a mid-range
+    value — inside every unsorted file's [min,max], so zone maps keep all
+    files and ONLY the bloom bitmaps (tested driver-side, zero jobs, zero
+    file opens) can skip.  The run asserts bloom pruning fired; the oracle
+    is the fold + the same scalar lookup."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_bloom_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = feed.agg(F.max("lsn")).collect()[0][0]
+    run_incremental(table, feed, batch_lsns=max(1, (int(hi) + 4) // 4))
+    table.set_bloom_filters(["value_cents"])
+    table.compact(files_per_bucket=4)
+    # a mid-range needle: the surviving value of the smallest user id —
+    # random-valued, so it sits inside every file's zone-map range and
+    # only the blooms can prune
+    probe = (
+        table.read()
+        .orderBy("user_id")
+        .select("value_cents")
+        .first()["value_cents"]
+    )
+    where = [("value_cents", "=", int(probe))]
+    plan = table.scan_plan(where=where)
+    assert plan["bloom_skipped"] > 0, f"bloom pruning was vacuous: {plan}"
+    return table.read(where=where).select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_lake_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered read: ingest, compact with an interleaved-bit
     (user_id, value_cents) key, then a predicate on value_cents ALONE —
@@ -3713,6 +3758,22 @@ def q_cdc_txn_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLES["cdc_txn_boundary"] = _CDC_FOLD_ORACLE
 
+_ORACLES["lake_bloom_lookup"] = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events),
+fold AS (
+  SELECT user_id, event_type, value_cents, props
+  FROM ranked WHERE rn = 1 AND NOT is_delete)
+SELECT user_id, event_type, value_cents, props FROM fold
+WHERE value_cents = (
+  SELECT value_cents FROM fold
+  WHERE user_id = (SELECT min(user_id) FROM fold))
+"""
+
+
 
 def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE TRANSACTIONAL APPLY (cdc/multitable.MultiTableApplier —
@@ -3928,6 +3989,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
     "cdc_txn_boundary": q_cdc_txn_boundary,
     "cdc_multi_table": q_cdc_multi_table,
+    "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
     "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
