@@ -1,0 +1,305 @@
+"""Type-2 slowly-changing-dimension (SCD2) history maintained from a CDC
+feed.
+
+The reference engine syncs the CURRENT state of a source table
+(writeMode insert/replace/update — ``WriterUtil.java:110-167``), and the
+first thing a warehouse downstream of such a sync builds is the change
+HISTORY the sync threw away.  Here the history is a first-class target
+table: one row per key per version interval ``[valid_from, valid_to)``
+in source-LSN time, closed by the key's next change (or delete), with
+``is_current`` marking the live row.  ``scd2_as_of`` reconstructs the
+dimension at any past LSN without snapshots — the classic temporal-join
+feed for ``functions/temporal.temporal_table_join``.
+
+Scale shape (100-TB design):
+
+- The per-batch fold is one window over the MICRO-BATCH partitioned by
+  key — O(batch log batch-per-key), never O(table).
+- Open rows for touched keys come from one key-join read of the
+  ``is_current`` slice; the batch-keys side is deduped + broadcast under
+  the same size guard as merge's COW path, so the big (history) side
+  never shuffles.
+- The write is an ordinary :func:`datax_spark.lake.merge.merge_into` on
+  key ``(*natural key, valid_from)`` — O(batch) appends under MOR,
+  exactly-once via the same lineage replay guard as every other apply
+  path, so crash/replay converges byte-identically.
+
+Optional ``suppress_unchanged`` drops no-op updates (Debezium feeds are
+full of them: every source UPDATE emits an event even when the mapped
+columns are untouched) so they open no spurious interval — run-length
+``lag`` comparison per key, deletes acting as breaks, null-safe on the
+payload struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+
+VALID_FROM = "valid_from"
+VALID_TO = "valid_to"
+IS_CURRENT = "is_current"
+_RESERVED = (VALID_FROM, VALID_TO, IS_CURRENT)
+# broadcast the deduped batch-key frame below this many batch rows — same
+# rationale as merge_into's broadcast_key_limit (a 10^8-key backfill
+# would OOM the driver; micro-batches are far below it)
+_BROADCAST_KEY_LIMIT = 1_000_000
+
+
+def scd2_schema(
+    key_schema: list[T.StructField], payload_schema: list[T.StructField]
+) -> T.StructType:
+    """History-table schema: natural key + payload + interval columns."""
+    return T.StructType(
+        [*key_schema, *payload_schema,
+         T.StructField(VALID_FROM, T.LongType(), False),
+         T.StructField(VALID_TO, T.LongType(), True),
+         T.StructField(IS_CURRENT, T.BooleanType(), False)]
+    )
+
+
+def scd2_create(
+    spark: SparkSession,
+    location: str,
+    schema: T.StructType,
+    key_cols: list[str],
+    num_buckets: int = 16,
+    **create_kw,
+) -> LakeTable:
+    """Create the history table for a dimension whose SOURCE schema is
+    ``schema`` (key + payload).  The lake key is ``(*key_cols,
+    valid_from)`` — each version interval is its own row — bucketed by
+    the first natural-key column so every interval of a key co-locates
+    (point history reads prune to one bucket; the apply path's open-row
+    read never crosses buckets)."""
+    for c in _RESERVED:
+        if c in schema.names:
+            raise ValueError(f"source schema may not carry reserved "
+                             f"column {c!r}")
+    key_fields = [schema[c] for c in key_cols]
+    payload_fields = [f for f in schema.fields if f.name not in key_cols]
+    return LakeTable.create(
+        spark, location,
+        schema=scd2_schema(key_fields, payload_fields),
+        key_cols=[*key_cols, VALID_FROM],
+        bucket_col=create_kw.pop("bucket_col", key_cols[0]),
+        num_buckets=num_buckets,
+        **create_kw,
+    )
+
+
+def scd2_fold(
+    batch: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    order_col: str = "lsn",
+    op_col: str = "op",
+    suppress_unchanged: bool = False,
+) -> DataFrame:
+    """Fold a change batch (possibly many events per key) into SCD2
+    interval rows.
+
+    Every non-delete event opens an interval at its LSN, closed by the
+    key's NEXT event of any op (a delete closes without opening).
+    ``order_col`` must be unique per key within the batch — true of any
+    binlog position; ties would make interval keys collide.
+
+    This is the batch-local half; :func:`scd2_apply` unions the open
+    table rows in as seed events so cross-batch closure falls out of the
+    same window.
+    """
+    return _fold(batch, key_cols, payload_cols, order_col, op_col,
+                 suppress_unchanged, seed_col=None)
+
+
+def _fold(
+    events: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    order_col: str,
+    op_col: str,
+    suppress_unchanged: bool,
+    seed_col: str | None,
+) -> DataFrame:
+    """Shared fold over real events (+ optional seed pseudo-events).
+
+    Seed rows (``seed_col`` true) replay a key's open table row at its
+    original ``valid_from`` so the window's ``lead`` closes it exactly
+    where the batch's first surviving event lands; a seed that remains
+    open (nothing in the batch survived for that key) is dropped — the
+    table row is already correct, rewriting it would be pure write
+    amplification.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    is_del = F.col(op_col) == "delete"
+    if suppress_unchanged:
+        # run-length suppression: an event equal (null-safely) to its
+        # predecessor's surviving state is a no-op.  Deletes break runs
+        # (their "state" is NULL, never equal to a real payload struct);
+        # a delete whose predecessor is a delete — or nothing at all —
+        # is itself a no-op.  Consecutive equal events all compare to a
+        # member of the same run, so lag() over the UNFILTERED sequence
+        # is sufficient (no recursion needed).
+        state = F.when(~is_del, F.struct(*[F.col(c) for c in payload_cols]))
+        prev = F.lag(state).over(w)
+        prev_op = F.lag(F.col(op_col)).over(w)
+        keep = F.when(is_del, prev_op.isNotNull() & (prev_op != "delete")) \
+            .otherwise(~state.eqNullSafe(prev))
+        events = events.withColumn("__keep", keep).filter("__keep") \
+            .drop("__keep")
+    out = (
+        events
+        .withColumn("__vt", F.lead(order_col).over(w))
+        .filter(~is_del)
+    )
+    if seed_col is not None:
+        out = out.filter(~(F.col(seed_col) & F.col("__vt").isNull()))
+    return out.select(
+        *key_cols, *payload_cols,
+        F.col(order_col).cast("long").alias(VALID_FROM),
+        F.col("__vt").cast("long").alias(VALID_TO),
+        F.col("__vt").isNull().alias(IS_CURRENT),
+    )
+
+
+def scd2_apply(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int | str | None = None,
+    order_col: str = "lsn",
+    op_col: str = "op",
+    suppress_unchanged: bool = False,
+    mode: str = "mor",
+    **merge_kw,
+) -> "Manifest | None":
+    """Apply one CDC micro-batch to an SCD2 history table.
+
+    ``batch`` carries the natural key + payload + ``op_col``
+    (insert/update/delete) + ``order_col`` (LSN, unique per key, and —
+    the same feed contract every apply path here assumes — greater than
+    any LSN already applied for that key).  Returns the new manifest, or
+    None when ``batch_id`` was already applied (exactly-once replay
+    guard, shared with :func:`merge_into`).
+
+    Mechanics: each touched key's OPEN row re-enters the fold as a seed
+    pseudo-event at its original ``valid_from``; one window then yields
+    both the closure of the open interval and the batch's new intervals.
+    With ``suppress_unchanged`` the seed also provides the cross-batch
+    "previous state", so an update identical to the stored current row
+    opens no interval.
+    """
+    nat_keys = [c for c in table.manifest().key_cols if c != VALID_FROM]
+    payload_cols = [
+        f.name for f in table.schema().fields
+        if f.name not in (*nat_keys, *_RESERVED)
+    ]
+    missing = [c for c in (*nat_keys, *payload_cols, op_col, order_col)
+               if c not in batch.columns]
+    if missing:
+        raise ValueError(f"batch is missing columns {missing}")
+    if batch_id is not None and table.manifest().is_applied(batch_id):
+        return None  # don't pay the fold jobs for a replay
+
+    batch_keys = batch.select(*nat_keys).distinct()
+    n_rows = merge_kw.pop("batch_rows", None)
+    if n_rows is None:
+        n_rows = batch.count()
+    if n_rows == 0:
+        return None
+    if n_rows <= _BROADCAST_KEY_LIMIT:
+        batch_keys = F.broadcast(batch_keys)
+    open_rows = (
+        table.read().filter(F.col(IS_CURRENT))
+        .join(batch_keys, on=nat_keys, how="inner")
+    )
+    seeds = open_rows.select(
+        *nat_keys, *payload_cols,
+        F.col(VALID_FROM).cast("long").alias(order_col),
+        F.lit("insert").alias(op_col),
+        F.lit(True).alias("__seed"),
+    )
+    events = batch.select(
+        *nat_keys, *payload_cols,
+        F.col(order_col).cast("long").alias(order_col),
+        F.col(op_col).alias(op_col),
+        F.lit(False).alias("__seed"),
+    )
+    rows = _fold(
+        seeds.unionByName(events), nat_keys, payload_cols, order_col,
+        op_col, suppress_unchanged, seed_col="__seed",
+    ).withColumn("__op", F.lit("insert"))
+    # MOR last-writer-wins across batches: every row of this batch carries
+    # one ordinal — any monotone per-batch value works because a given
+    # (key, valid_from) is only ever REwritten in a later batch (closing
+    # an interval opened earlier).  The batch's max LSN is monotone by
+    # the feed contract.
+    hi = batch.agg(F.max(order_col)).collect()[0][0]
+    rows = rows.withColumn("__ord", F.lit(int(hi)).cast("long"))
+    lineage = {"batch_id": batch_id} if batch_id is not None else None
+    return merge_into(
+        table, rows, op_col="__op", order_col="__ord",
+        lineage=lineage, mode=mode, keys_unique=True, **merge_kw,
+    )
+
+
+def scd2_run_incremental(
+    table: LakeTable,
+    feed: DataFrame,
+    batch_lsns: int,
+    order_col: str = "lsn",
+    op_col: str = "op",
+    suppress_unchanged: bool = False,
+    mode: str = "mor",
+    max_batches: int | None = None,
+    **merge_kw,
+) -> list[int]:
+    """Bounded incremental replay of ``feed`` into the history table —
+    the SCD2 counterpart of :func:`datax_spark.cdc.runner.run_incremental`
+    (same LSN-range micro-batching, same deterministic
+    ``lsn // batch_lsns`` batch ids, so a resumed run regenerates
+    identical boundaries and replayed ids no-op via the lineage guard).
+    Returns the applied batch ids."""
+    bounds = feed.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return []
+    applied = []
+    first = int(bounds["lo"]) // batch_lsns
+    last = int(bounds["hi"]) // batch_lsns
+    for b in range(first, last + 1):
+        if max_batches is not None and len(applied) >= max_batches:
+            break
+        lo, hi = b * batch_lsns, (b + 1) * batch_lsns
+        part = feed.filter(
+            (F.col(order_col) >= lo) & (F.col(order_col) < hi)
+        )
+        if scd2_apply(
+            table, part, batch_id=b, order_col=order_col, op_col=op_col,
+            suppress_unchanged=suppress_unchanged, mode=mode, **merge_kw,
+        ) is not None:
+            applied.append(b)
+    return applied
+
+
+def scd2_current(table: LakeTable) -> DataFrame:
+    """The live dimension — equivalent to the ordinary CDC fold of the
+    same feed into a current-state table."""
+    return table.read().filter(F.col(IS_CURRENT)) \
+        .drop(VALID_FROM, VALID_TO, IS_CURRENT)
+
+
+def scd2_as_of(table: LakeTable, lsn: int) -> DataFrame:
+    """The dimension as of source LSN ``lsn`` (inclusive) — interval
+    containment over the history, no snapshot needed.  The ``valid_from``
+    bound is passed through ``read(where=)`` so zone maps prune history
+    files that only hold newer intervals."""
+    return (
+        table.read(where=[(VALID_FROM, "<=", int(lsn))])
+        .filter(F.col(VALID_TO).isNull() | (F.col(VALID_TO) > int(lsn)))
+        .drop(VALID_FROM, VALID_TO, IS_CURRENT)
+    )

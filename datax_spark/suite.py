@@ -3775,6 +3775,85 @@ WHERE value_cents = (
 
 
 
+_SCD2_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value_cents", T.LongType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _scd2_build(spark, feed, suppress: bool) -> DataFrame:
+    from datax_spark.lake import scd
+
+    loc = tempfile.mkdtemp(prefix="dx_scd2_")
+    os.rmdir(loc)
+    table = scd.scd2_create(
+        spark, loc, schema=_SCD2_SCHEMA, key_cols=["user_id"],
+        num_buckets=8,
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    scd.scd2_run_incremental(
+        table, feed, batch_lsns=max(1, (hi + 4) // 4),
+        suppress_unchanged=suppress,
+    )
+    return table.read().select(
+        "user_id", "event_type", "value_cents", "props",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 HISTORY BUILD (lake/scd.py — the type-2 dimension the
+    reference's current-state sync discards): events→envelope→4
+    incremental scd2_apply batches; each non-delete event opens an
+    interval closed by the key's next change, deletes close without
+    opening.  Returns the FULL history, so the oracle (one window over
+    the whole feed) also proves batch-boundary invariance of the
+    seed-based cross-batch closure."""
+    return _scd2_build(
+        spark, _events_feed(_t(spark, sf_dir, "events")), suppress=False
+    )
+
+
+def q_cdc_scd2_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 NO-OP SUPPRESSION (scd2_apply(suppress_unchanged=True) — the
+    Debezium-feed reality: every source UPDATE emits an event even when
+    the mapped columns are untouched): every event is duplicated at the
+    adjacent LSN (lsn*2 and lsn*2+1, same payload), so HALF the feed is
+    no-ops — duplicate updates and double deletes.  Suppression must
+    collapse them exactly: the oracle is the plain interval window over
+    the ORIGINAL feed at lsn*2, with no knowledge of the duplicates."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    doubled = feed.withColumn("lsn", F.col("lsn") * 2).unionByName(
+        feed.withColumn("lsn", F.col("lsn") * 2 + 1)
+    )
+    return _scd2_build(spark, doubled, suppress=True)
+
+
+_SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, CAST(event_id AS BIGINT){lsn_expr} AS lsn,
+         event_type = 'error' AS is_delete
+  FROM events),
+iv AS (
+  SELECT *, lead(lsn) OVER (PARTITION BY user_id ORDER BY lsn) AS valid_to
+  FROM e)
+SELECT user_id, event_type, value_cents, props,
+       lsn AS valid_from, valid_to,
+       valid_to IS NULL AS is_current
+FROM iv WHERE NOT is_delete
+"""
+
+_ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
+# suppression collapses the duplicated events exactly, so the history
+# equals the plain window over the ORIGINAL feed rescaled to lsn*2
+_ORACLES["cdc_scd2_suppress"] = _SCD2_ORACLE.format(lsn_expr=" * 2")
+
+
 def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-TABLE TRANSACTIONAL APPLY (cdc/multitable.MultiTableApplier —
     the binlog reality DataX fans out as independent per-table jobs,
@@ -3989,6 +4068,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
     "cdc_txn_boundary": q_cdc_txn_boundary,
     "cdc_multi_table": q_cdc_multi_table,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_scd2_suppress": q_cdc_scd2_suppress,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,

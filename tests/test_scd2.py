@@ -1,0 +1,183 @@
+"""SCD2 history maintenance (lake/scd.py): batch-boundary invariance,
+delete/reinsert intervals, no-op suppression, replay idempotence, and
+as-of reconstruction parity with the plain CDC fold."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake import scd
+
+SRC = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("city", T.StringType()),
+])
+ENV = T.StructType([
+    *SRC.fields,
+    T.StructField("op", T.StringType()),
+    T.StructField("lsn", T.LongType()),
+])
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [(k, n, c, op, lsn) for (k, n, c, op, lsn) in rows], ENV
+    )
+
+
+def _hist(table):
+    return sorted(
+        (r.k, r.name, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in table.read().collect()
+    )
+
+
+BASE_ROWS = [
+    (1, "ann", "rome", "insert", 1),
+    (2, "bob", "oslo", "insert", 2),
+    (1, "ann", "lima", "update", 5),   # move city
+    (2, None, None, "delete", 6),      # bob leaves
+    (2, "bob", "bern", "insert", 8),   # bob returns
+    (1, "anne", "lima", "update", 11),  # rename
+]
+EXPECT = [
+    (1, "ann", "lima", 5, 11, False),
+    (1, "ann", "rome", 1, 5, False),
+    (1, "anne", "lima", 11, None, True),
+    (2, "bob", "bern", 8, None, True),
+    (2, "bob", "oslo", 2, 6, False),
+]
+
+
+def _mk(spark, tmp_path, name="h"):
+    return scd.scd2_create(
+        spark, str(tmp_path / name), schema=SRC, key_cols=["k"],
+        num_buckets=2,
+    )
+
+
+def test_single_batch_fold(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    scd.scd2_apply(t, _feed(spark, BASE_ROWS), batch_id=0)
+    assert _hist(t) == EXPECT
+    cur = sorted((r.k, r.name, r.city)
+                 for r in scd.scd2_current(t).collect())
+    assert cur == [(1, "anne", "lima"), (2, "bob", "bern")]
+
+
+@pytest.mark.parametrize("batch_lsns", [1, 3, 100])
+def test_batch_boundary_invariance(spark, tmp_path, batch_lsns):
+    """Any micro-batch slicing of the same feed yields the same history."""
+    t = _mk(spark, tmp_path, f"h{batch_lsns}")
+    scd.scd2_run_incremental(t, _feed(spark, BASE_ROWS), batch_lsns)
+    assert _hist(t) == EXPECT
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    feed = _feed(spark, BASE_ROWS)
+    scd.scd2_run_incremental(t, feed, batch_lsns=4)
+    v = t.current_version()
+    # replaying the whole feed reuses the same deterministic batch ids
+    assert scd.scd2_run_incremental(t, feed, batch_lsns=4) == []
+    assert t.current_version() == v
+    assert _hist(t) == EXPECT
+
+
+def test_as_of_matches_fold(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    scd.scd2_run_incremental(t, _feed(spark, BASE_ROWS), batch_lsns=3)
+    asof = {
+        4: [(1, "ann", "rome"), (2, "bob", "oslo")],
+        5: [(1, "ann", "lima"), (2, "bob", "oslo")],
+        6: [(1, "ann", "lima")],            # bob deleted
+        7: [(1, "ann", "lima")],
+        8: [(1, "ann", "lima"), (2, "bob", "bern")],
+    }
+    for lsn, want in asof.items():
+        got = sorted((r.k, r.name, r.city)
+                     for r in scd.scd2_as_of(t, lsn).collect())
+        assert got == want, f"as_of({lsn})"
+
+
+def test_suppress_unchanged(spark, tmp_path):
+    rows = [
+        (1, "ann", "rome", "insert", 1),
+        (1, "ann", "rome", "update", 3),   # no-op touch: suppressed
+        (1, "ann", "lima", "update", 5),
+        (1, "ann", "lima", "update", 6),   # no-op again
+        (2, None, None, "delete", 7),      # delete of unseen key: no-op
+        (3, "cat", None, "insert", 8),
+        (3, "cat", None, "delete", 9),
+        (3, "cat", None, "delete", 10),    # double delete: second no-op
+    ]
+    t = _mk(spark, tmp_path)
+    scd.scd2_apply(t, _feed(spark, rows), batch_id=0,
+                   suppress_unchanged=True)
+    assert _hist(t) == [
+        (1, "ann", "lima", 5, None, True),
+        (1, "ann", "rome", 1, 5, False),
+        (3, "cat", None, 8, 9, False),
+    ]
+
+
+def test_suppress_unchanged_across_batches(spark, tmp_path):
+    """The stored open row seeds the comparison: an update in a LATER
+    batch equal to the current row opens no interval, and the eventual
+    real change closes the original interval at the right LSN."""
+    t = _mk(spark, tmp_path)
+    scd.scd2_apply(t, _feed(spark, [(1, "ann", "rome", "insert", 1)]),
+                   batch_id=0, suppress_unchanged=True)
+    v1 = t.current_version()
+    # a batch that is ENTIRELY no-ops must leave the table untouched
+    scd.scd2_apply(t, _feed(spark, [(1, "ann", "rome", "update", 4)]),
+                   batch_id=1, suppress_unchanged=True)
+    assert _hist(t) == [(1, "ann", "rome", 1, None, True)]
+    scd.scd2_apply(t, _feed(spark, [(1, "ann", "rome", "update", 7),
+                                    (1, "ann", "lima", "update", 9)]),
+                   batch_id=2, suppress_unchanged=True)
+    assert _hist(t) == [
+        (1, "ann", "lima", 9, None, True),
+        (1, "ann", "rome", 1, 9, False),
+    ]
+    assert t.current_version() > v1
+
+
+def test_fold_matches_current_state_fold(spark):
+    """scd2_fold's is_current slice == the engine's last-event-wins fold
+    (deletes applied) on any feed — the two state definitions agree."""
+    from datax_spark import fixtures
+    from datax_spark.lake.merge import dedup_last_per_key
+
+    feed = fixtures.change_events(spark, 800, n_keys=120, seed=3)
+    payload = [c for c in feed.columns
+               if c not in ("lsn", "shard", "ts", "op")]
+    hist = scd.scd2_fold(feed, ["repo", "path", "commit"], payload,
+                         order_col="lsn", op_col="op")
+    cur = sorted(
+        tuple(r[c] for c in payload)
+        for r in hist.filter("is_current").collect()
+    )
+    folded = dedup_last_per_key(feed, ["repo", "path", "commit"], "lsn")
+    want = sorted(
+        tuple(r[c] for c in payload)
+        for r in folded.filter(F.col("op") != "delete").collect()
+    )
+    assert cur == want
+
+
+def test_reserved_columns_rejected(spark, tmp_path):
+    bad = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("valid_from", T.LongType()),
+    ])
+    with pytest.raises(ValueError, match="reserved"):
+        scd.scd2_create(spark, str(tmp_path / "bad"), schema=bad,
+                        key_cols=["k"])
+
+
+def test_missing_columns_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="missing"):
+        scd.scd2_apply(t, _feed(spark, BASE_ROWS).drop("op"), batch_id=0)
