@@ -51,6 +51,13 @@ class TargetSpec:
     key_cols: list[str] = field(default_factory=lambda: ["repo", "path", "commit"])
     bucket_col: str | None = None
     num_buckets: int = 16
+    # type-2 slowly-changing-dimension target (lake/scd.py): the table
+    # keeps one row per key per version interval [valid_from, valid_to)
+    # instead of the current state; key_cols stay the NATURAL key.
+    scd2: bool = False
+    # scd2 only: drop no-op updates (payload equal to the stored current
+    # row) so they open no interval — the Debezium-feed hygiene knob
+    suppress_unchanged: bool = False
 
 
 @dataclass
@@ -287,6 +294,30 @@ class JobSpec:
         bucket = self.target.bucket_col or self.target.key_cols[0]
         if bucket not in cols:
             problems.append(f"bucket column missing from feed: {bucket}")
+        if self.target.scd2:
+            if self.run.kind != "incremental":
+                problems.append(
+                    "target.scd2 requires run.kind='incremental' (the "
+                    "history fold is batch-applied; stream/tail CDC "
+                    "targets the current state)")
+            if self.merge.partial_update:
+                problems.append(
+                    "target.scd2 cannot combine with partial_update (an "
+                    "interval row is a whole-row version)")
+            if self.agg_views:
+                problems.append(
+                    "agg_views aggregate current state, not history — "
+                    "run them on a separate non-scd2 target")
+            from datax_spark.lake.scd import _RESERVED as _SCD2_RESERVED
+
+            for c in _SCD2_RESERVED:
+                if c in cols:
+                    problems.append(
+                        f"feed column {c!r} collides with an scd2 "
+                        "interval column")
+        elif self.target.suppress_unchanged:
+            problems.append("target.suppress_unchanged requires "
+                            "target.scd2=true")
         for h in self.hooks:
             if h not in HOOK_REGISTRY:
                 problems.append(f"unknown hook: {h}")
@@ -365,13 +396,25 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             payload_schema = feed.drop(
                 *[c for c in (*ENVELOPE_COLS, *txn_cols)
                   if c in feed.columns]).schema
-        table = LakeTable.create(
-            spark, target_loc,
-            schema=payload_schema,
-            key_cols=spec.target.key_cols,
-            bucket_col=spec.target.bucket_col,
-            num_buckets=spec.target.num_buckets,
-        )
+        if spec.target.scd2:
+            from datax_spark.lake.scd import scd2_create
+
+            table = scd2_create(
+                spark, target_loc,
+                schema=payload_schema,
+                key_cols=spec.target.key_cols,
+                bucket_col=spec.target.bucket_col
+                or spec.target.key_cols[0],
+                num_buckets=spec.target.num_buckets,
+            )
+        else:
+            table = LakeTable.create(
+                spark, target_loc,
+                schema=payload_schema,
+                key_cols=spec.target.key_cols,
+                bucket_col=spec.target.bucket_col,
+                num_buckets=spec.target.num_buckets,
+            )
 
     limits = Q.ErrorLimits(spec.error_limit.record, spec.error_limit.percentage)
     summary: dict[str, Any] = {"kind": spec.run.kind}
@@ -388,17 +431,31 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 quarantine_path=spec.quarantine_path,
                 limits=limits,
             )
-        lineages = run_incremental(
-            table, feed, batch_lsns=spec.run.batch_lsns,
-            mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
-            dedup_batch=spec.merge.dedup_batch,
-            compact_ratio=spec.merge.compact_ratio,
-            partial_update=spec.merge.partial_update,
-            bucket_deltas=spec.merge.bucket_deltas,
-        )
-        summary["batches"] = len(lineages)
-        summary["rows"] = int(sum(l["rows"] for l in lineages))
-        summary["bytes"] = int(sum(l["bytes"] for l in lineages))
+        if spec.target.scd2:
+            from datax_spark.lake.scd import scd2_run_incremental
+
+            applied = scd2_run_incremental(
+                table, feed, batch_lsns=spec.run.batch_lsns,
+                suppress_unchanged=spec.target.suppress_unchanged,
+                mode=spec.merge.mode,
+                auto_compact=spec.merge.auto_compact,
+                compact_ratio=spec.merge.compact_ratio,
+                bucket_deltas=spec.merge.bucket_deltas,
+            )
+            summary["batches"] = len(applied)
+            summary["rows"] = int(table.file_stats()["rows"])
+        else:
+            lineages = run_incremental(
+                table, feed, batch_lsns=spec.run.batch_lsns,
+                mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
+                dedup_batch=spec.merge.dedup_batch,
+                compact_ratio=spec.merge.compact_ratio,
+                partial_update=spec.merge.partial_update,
+                bucket_deltas=spec.merge.bucket_deltas,
+            )
+            summary["batches"] = len(lineages)
+            summary["rows"] = int(sum(l["rows"] for l in lineages))
+            summary["bytes"] = int(sum(l["bytes"] for l in lineages))
     elif spec.run.kind in ("stream", "tail"):
         from datax_spark.streaming.runner import (
             run_available_now,

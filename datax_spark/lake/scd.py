@@ -268,6 +268,19 @@ def scd2_run_incremental(
     ).collect()[0]
     if bounds["lo"] is None:
         return []
+    # ids derive from lsn // batch_lsns: a rerun with a DIFFERENT
+    # granularity would map new events onto already-applied ids and the
+    # replay guard would silently drop them (same contract as
+    # cdc/runner.run_incremental)
+    recorded = table.manifest().properties.get("scd2_batch_lsns")
+    if recorded is None:
+        table.set_properties(scd2_batch_lsns=int(batch_lsns))
+    elif int(recorded) != int(batch_lsns):
+        raise ValueError(
+            f"batch_lsns={batch_lsns} conflicts with this table's recorded "
+            f"granularity {recorded}: batch ids would collide with "
+            f"already-applied ids. Re-run with batch_lsns={recorded}."
+        )
     applied = []
     first = int(bounds["lo"]) // batch_lsns
     last = int(bounds["hi"]) // batch_lsns

@@ -167,6 +167,74 @@ def test_fold_matches_current_state_fold(spark):
     assert cur == want
 
 
+def test_jobspec_scd2_run(spark, tmp_path):
+    """job.json target.scd2 drives the history build end to end —
+    create, incremental apply, idempotent rerun — through the same
+    surface as every other job."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.lake.table import LakeTable
+
+    fixtures.change_events(spark, 600, n_keys=90, seed=5).write.parquet(
+        str(tmp_path / "feed")
+    )
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "hist"),
+            "key_cols": ["repo", "path", "commit"],
+            "scd2": True,
+            "suppress_unchanged": True,
+        },
+        "run": {"kind": "incremental", "batch_lsns": 200},
+    })
+    assert spec.pre_check(spark) == []
+    s1 = run_job(spark, spec)
+    assert s1["batches"] >= 3
+    t = LakeTable(spark, str(tmp_path / "hist"))
+    hist = t.read()
+    assert {"valid_from", "valid_to", "is_current"} <= set(hist.columns)
+    # the current slice equals the plain fold of the feed
+    from datax_spark.lake.merge import dedup_last_per_key
+
+    feed = spark.read.parquet(str(tmp_path / "feed"))
+    folded = dedup_last_per_key(
+        feed, ["repo", "path", "commit"], "lsn"
+    ).filter(F.col("op") != "delete")
+    assert hist.filter("is_current").count() == folded.count()
+    s2 = run_job(spark, spec)  # replay: nothing applied
+    assert s2["batches"] == 0
+
+
+def test_jobspec_scd2_precheck_rejections(spark, tmp_path):
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec
+
+    fixtures.change_events(spark, 50, n_keys=10, seed=5).write.parquet(
+        str(tmp_path / "feed")
+    )
+    base = {
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {"location": str(tmp_path / "h"),
+                   "key_cols": ["repo", "path", "commit"], "scd2": True},
+        "run": {"kind": "stream"},
+    }
+    probs = JobSpec.from_dict(base).pre_check(spark)
+    assert any("scd2 requires run.kind='incremental'" in p for p in probs)
+    base["run"] = {"kind": "incremental"}
+    base["target"]["scd2"] = False
+    base["target"]["suppress_unchanged"] = True
+    probs = JobSpec.from_dict(base).pre_check(spark)
+    assert any("requires target.scd2" in p for p in probs)
+
+
+def test_run_incremental_granularity_guard(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    scd.scd2_run_incremental(t, _feed(spark, BASE_ROWS[:2]), batch_lsns=4)
+    with pytest.raises(ValueError, match="granularity"):
+        scd.scd2_run_incremental(t, _feed(spark, BASE_ROWS), batch_lsns=7)
+
+
 def test_reserved_columns_rejected(spark, tmp_path):
     bad = T.StructType([
         T.StructField("k", T.LongType()),
