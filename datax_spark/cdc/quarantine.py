@@ -99,6 +99,96 @@ def split_dirty(
     return clean, dirty
 
 
+def replay_quarantine(
+    spark,
+    quarantine_path: str,
+    table,
+    rules: list[tuple[str, Column]],
+    fix=None,
+    order_col: str = "lsn",
+    op_col: str = "op",
+    mode: str = "mor",
+    **merge_kw,
+) -> dict:
+    """Reprocess the dead-letter queue: read the quarantined rows, run the
+    caller's ``fix`` (the corrected transform/mapping that addresses the
+    root cause), re-validate against ``rules``, and MERGE the now-clean
+    rows into ``table`` — the DataX dirty-collector story completed (the
+    reference only *collects* dirty records,
+    ``AbstractTaskPluginCollector.java:41-57``; operators then re-run the
+    job — here the repaired rows rejoin the table without one).
+
+    Exactly-once + ordering:
+
+    - The replay batch id is derived from the quarantine dir's file set
+      (name+size), so a retried replay of the same backlog no-ops via the
+      table's ordinary lineage guard.
+    - Rows keep their ORIGINAL LSNs: the MOR fold's last-writer-wins means
+      a repaired event older than the key's current row loses, exactly as
+      if it had never been quarantined — replay is effect-idempotent even
+      if a crash between merge and archive re-merges a subset.
+    - The per-shard resume watermarks are untouched (commit takes
+      ``max``), so replaying old LSNs can never regress the live feed.
+
+    Rows still dirty after ``fix`` move to ``_dead/<token>/`` under the
+    quarantine dir; consumed source files move to ``_replayed/<token>/``.
+    Both subdirs are invisible to the next replay, so the active DLQ
+    drains monotonically.  Returns a summary dict.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    from datax_spark.lake.merge import merge_into
+
+    files = sorted(
+        e.name for e in os.scandir(quarantine_path)
+        if e.is_file() and e.name.endswith(".parquet")
+    ) if os.path.isdir(quarantine_path) else []
+    if not files:
+        return {"replayed": 0, "still_dirty": 0, "token": None,
+                "files": 0}
+    sizes = [os.path.getsize(os.path.join(quarantine_path, f))
+             for f in files]
+    token = "dlq:" + hashlib.sha256(
+        "\n".join(f"{f}:{s}" for f, s in zip(files, sizes)).encode()
+    ).hexdigest()[:16]
+    df = spark.read.parquet(
+        *[os.path.join(quarantine_path, f) for f in files]
+    ).drop(ERROR_COL)
+    if fix is not None:
+        df = fix(df)
+    payload = [f.name for f in table.schema().fields]
+    missing = [c for c in (*payload, op_col, order_col)
+               if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"fixed rows are missing table/envelope columns {missing}")
+    clean, dead = split_dirty(df, rules)
+    n_dead = dead.count()
+    dead_dir = os.path.join(quarantine_path, "_dead", token.split(":")[1])
+    if n_dead:
+        # overwrite keyed by token: a crash-retry rewrites, never doubles
+        dead.write.mode("overwrite").parquet(dead_dir)
+    n_clean = clean.count()
+    if n_clean:
+        merge_into(
+            table,
+            clean.select(*payload, op_col, order_col),
+            op_col=op_col, order_col=order_col,
+            lineage={"batch_id": token, "rows": n_clean},
+            mode=mode, **merge_kw,
+        )
+    replay_dir = os.path.join(
+        quarantine_path, "_replayed", token.split(":")[1])
+    os.makedirs(replay_dir, exist_ok=True)
+    for f in files:
+        shutil.move(os.path.join(quarantine_path, f),
+                    os.path.join(replay_dir, f))
+    return {"replayed": int(n_clean), "still_dirty": int(n_dead),
+            "token": token, "files": len(files)}
+
+
 def quarantine(
     df: DataFrame,
     rules: list[tuple[str, Column]],

@@ -181,6 +181,37 @@ def _aggview_cmd(args) -> int:
     return 0
 
 
+def _dlq_cmd(args) -> int:
+    from datax_spark import get_session
+    from datax_spark.cdc import quarantine as Q
+    from datax_spark.jobspec import JobSpec
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.transforms import TransformerRegistry
+
+    spec = JobSpec.from_json(args.job)
+    if not spec.quarantine_path:
+        print(json.dumps({"ok": False,
+                          "error": "job has no quarantine_path"}))
+        return 2
+    spark = get_session("datax-spark-dlq", cores=args.cores)
+    if not LakeTable.exists(spec.target.location):
+        print(json.dumps({"ok": False,
+                          "error": "target table does not exist — run the "
+                                   "job first"}))
+        return 2
+    fix = ((lambda df: TransformerRegistry().apply_chain(
+        df, spec.transforms)) if spec.transforms else None)
+    res = Q.replay_quarantine(
+        spark, spec.quarantine_path, LakeTable(spark, spec.target.location),
+        Q.envelope_rules(spec.target.key_cols), fix=fix,
+        mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
+        bucket_deltas=spec.merge.bucket_deltas,
+    )
+    print(json.dumps({"ok": True, "quarantine": spec.quarantine_path,
+                      **res}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="datax-spark")
     sub = p.add_subparsers(dest="cmd")
@@ -295,10 +326,21 @@ def main(argv: list[str] | None = None) -> int:
                           "the changelog")
     cdc.add_argument("--cores", default=None)
 
+    dlq = sub.add_parser(
+        "dlq",
+        help="replay a job's quarantined rows through its (fixed) "
+             "transform chain back into the target",
+    )
+    dlq.add_argument("job", help="path to the job spec JSON — supplies the "
+                                 "quarantine path, validation rules, target "
+                                 "table, merge mode, and the transform chain "
+                                 "used as the fix")
+    dlq.add_argument("--cores", default=None)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
     if argv and argv[0] not in ("run", "maintain", "relay", "aggview",
-                                "cdcout", "-h", "--help"):
+                                "cdcout", "dlq", "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
@@ -309,6 +351,8 @@ def main(argv: list[str] | None = None) -> int:
         return _aggview_cmd(args)
     if args.cmd == "cdcout":
         return _cdcout_cmd(args)
+    if args.cmd == "dlq":
+        return _dlq_cmd(args)
     return _run_cmd(args)
 
 

@@ -885,6 +885,60 @@ def q_cdc_quarantine_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_quarantine_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ REPLAY (cdc/quarantine.replay_quarantine — the completion of
+    the dirty-collector story: the reference only collects,
+    AbstractTaskPluginCollector.java:41-57): the dirty feed is
+    quarantined and the clean rows ingested as usual; then the DLQ is
+    replayed with a FIX that recomputes the op from event_type — the
+    bogus-op rows (lsn%97) become clean and MERGE in at their original
+    LSNs (LWW folds them correctly against newer data); the null-key
+    (lsn%101) and null-lsn (lsn%103) rows are unrecoverable and land in
+    _dead.  The oracle folds events minus only the unrecoverable dirt.
+    A second replay finds an empty DLQ (files archived)."""
+    from datax_spark.cdc.quarantine import (
+        envelope_rules, quarantine, replay_quarantine,
+    )
+
+    f = _dirty_feed(spark, sf_dir)
+    qloc = tempfile.mkdtemp(prefix="dx_dlq_")
+    rules = envelope_rules(["user_id"])
+    clean = quarantine(f, rules, quarantine_path=qloc)
+    loc = tempfile.mkdtemp(prefix="dx_dlqtab_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = int(clean.agg(F.max("lsn")).collect()[0][0])
+    run_incremental(table, clean, batch_lsns=max(1, (hi + 4) // 4),
+                    auto_compact=None)
+
+    def fix(df):  # the repaired mapping: op re-derived from event_type
+        return df.withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("insert")),
+        )
+
+    res = replay_quarantine(spark, qloc, table, rules, fix=fix)
+    assert res["replayed"] > 0, f"replay was vacuous: {res}"
+    assert res["still_dirty"] > 0, f"dead-letter split was vacuous: {res}"
+    again = replay_quarantine(spark, qloc, table, rules, fix=fix)
+    assert again["files"] == 0, f"DLQ did not drain: {again}"
+    return table.read().select(
+        "user_id", "event_type", "value_cents", "props"
+    )
+
+
 def q_cdc_shard_skew_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OUT-OF-ORDER CROSS-SHARD DELIVERY (SURVEY §2.7): the even shards'
     ENTIRE history is ingested first — advancing their watermarks to the
@@ -3331,6 +3385,20 @@ FROM ranked WHERE rn = 1 AND NOT is_delete
 
 # Reason precedence mirrors envelope_rules declaration order:
 # null_lsn, then bad_op, then null_key.
+_ORACLES["cdc_quarantine_replay"] = """
+WITH clean AS (
+  SELECT * FROM events
+  WHERE event_id % 101 <> 0 AND event_id % 103 <> 0),
+ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM clean)
+SELECT user_id, event_type, value_cents, props
+FROM ranked WHERE rn = 1 AND NOT is_delete
+"""
+
+
 _ORACLES["cdc_quarantine_report"] = """
 SELECT CASE WHEN event_id % 103 = 0 THEN 'null_lsn'
             WHEN event_id % 97 = 0 THEN 'bad_op'
@@ -4070,6 +4138,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_multi_table": q_cdc_multi_table,
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_scd2_suppress": q_cdc_scd2_suppress,
+    "cdc_quarantine_replay": q_cdc_quarantine_replay,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
