@@ -169,6 +169,19 @@ BENCH_QUERIES = [
     "cdc_stream_continuous",
     "cdc_merge_cow_clustered",
     "text_contamination",
+    # round-4: WHEN-clause merge, exact-distinct views, txn-consistent
+    # apply, multi-table epochs, weighted sampling, retention gate,
+    # bloom file skipping, SCD2 history (+ no-op suppression), DLQ replay
+    "cdc_merge_when_clauses",
+    "cdc_agg_view_distinct",
+    "cdc_txn_boundary",
+    "cdc_multi_table",
+    "sample_weighted",
+    "lake_snapshot_expiry",
+    "lake_bloom_lookup",
+    "cdc_scd2_history",
+    "cdc_scd2_suppress",
+    "cdc_quarantine_replay",
 ]
 
 
