@@ -295,11 +295,11 @@ class JobSpec:
         if bucket not in cols:
             problems.append(f"bucket column missing from feed: {bucket}")
         if self.target.scd2:
-            if self.run.kind != "incremental":
+            if self.run.kind == "full":
                 problems.append(
-                    "target.scd2 requires run.kind='incremental' (the "
-                    "history fold is batch-applied; stream/tail CDC "
-                    "targets the current state)")
+                    "target.scd2 cannot run kind='full' (an overwrite "
+                    "snapshot carries no change history — replay the "
+                    "feed incrementally instead)")
             if self.merge.partial_update:
                 problems.append(
                     "target.scd2 cannot combine with partial_update (an "
@@ -489,16 +489,34 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             ),
             quarantine_path=spec.quarantine_path,
             error_limits=limits if want_quarantine else None,
-            mode=spec.merge.mode,
-            auto_compact=spec.merge.auto_compact,
-            dedup_batch=spec.merge.dedup_batch,
-            files_per_bucket=spec.merge.files_per_bucket,
-            compact_ratio=spec.merge.compact_ratio,
-            partial_update=spec.merge.partial_update,
-            bucket_deltas=spec.merge.bucket_deltas,
         )
+        sink = table
+        if spec.target.scd2:
+            # pre-built applier: the history fold rides the same
+            # checkpointed exactly-once tail path as a current-state
+            # target (streaming/runner accepts any applier object)
+            from datax_spark.lake.scd import Scd2Applier
+
+            sink = Scd2Applier(
+                table,
+                suppress_unchanged=spec.target.suppress_unchanged,
+                mode=spec.merge.mode,
+                auto_compact=spec.merge.auto_compact,
+                compact_ratio=spec.merge.compact_ratio,
+                bucket_deltas=spec.merge.bucket_deltas,
+            )
+        else:
+            shared.update(
+                mode=spec.merge.mode,
+                auto_compact=spec.merge.auto_compact,
+                dedup_batch=spec.merge.dedup_batch,
+                files_per_bucket=spec.merge.files_per_bucket,
+                compact_ratio=spec.merge.compact_ratio,
+                partial_update=spec.merge.partial_update,
+                bucket_deltas=spec.merge.bucket_deltas,
+            )
         if spec.run.kind == "stream":
-            lineages = run_available_now(spark, spec.source.path, table,
+            lineages = run_available_now(spark, spec.source.path, sink,
                                          **shared)
         else:
             # live tail, bounded by duration and/or idle-stop (pre_check
@@ -536,7 +554,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                         )
 
             tail = run_continuous(
-                spark, spec.source.path, table,
+                spark, spec.source.path, sink,
                 trigger_interval=spec.run.tail_trigger,
                 on_batch=on_batch, **shared,
             )
@@ -546,7 +564,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             )
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
-        summary["bytes"] = int(sum(l["bytes"] for l in lineages))
+        summary["bytes"] = int(sum(l.get("bytes", 0) for l in lineages))
     else:
         raise ValueError(f"unknown run kind {spec.run.kind}")
 

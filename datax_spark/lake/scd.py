@@ -174,6 +174,7 @@ def scd2_apply(
     op_col: str = "op",
     suppress_unchanged: bool = False,
     mode: str = "mor",
+    lineage_extra: dict | None = None,
     **merge_kw,
 ) -> "Manifest | None":
     """Apply one CDC micro-batch to an SCD2 history table.
@@ -239,7 +240,11 @@ def scd2_apply(
     # the feed contract.
     hi = batch.agg(F.max(order_col)).collect()[0][0]
     rows = rows.withColumn("__ord", F.lit(int(hi)).cast("long"))
-    lineage = {"batch_id": batch_id} if batch_id is not None else None
+    lineage = None
+    if batch_id is not None or lineage_extra:
+        lineage = {**(lineage_extra or {})}
+        if batch_id is not None:
+            lineage["batch_id"] = batch_id
     return merge_into(
         table, rows, op_col="__op", order_col="__ord",
         lineage=lineage, mode=mode, keys_unique=True, **merge_kw,
@@ -297,6 +302,79 @@ def scd2_run_incremental(
         ) is not None:
             applied.append(b)
     return applied
+
+
+class Scd2Applier:
+    """Streaming-protocol adapter: maintain an SCD2 history table from a
+    live tail.  Pass this object as the ``table`` argument of
+    :func:`datax_spark.streaming.runner.run_available_now` /
+    ``run_continuous`` (anything exposing ``filter_already_applied`` /
+    ``apply_batch`` / ``location`` is an applier there) — the history
+    rides the same checkpointed, rate-capped, exactly-once foreachBatch
+    path as a current-state target.
+
+    Resume semantics match :class:`datax_spark.cdc.apply.CdcApplier`:
+    each applied batch records per-shard max-LSN watermarks (when the
+    feed carries a ``shard`` column), so after checkpoint loss or a
+    source rewind the watermark filter drops already-folded events —
+    necessary here because re-folding an old event against a history
+    that has since moved on would resurrect a closed interval as open.
+    Within the checkpoint's lifetime, stable micro-batch ids no-op
+    replays via the ordinary lineage guard before any fold job runs.
+    """
+
+    def __init__(
+        self,
+        table: LakeTable,
+        suppress_unchanged: bool = False,
+        order_col: str = "lsn",
+        op_col: str = "op",
+        shard_col: str = "shard",
+        mode: str = "mor",
+        **merge_kw,
+    ):
+        from datax_spark.cdc.apply import CdcApplier
+
+        self.table = table
+        self.location = table.location
+        self.suppress_unchanged = suppress_unchanged
+        self.order_col = order_col
+        self.op_col = op_col
+        self.shard_col = shard_col
+        self.mode = mode
+        self.merge_kw = merge_kw
+        # reuse the engine's shard-watermark resume filter (literal
+        # per-shard predicates, sentinel exemption) — it only needs the
+        # table's manifest, which is shared here
+        self._wm = CdcApplier(table)
+
+    def filter_already_applied(self, feed: DataFrame) -> DataFrame:
+        return self._wm.filter_already_applied(feed)
+
+    def apply_batch(self, batch: DataFrame, batch_id) -> dict | None:
+        if batch_id is not None and \
+                self.table.manifest().is_applied(batch_id):
+            return None
+        n = batch.count()
+        if n == 0:
+            return None
+        extra: dict = {"rows": int(n)}
+        if self.shard_col in batch.columns:
+            extra["shard_lsns"] = {
+                str(r[0]): int(r[1])
+                for r in batch.groupBy(self.shard_col)
+                .agg(F.max(self.order_col)).collect()
+                if r[0] is not None and r[1] is not None and int(r[1]) >= 0
+            }
+        m = scd2_apply(
+            self.table, batch, batch_id=batch_id,
+            order_col=self.order_col, op_col=self.op_col,
+            suppress_unchanged=self.suppress_unchanged, mode=self.mode,
+            lineage_extra=extra, batch_rows=n, **self.merge_kw,
+        )
+        if m is None:
+            return None
+        return {"batch_id": batch_id, **extra}
 
 
 def scd2_current(table: LakeTable) -> DataFrame:

@@ -217,10 +217,10 @@ def test_jobspec_scd2_precheck_rejections(spark, tmp_path):
         "source": {"path": str(tmp_path / "feed")},
         "target": {"location": str(tmp_path / "h"),
                    "key_cols": ["repo", "path", "commit"], "scd2": True},
-        "run": {"kind": "stream"},
+        "run": {"kind": "full"},
     }
     probs = JobSpec.from_dict(base).pre_check(spark)
-    assert any("scd2 requires run.kind='incremental'" in p for p in probs)
+    assert any("scd2 cannot run kind='full'" in p for p in probs)
     base["run"] = {"kind": "incremental"}
     base["target"]["scd2"] = False
     base["target"]["suppress_unchanged"] = True
@@ -249,3 +249,91 @@ def test_missing_columns_rejected(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError, match="missing"):
         scd.scd2_apply(t, _feed(spark, BASE_ROWS).drop("op"), batch_id=0)
+
+
+def test_streaming_scd2_applier_drain_and_resume(spark, tmp_path):
+    """Scd2Applier through the checkpointed AvailableNow drain: half the
+    feed, drain, then the rest, drain again on the SAME checkpoint —
+    history equals the single-batch fold; re-drain applies nothing."""
+    from datax_spark import fixtures
+    from datax_spark.streaming.runner import (
+        run_available_now,
+        write_feed_ordered,
+    )
+
+    feed = fixtures.change_events(spark, 900, n_keys=140, seed=21)
+    payload = [c for c in feed.columns
+               if c not in ("lsn", "shard", "ts", "op")]
+    t = scd.scd2_create(
+        spark, str(tmp_path / "hist"),
+        schema=feed.drop("lsn", "shard", "ts", "op").schema,
+        key_cols=["repo", "path", "commit"], num_buckets=4,
+    )
+    ap = scd.Scd2Applier(t, suppress_unchanged=False)
+    import os
+    import shutil
+    import time as _time
+
+    staging = str(tmp_path / "staging")
+    write_feed_ordered(feed, staging, n_files=6)
+    fdir, ck = str(tmp_path / "feed"), str(tmp_path / "ck")
+    os.makedirs(fdir)
+    parts = sorted(f for f in os.listdir(staging)
+                   if f.endswith(".parquet"))
+    base = _time.time() - 600
+    for i, fn in enumerate(parts[:3]):
+        shutil.copy(os.path.join(staging, fn), os.path.join(fdir, fn))
+        os.utime(os.path.join(fdir, fn), (base + i, base + i))
+    l1 = run_available_now(spark, fdir, ap, checkpoint_dir=ck)
+    assert l1
+    for i, fn in enumerate(parts[3:]):
+        shutil.copy(os.path.join(staging, fn), os.path.join(fdir, fn))
+        os.utime(os.path.join(fdir, fn),
+                 (base + 100 + i, base + 100 + i))
+    l2 = run_available_now(spark, fdir, ap, checkpoint_dir=ck)
+    assert l2
+    assert sum(x["rows"] for x in (*l1, *l2)) == 900
+    want = scd.scd2_fold(feed, ["repo", "path", "commit"], payload)
+    got = t.read()
+    cols = [*want.columns]
+    assert sorted(map(tuple, got.select(*cols).collect())) == \
+        sorted(map(tuple, want.collect()))
+    # third drain: nothing new
+    assert run_available_now(spark, fdir, ap, checkpoint_dir=ck) == []
+    # shard watermarks recorded → a rewound feed (fresh checkpoint, same
+    # files) re-applies nothing
+    l4 = run_available_now(spark, fdir, ap,
+                           checkpoint_dir=str(tmp_path / "ck2"))
+    assert sum(x["rows"] for x in l4 or []) == 0 or l4 == []
+    assert sorted(map(tuple, t.read().select(*cols).collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_jobspec_scd2_tail_kind(spark, tmp_path):
+    """job.json run.kind='tail' + target.scd2: the live tail maintains
+    the history table."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 400, n_keys=60, seed=8)
+    fdir = str(tmp_path / "feed")
+    write_feed_ordered(feed, fdir, n_files=2)
+    spec = JobSpec.from_dict({
+        "source": {"path": fdir},
+        "target": {"location": str(tmp_path / "hist"),
+                   "key_cols": ["repo", "path", "commit"],
+                   "scd2": True},
+        "run": {"kind": "tail", "tail_idle_stop_sec": 3,
+                "tail_duration_sec": 60},
+    })
+    assert spec.pre_check(spark) == []
+    s = run_job(spark, spec)
+    assert s["rows"] == 400
+    t = LakeTable(spark, str(tmp_path / "hist"))
+    payload = [c for c in feed.columns
+               if c not in ("lsn", "shard", "ts", "op")]
+    want = scd.scd2_fold(feed, ["repo", "path", "commit"], payload)
+    assert sorted(map(tuple, t.read().select(*want.columns).collect())) \
+        == sorted(map(tuple, want.collect()))
