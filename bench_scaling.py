@@ -53,7 +53,8 @@ from datax_spark.session import get_session
 from datax_spark import fixtures
 spark = get_session("scaling-feedgen", cores=16)
 spark.sparkContext.setLogLevel("ERROR")
-fixtures.change_events(spark, {n}, n_keys={n}//3, seed=42, partitions=64) \
+fixtures.change_events(spark, {n}, n_keys={n}//3, seed=42,
+                       partitions={parts}) \
     .write.mode("overwrite").parquet({feed!r})
 print("FEED_OK")
 """
@@ -125,7 +126,11 @@ def run_at(cores: int, cpuset: str, feed: str, work: str, reps: int) -> dict:
                         feed=feed, work=work)
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cores)
-    env["SPARK_GRAFT_DRIVER_MEM"] = "8g"   # bigger heaps measured WORSE
+    # 8g default measured BEST at <=24M-event micro-batches; a 48M-event
+    # batch needs headroom (per-task write buffers scale with
+    # rows/partition x concurrent tasks) — override for big-rep sessions
+    env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
+        "DX_SCALING_DRIVER_MEM", "8g")
     env.setdefault("TMPDIR", "/dev/shm")
     out = subprocess.run(
         ["taskset", "-c", cpuset, sys.executable, "-c", code],
@@ -179,9 +184,14 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     feed = os.path.join(work, "feed")
 
+    # feed partition count: fixed across BOTH core counts (same input,
+    # same parallelism grain).  Default 64; big reps need more so a
+    # single partition's rows fit per-task parquet write buffers at the
+    # high-concurrency end (192M events / 64 parts OOMed a 32-core 8g JVM).
+    parts = int(os.environ.get("DX_SCALING_PARTITIONS", "64"))
     gen = subprocess.run(
         [sys.executable, "-c",
-         GEN_FEED.format(here=HERE, n=n_events, feed=feed)],
+         GEN_FEED.format(here=HERE, n=n_events, feed=feed, parts=parts)],
         capture_output=True, text=True, cwd=HERE, timeout=3600,
     )
     if "FEED_OK" not in gen.stdout:
@@ -212,17 +222,18 @@ def main() -> None:
             f"{r['efficiency_vs_box_ceiling']:.3f} |"
         )
 
+    heap = os.environ.get("DX_SCALING_DRIVER_MEM", "8g")
     md = f"""
 ## Scaling-efficiency run (auto-generated by bench_scaling.py)
 
 Same job, same input: MOR L0 ingest of {n_events:,} change events per
-rep (seed 42, fixed 64-partition feed, RAM-backed), 4 micro-batches of
+rep (seed 42, fixed {parts}-partition feed, RAM-backed), 4 micro-batches of
 {n_events // 4:,} events — sized so the ~1s/batch fixed driver/commit
 cost amortizes the way 10^8-event production micro-batches would at the
 rule's 10^10 scale.  Each JVM is `taskset`-pinned (N cores bounds
 everything, GC included, like an N-core executor host), runs SOLO and
 sequentially (concurrent measurement JVMs poison each other on this VM),
-8g heap (bigger heaps measured slower and unstable), {reps} reps,
+{heap} heap, {reps} reps,
 median.  "Box ceiling" is a pure-Python CPU calibration of the parallel
 speedup this VM can physically express between the worker counts (vCPU
 oversubscription caps 8→32 near 0.7 for any software — hence the gate

@@ -1252,13 +1252,19 @@ class LakeTable:
             ))
             for ci, c, _ in usable
         ]
+        # slice the per-(file,col) position set at the saturation cutoff:
+        # a saturated filter is discarded anyway, so the driver payload is
+        # bounded at (files x cols x m/2+1) ints instead of x m — the
+        # difference between a bounded planning collect and an OOM on a
+        # thousand-file backfill write
+        cap = int(m_bits * _BLOOM_MAX_FILL) + 1
         rows = (
             df.select(
                 F.col("_metadata.file_path").alias("__f"),
                 F.explode(F.flatten(F.array(*arrays))).alias("cp"),
             )
             .groupBy("__f", "cp.c")
-            .agg(F.collect_set("cp.p").alias("ps"))
+            .agg(F.slice(F.collect_set("cp.p"), 1, cap).alias("ps"))
             .collect()
         )
         from urllib.parse import unquote, urlparse
@@ -1273,6 +1279,7 @@ class LakeTable:
             rec: dict[str, Any] = {}
             for ci, c, dtype in usable:
                 ps = got.get(ci, [])
+                # == cap means the slice truncated: provably saturated
                 if len(ps) > m_bits * _BLOOM_MAX_FILL:
                     rec[c] = None  # saturated: fpp too high to be worth it
                     continue
