@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "cdc_scd2_history",
     "cdc_scd2_suppress",
     "cdc_quarantine_replay",
+    "cdc_enrich_dim",
 ]
 
 

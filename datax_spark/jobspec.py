@@ -128,6 +128,46 @@ class ErrorLimitSpec:
     percentage: float | None = None
 
 
+def build_enricher(spark: SparkSession, enrich: list[dict]):
+    """Compile the job's ``enrich`` specs into one feed→feed callable —
+    the LOOKUP JOIN of streaming engines (Flink's
+    ``FOR SYSTEM_TIME AS OF proc_time``): each change event is decorated
+    with columns from a small dimension table before it reaches
+    quarantine/merge.  The reference can only do this with a JOIN burned
+    into the reader's ``querySql``; here it is a declarative job field
+    that works identically in batch, stream, and tail runs.
+
+    Spec shape: ``{"path": ..., "format": "parquet",
+    "on": {feed_col: dim_col, ...} | [shared_col, ...],
+    "cols": [dim_col, ...], "how": "left"|"inner"}``.
+
+    Scale contract: the dimension is BROADCAST (hash lookup riding the
+    feed scan — no shuffle of the feed, the only shape that holds at
+    10^10 events/day).  A dimension too big to broadcast belongs in
+    :func:`datax_spark.functions.temporal.temporal_table_join` against
+    its own change history instead."""
+    from pyspark.sql import functions as F
+
+    plans = []
+    for e in enrich:
+        on = e["on"]
+        if isinstance(on, list):
+            on = {c: c for c in on}
+        dim = spark.read.format(e.get("format", "parquet")).load(e["path"])
+        proj = dim.select(
+            *[F.col(dc).alias(fc) for fc, dc in on.items()],
+            *[F.col(c) for c in e["cols"]],
+        )
+        plans.append((proj, list(on.keys()), e.get("how", "left")))
+
+    def enrich_fn(df):
+        for proj, keys, how in plans:
+            df = df.join(F.broadcast(proj), on=keys, how=how)
+        return df
+
+    return enrich_fn
+
+
 def load_feed(spark: SparkSession, source: SourceSpec):
     """Build the BATCH feed DataFrame a SourceSpec describes: plain Spark
     formats load verbatim; envelope wire formats parse the connector JSON
@@ -190,6 +230,11 @@ class JobSpec:
     # Created (bootstrapped from the post-run snapshot) on first run,
     # incrementally refreshed from the changelog thereafter.
     agg_views: list[dict] = field(default_factory=list)
+    # lookup-join enrichment (build_enricher): broadcast dimension
+    # columns decorated onto every event before quarantine/merge —
+    # [{"path": ..., "on": {feed: dim}|[col,...], "cols": [...],
+    #   "how": "left"}].  Applied in batch, stream, and tail runs alike.
+    enrich: list[dict] = field(default_factory=list)
 
     # ------------------------------------------------------------------ io
     @staticmethod
@@ -206,6 +251,7 @@ class JobSpec:
             post_sql=list(d.get("post_sql", [])),
             hooks=list(d.get("hooks", [])),
             agg_views=list(d.get("agg_views", [])),
+            enrich=list(d.get("enrich", [])),
         )
 
     @staticmethod
@@ -321,6 +367,39 @@ class JobSpec:
         for h in self.hooks:
             if h not in HOOK_REGISTRY:
                 problems.append(f"unknown hook: {h}")
+        seen_out = set(cols)
+        for i, e in enumerate(self.enrich):
+            tag = f"enrich[{i}]"
+            path, on, ecols = e.get("path"), e.get("on"), e.get("cols")
+            if not path or not on or not ecols:
+                problems.append(f"{tag}: needs path, on, and cols")
+                continue
+            if e.get("how", "left") not in ("left", "inner"):
+                problems.append(f"{tag}: how must be left or inner")
+            if isinstance(on, list):
+                on = {c: c for c in on}
+            try:
+                dim = spark.read.format(e.get("format", "parquet")) \
+                    .load(path)
+            except Exception as ex:
+                problems.append(f"{tag}: dimension unreadable: {ex}")
+                continue
+            dcols = set(dim.columns)
+            for fc, dc in on.items():
+                if fc not in seen_out:
+                    problems.append(f"{tag}: feed missing join column {fc}")
+                if dc not in dcols:
+                    problems.append(
+                        f"{tag}: dimension missing join column {dc}")
+            for c in ecols:
+                if c not in dcols:
+                    problems.append(f"{tag}: dimension missing column {c}")
+                elif c in seen_out:
+                    problems.append(
+                        f"{tag}: output column {c} collides with the feed "
+                        "(alias it in the dimension or drop it upstream)")
+                else:
+                    seen_out.add(c)
         if self.agg_views:
             # refresh reads the target's changelog: only LSN-carrying
             # commits (merge-mor from incremental/stream runs) are
@@ -373,6 +452,8 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     feed = load_feed(spark, spec.source)
     if spec.transforms:
         feed = TransformerRegistry().apply_chain(feed, spec.transforms)
+    if spec.enrich:
+        feed = build_enricher(spark, spec.enrich)(feed)
 
     # preSql: runs BEFORE any write; a failure aborts the job with nothing
     # landed (WriterUtil.java:78-108 contract).  The feed is visible as
@@ -481,8 +562,12 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             txn_boundary=(tuple(spec.run.txn_boundary)
                           if spec.run.txn_boundary else None),
             transform=(
-                (lambda df: TransformerRegistry().apply_chain(df, spec.transforms))
-                if spec.transforms else None
+                (lambda df, _e=(build_enricher(spark, spec.enrich)
+                                if spec.enrich else None):
+                 (_e or (lambda x: x))(
+                     TransformerRegistry().apply_chain(df, spec.transforms)
+                     if spec.transforms else df))
+                if (spec.transforms or spec.enrich) else None
             ),
             quarantine_rules=(
                 Q.envelope_rules(spec.target.key_cols) if want_quarantine else None

@@ -3901,6 +3901,59 @@ def q_cdc_scd2_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_build(spark, doubled, suppress=True)
 
 
+def q_cdc_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOOKUP-JOIN ENRICHMENT in the ingest path (jobspec.build_enricher
+    — the Flink lookup-join shape; the reference can only join inside
+    the reader's querySql): a job.json ``enrich`` entry decorates every
+    change event with broadcast customer-dimension columns BEFORE the
+    MERGE, so the lake table lands pre-joined.  Runs through run_job
+    (spec → enrich → quarantine-less incremental MERGE); the oracle is
+    the SQL fold joined to the same dimension."""
+    from datax_spark.jobspec import JobSpec, run_job
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    work = tempfile.mkdtemp(prefix="dx_enrich_")
+    feed_dir = os.path.join(work, "feed")
+    feed.write.parquet(feed_dir)
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    spec = JobSpec.from_dict({
+        "source": {"path": feed_dir},
+        "target": {"location": os.path.join(work, "lake"),
+                   "key_cols": ["user_id"], "bucket_col": "user_id",
+                   "num_buckets": 8},
+        "run": {"kind": "incremental",
+                "batch_lsns": max(1, (hi + 4) // 4)},
+        "enrich": [{"path": os.path.join(sf_dir, "customer.parquet"),
+                    "on": {"user_id": "c_custkey"},
+                    "cols": ["c_mktsegment", "c_nationkey"],
+                    "how": "left"}],
+    })
+    problems = spec.pre_check(spark)
+    assert problems == [], f"pre_check: {problems}"
+    summary = run_job(spark, spec)
+    assert summary["batches"] >= 2, summary
+    table = LakeTable(spark, spec.target.location)
+    return table.read().select(
+        "user_id", "event_type", "value_cents", "props",
+        "c_mktsegment", "c_nationkey",
+    )
+
+
+_ORACLES_ENRICH = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
+         props, event_type = 'error' AS is_delete,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events),
+fold AS (
+  SELECT user_id, event_type, value_cents, props
+  FROM ranked WHERE rn = 1 AND NOT is_delete)
+SELECT f.user_id, f.event_type, f.value_cents, f.props,
+       c.c_mktsegment, c.c_nationkey
+FROM fold f LEFT JOIN customer c ON f.user_id = c.c_custkey
+"""
+
+
 _SCD2_ORACLE = """
 WITH e AS (
   SELECT user_id, event_type, CAST(round(value*100) AS BIGINT) AS value_cents,
@@ -3916,6 +3969,7 @@ SELECT user_id, event_type, value_cents, props,
 FROM iv WHERE NOT is_delete
 """
 
+_ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
 # suppression collapses the duplicated events exactly, so the history
 # equals the plain window over the ORIGINAL feed rescaled to lsn*2
@@ -4139,6 +4193,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_scd2_suppress": q_cdc_scd2_suppress,
     "cdc_quarantine_replay": q_cdc_quarantine_replay,
+    "cdc_enrich_dim": q_cdc_enrich_dim,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,

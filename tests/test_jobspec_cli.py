@@ -608,3 +608,86 @@ def test_txn_boundary_spec_validation_and_stream_run(spark, tmp_path):
     }
     assert got == set(expected)
     assert "txn_id" not in t.read().columns
+
+
+def test_enrich_lookup_join_and_precheck(spark, tmp_path):
+    """job.json `enrich`: broadcast dimension columns land on every event
+    before the MERGE; pre_check catches bad paths/columns/collisions."""
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.lake.table import LakeTable
+
+    fixtures.change_events(spark, 300, n_keys=50, seed=13).write.parquet(
+        str(tmp_path / "feed"))
+    spark.createDataFrame(
+        [("org0/repo0", "team-a"), ("org1/repo1", "team-b")],
+        "repo string, owner string"
+    ).write.parquet(str(tmp_path / "dim"))
+    d = {
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {"location": str(tmp_path / "lake"),
+                   "key_cols": ["repo", "path", "commit"]},
+        "run": {"kind": "incremental", "batch_lsns": 150},
+        "enrich": [{"path": str(tmp_path / "dim"), "on": ["repo"],
+                    "cols": ["owner"]}],
+    }
+    spec = JobSpec.from_dict(d)
+    assert spec.pre_check(spark) == []
+    run_job(spark, spec)
+    t = LakeTable(spark, str(tmp_path / "lake"))
+    rows = t.read().select("repo", "owner").distinct().collect()
+    got = {r.repo: r.owner for r in rows}
+    assert got.get("org0/repo0") == "team-a"
+    assert got.get("org1/repo1") == "team-b"
+    # keys beyond the dim stay NULL under how=left
+    assert all(v is None for k, v in got.items()
+               if k not in ("org0/repo0", "org1/repo1"))
+
+    bad = dict(d, enrich=[{"path": str(tmp_path / "dim"),
+                           "on": ["ghost"], "cols": ["owner"]}])
+    probs = JobSpec.from_dict(bad).pre_check(spark)
+    assert any("feed missing join column ghost" in p for p in probs)
+    bad = dict(d, enrich=[{"path": str(tmp_path / "dim"), "on": ["repo"],
+                           "cols": ["content"]}])
+    probs = JobSpec.from_dict(bad).pre_check(spark)
+    assert any("dimension missing column content" in p for p in probs)
+    bad = dict(d, enrich=[{"path": str(tmp_path / "dim"), "on": ["repo"],
+                           "cols": ["owner"], "how": "cross"}])
+    probs = JobSpec.from_dict(bad).pre_check(spark)
+    assert any("how must be" in p for p in probs)
+    # collision: enriching a column the feed already has
+    spark.createDataFrame(
+        [("org0/repo0", "x")], "repo string, content string"
+    ).write.parquet(str(tmp_path / "dim2"))
+    bad = dict(d, enrich=[{"path": str(tmp_path / "dim2"), "on": ["repo"],
+                           "cols": ["content"]}])
+    probs = JobSpec.from_dict(bad).pre_check(spark)
+    assert any("collides with the feed" in p for p in probs)
+
+
+def test_enrich_through_stream_run(spark, tmp_path):
+    """The same enrich spec rides the streaming drain's per-batch hook."""
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 300, n_keys=50, seed=14)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=2)
+    spark.createDataFrame(
+        [("org0/repo0", "team-a")], "repo string, owner string"
+    ).write.parquet(str(tmp_path / "dim"))
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {"location": str(tmp_path / "lake"),
+                   "key_cols": ["repo", "path", "commit"]},
+        "run": {"kind": "stream"},
+        "enrich": [{"path": str(tmp_path / "dim"), "on": ["repo"],
+                    "cols": ["owner"]}],
+    })
+    assert spec.pre_check(spark) == []
+    s = run_job(spark, spec)
+    assert s["rows"] == 300
+    t = LakeTable(spark, str(tmp_path / "lake"))
+    assert "owner" in t.read().columns
+    got = {r.repo: r.owner
+           for r in t.read().select("repo", "owner").distinct().collect()}
+    assert got.get("org0/repo0") == "team-a"
