@@ -58,6 +58,11 @@ def _observed_row(obs, frame: DataFrame, metrics: list):
         return frame.agg(*metrics).collect()[0]
 
 
+class SchemaPolicyViolation(RuntimeError):
+    """schema_policy='strict' rejected a batch whose payload schema
+    diverged from the table — raised before any write."""
+
+
 class CdcApplier:
     """Applies normalized change batches to a LakeTable with exactly-once
     lineage.  Normalized envelope: lsn(long), shard(int), ts, op(string)
@@ -75,6 +80,7 @@ class CdcApplier:
         compact_ratio: float | None = None,
         partial_update: bool = False,
         present_col: str | None = None,
+        schema_policy: str = "evolve",
     ):
         """``mode="mor"`` (default) appends delta files per batch — O(batch)
         writes, the 10^10-event path; ``mode="cow"`` rewrites touched
@@ -94,6 +100,17 @@ class CdcApplier:
         maximum-throughput ingest shape."""
         if lineage_detail not in ("shards", "global"):
             raise ValueError(f"unknown lineage_detail {lineage_detail!r}")
+        if schema_policy not in ("evolve", "strict"):
+            raise ValueError(f"unknown schema_policy {schema_policy!r}")
+        # "evolve" (default): batch columns merge into the table schema
+        # (column add, int->long widen — merge_schemas).  "strict": the
+        # batch payload must match the table schema EXACTLY, else the
+        # batch fails loudly BEFORE any write — the schema-contract guard
+        # for feeds where an unexpected upstream DDL must stop the
+        # pipeline, not silently reshape the lake (the reference fails
+        # the analogous way when column mapping and table disagree,
+        # WriterUtil.java:110-167).
+        self.schema_policy = schema_policy
         self.table = table
         self.files_per_bucket = files_per_bucket
         self.mode = mode
@@ -187,12 +204,36 @@ class CdcApplier:
             .drop("__applied_lsn")
         )
 
+    def _enforce_schema_policy(self, batch: DataFrame) -> None:
+        """schema_policy="strict": driver-side payload-schema equality
+        check (names AND types) against the table — zero Spark jobs."""
+        if self.schema_policy != "strict":
+            return
+        want = {f.name: f.dataType.simpleString()
+                for f in self.table.schema().fields}
+        got = {f.name: f.dataType.simpleString()
+               for f in batch.schema.fields
+               if f.name not in ENVELOPE_COLS
+               and f.name != self.present_col}
+        extra = sorted(c for c in got if c not in want)
+        missing = sorted(c for c in want if c not in got)
+        changed = sorted(f"{c}: {got[c]} != {want[c]}"
+                         for c in got if c in want and got[c] != want[c])
+        if extra or missing or changed:
+            raise SchemaPolicyViolation(
+                "schema_policy='strict' rejected the batch before any "
+                f"write — extra columns: {extra or '-'}; missing columns: "
+                f"{missing or '-'}; type changes: {changed or '-'}. "
+                "Fix the feed/column mapping, or set "
+                "schema_policy='evolve' to let the table follow.")
+
     # ----------------------------------------------------------------- apply
     def apply_batch(self, batch: DataFrame, batch_id: int | str) -> dict | None:
         """MERGE one micro-batch; returns lineage dict, or None if the batch
         was already applied (replay no-op)."""
         if self.table.is_batch_applied(batch_id):
             return None
+        self._enforce_schema_policy(batch)
         # NOTE: no .persist() here — the batch is consumed by exactly two
         # passes (stats agg, merge write), and re-scanning pushdown-pruned
         # columnar input is cheaper than materializing a row cache of wide
@@ -263,7 +304,7 @@ class CdcApplier:
             order_col="lsn",
             payload_cols=payload,
             lineage=lineage,
-            evolve_schema=True,
+            evolve_schema=self.schema_policy == "evolve",
             files_per_bucket=self.files_per_bucket,
             mode=self.mode,
             auto_compact=self.auto_compact,
@@ -381,7 +422,7 @@ class CdcApplier:
             order_col="lsn",
             payload_cols=payload,
             lineage=lineage,
-            evolve_schema=True,
+            evolve_schema=self.schema_policy == "evolve",
             files_per_bucket=self.files_per_bucket,
             mode=self.mode,
             auto_compact=self.auto_compact,
@@ -447,7 +488,7 @@ class CdcApplier:
             order_col="lsn",
             payload_cols=payload,
             lineage=lineage,
-            evolve_schema=True,
+            evolve_schema=self.schema_policy == "evolve",
             files_per_bucket=self.files_per_bucket,
             mode=self.mode,
             auto_compact=self.auto_compact,

@@ -67,6 +67,7 @@ def run_incremental(
     compact_ratio: float | None = None,
     partial_update: bool = False,
     present_col: str | None = None,
+    schema_policy: str = "evolve",
 ) -> list[dict]:
     """Bounded incremental replay: slice the feed into micro-batches by LSN
     range and apply each with exactly-once lineage.
@@ -88,7 +89,7 @@ def run_incremental(
         table, mode=mode, auto_compact=auto_compact, dedup_batch=dedup_batch,
         lineage_detail=lineage_detail, bucket_deltas=bucket_deltas,
         compact_ratio=compact_ratio, partial_update=partial_update,
-        present_col=present_col,
+        present_col=present_col, schema_policy=schema_policy,
     )
     feed = applier.filter_already_applied(feed)
     bounds = feed.agg(

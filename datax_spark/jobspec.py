@@ -77,6 +77,11 @@ class MergeSpec:
     # per batch from measured lineage bytes/rows (lake/merge.py
     # _resolve_bucket_deltas) — small batches go to L0, big ones bucket
     bucket_deltas: bool | str = "auto"
+    # schema contract: "evolve" (default — column add / int->long widen
+    # follow the feed, merge_schemas) or "strict" (a batch whose payload
+    # schema diverges from the table FAILS before any write —
+    # cdc/apply.SchemaPolicyViolation)
+    schema_policy: str = "evolve"
 
 
 @dataclass
@@ -289,6 +294,9 @@ class JobSpec:
                 problems.append(f"feed missing key column: {k}")
         if self.merge.mode not in ("mor", "cow"):
             problems.append(f"unknown merge mode: {self.merge.mode}")
+        if self.merge.schema_policy not in ("evolve", "strict"):
+            problems.append(
+                f"unknown schema_policy: {self.merge.schema_policy}")
         if self.run.kind not in ("full", "incremental", "stream", "tail"):
             problems.append(f"unknown run kind: {self.run.kind}")
         if self.run.kind == "tail" and (
@@ -533,6 +541,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 compact_ratio=spec.merge.compact_ratio,
                 partial_update=spec.merge.partial_update,
                 bucket_deltas=spec.merge.bucket_deltas,
+                schema_policy=spec.merge.schema_policy,
             )
             summary["batches"] = len(lineages)
             summary["rows"] = int(sum(l["rows"] for l in lineages))
@@ -599,6 +608,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 compact_ratio=spec.merge.compact_ratio,
                 partial_update=spec.merge.partial_update,
                 bucket_deltas=spec.merge.bucket_deltas,
+                schema_policy=spec.merge.schema_policy,
             )
         if spec.run.kind == "stream":
             lineages = run_available_now(spark, spec.source.path, sink,
