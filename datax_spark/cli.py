@@ -39,6 +39,13 @@ def _maintain_cmd(args) -> int:
     spark = get_session("datax-spark-maintain", cores=args.cores)
     t = LakeTable(spark, args.table)
     out = {"ok": True, "table": args.table, "version": t.current_version()}
+    if args.bloom_cols:
+        # enable per-file bloom filters for all FUTURE writes; set BEFORE
+        # the compaction blocks below so `--bloom-cols ... --compact` in
+        # one invocation backfills the existing files with bitmaps
+        t.set_bloom_filters(args.bloom_cols, m_bits=args.bloom_bits)
+        out["bloom_cols"] = args.bloom_cols
+        t = LakeTable(spark, args.table)  # reload properties
     if args.compact_ratio is not None:
         # out-of-band cost-based compaction: only buckets whose delta bytes
         # exceed ratio x base bytes (manifest-stat planning, no listing)
@@ -242,6 +249,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="bucket-count evolution: rewrite to the next "
                           "power-of-2 multiple of buckets so the average "
                           "bucket holds at most BYTES of base data")
+    mnt.add_argument("--bloom-cols", default=None, metavar="C1,C2",
+                     type=lambda v: [c for c in v.split(",") if c],
+                     help="enable per-file bloom filters on these columns "
+                          "for equality-lookup file skipping (zone-map "
+                          "blind spots); combine with --compact to "
+                          "backfill existing files (on an already-"
+                          "compacted table add --sort-cols, which forces "
+                          "the rewrite)")
+    mnt.add_argument("--bloom-bits", type=int, default=32768,
+                     help="bloom bitmap bits per file per column "
+                          "(default 32768 = 4 KiB)")
     mnt.add_argument("--tag", default=None, metavar="NAME",
                      help="tag the current snapshot (protects it from "
                           "expire_snapshots; read(version=tag_version))")

@@ -162,3 +162,40 @@ def test_bloom_rejects_unsupported_config(spark, tmp_path):
         t.set_bloom_filters(["ghost"])
     with pytest.raises(ValueError, match="m_bits"):
         t.set_bloom_filters(["k"], m_bits=63)
+
+
+def test_cli_maintain_bloom_cols_backfill(spark, tmp_path, capsys):
+    """`maintain --bloom-cols tag --compact` enables blooms and backfills
+    the existing files in one invocation."""
+    import json
+
+    from datax_spark.cli import main
+
+    rows = [(i, f"rare{i}" if i < 8 else "filler", i) for i in range(2000)]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "cli"), schema=schema, key_cols=["k"],
+        bucket_col="k", num_buckets=2,
+    )
+    t.overwrite(spark.createDataFrame(rows, schema), files_per_bucket=4)
+    # a delta so --compact has something to rewrite (a fully-compacted
+    # table backfills via --sort-cols, which forces the re-cluster)
+    from datax_spark.lake.merge import merge_into
+    from pyspark.sql import functions as F
+
+    up = spark.createDataFrame([(1, "rare1", 999)], schema) \
+        .withColumn("op", F.lit("update")) \
+        .withColumn("lsn", F.lit(1).cast("long"))
+    merge_into(t, up, mode="mor", order_col="lsn")
+    rc = main(["maintain", str(tmp_path / "cli"),
+               "--bloom-cols", "tag", f"--bloom-bits", str(M_BITS),
+               "--compact", "--files-per-bucket", "4"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ok"] and res["bloom_cols"] == ["tag"] and res["compacted"]
+    t2 = LakeTable(spark, str(tmp_path / "cli"))
+    assert t2.scan_plan(where=[("tag", "=", "rare5")])["bloom_skipped"] > 0
