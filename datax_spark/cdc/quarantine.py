@@ -107,7 +107,6 @@ def replay_quarantine(
     fix=None,
     order_col: str = "lsn",
     op_col: str = "op",
-    mode: str = "mor",
     **merge_kw,
 ) -> dict:
     """Reprocess the dead-letter queue: read the quarantined rows, run the
@@ -123,10 +122,15 @@ def replay_quarantine(
     - The replay batch id is derived from the quarantine dir's file set
       (name+size), so a retried replay of the same backlog no-ops via the
       table's ordinary lineage guard.
-    - Rows keep their ORIGINAL LSNs: the MOR fold's last-writer-wins means
-      a repaired event older than the key's current row loses, exactly as
+    - Rows keep their ORIGINAL LSNs and the merge runs in MOR mode
+      UNCONDITIONALLY (no mode knob): the fold's last-writer-wins means a
+      repaired event older than the key's current row loses, exactly as
       if it had never been quarantined — replay is effect-idempotent even
-      if a crash between merge and archive re-merges a subset.
+      if a crash between merge and archive re-merges a subset.  A COW/DV
+      replay would replace matched keys with the stale repaired row
+      (whole-row replace carries no per-row LSN at read), silently
+      rolling back newer data — hence no mode parameter.  MOR deltas
+      compose fine on tables otherwise maintained in cow/dv mode.
     - The per-shard resume watermarks are untouched (commit takes
       ``max``), so replaying old LSNs can never regress the live feed.
 
@@ -158,6 +162,7 @@ def replay_quarantine(
     ).drop(ERROR_COL)
     if fix is not None:
         df = fix(df)
+    df = df.persist()  # read once: dead count/write + clean count/merge
     payload = [f.name for f in table.schema().fields]
     missing = [c for c in (*payload, op_col, order_col)
                if c not in df.columns]
@@ -177,8 +182,9 @@ def replay_quarantine(
             clean.select(*payload, op_col, order_col),
             op_col=op_col, order_col=order_col,
             lineage={"batch_id": token, "rows": n_clean},
-            mode=mode, **merge_kw,
+            mode="mor", **merge_kw,
         )
+    df.unpersist()
     replay_dir = os.path.join(
         quarantine_path, "_replayed", token.split(":")[1])
     os.makedirs(replay_dir, exist_ok=True)

@@ -206,12 +206,18 @@ def _dlq_cmd(args) -> int:
                           "error": "target table does not exist — run the "
                                    "job first"}))
         return 2
-    fix = ((lambda df: TransformerRegistry().apply_chain(
-        df, spec.transforms)) if spec.transforms else None)
+    # NOT the job's transform chain: quarantined rows were captured
+    # AFTER it ran (run_job transforms the feed before quarantine), so
+    # re-applying it would double-transform them.  The fix for stored
+    # rows is its own chain, passed explicitly.
+    fix = None
+    if args.fix_chain:
+        chain = json.loads(args.fix_chain)
+        fix = lambda df: TransformerRegistry().apply_chain(df, chain)
     res = Q.replay_quarantine(
         spark, spec.quarantine_path, LakeTable(spark, spec.target.location),
         Q.envelope_rules(spec.target.key_cols), fix=fix,
-        mode=spec.merge.mode, auto_compact=spec.merge.auto_compact,
+        auto_compact=spec.merge.auto_compact,
         bucket_deltas=spec.merge.bucket_deltas,
     )
     print(json.dumps({"ok": True, "quarantine": spec.quarantine_path,
@@ -350,9 +356,13 @@ def main(argv: list[str] | None = None) -> int:
              "transform chain back into the target",
     )
     dlq.add_argument("job", help="path to the job spec JSON — supplies the "
-                                 "quarantine path, validation rules, target "
-                                 "table, merge mode, and the transform chain "
-                                 "used as the fix")
+                                 "quarantine path, validation rules, and "
+                                 "target table")
+    dlq.add_argument("--fix-chain", default=None, metavar="JSON",
+                     help="transform chain (JSON list, dx_* specs) applied "
+                          "to the STORED quarantined rows before "
+                          "re-validation — distinct from the job's feed "
+                          "transforms, which already ran before quarantine")
     dlq.add_argument("--cores", default=None)
 
     argv = list(sys.argv[1:] if argv is None else argv)

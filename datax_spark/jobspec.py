@@ -133,6 +133,17 @@ class ErrorLimitSpec:
     percentage: float | None = None
 
 
+def _parse_enrich(e: dict):
+    """One parser for enrich specs, shared by build_enricher and
+    pre_check so validation and execution can't drift: returns
+    (path, format, on-mapping{feed: dim}, cols, how)."""
+    on = e.get("on")
+    if isinstance(on, list):
+        on = {c: c for c in on}
+    return (e.get("path"), e.get("format", "parquet"), on or {},
+            list(e.get("cols") or []), e.get("how", "left"))
+
+
 def build_enricher(spark: SparkSession, enrich: list[dict]):
     """Compile the job's ``enrich`` specs into one feed→feed callable —
     the LOOKUP JOIN of streaming engines (Flink's
@@ -155,15 +166,13 @@ def build_enricher(spark: SparkSession, enrich: list[dict]):
 
     plans = []
     for e in enrich:
-        on = e["on"]
-        if isinstance(on, list):
-            on = {c: c for c in on}
-        dim = spark.read.format(e.get("format", "parquet")).load(e["path"])
+        path, fmt, on, cols, how = _parse_enrich(e)
+        dim = spark.read.format(fmt).load(path)
         proj = dim.select(
             *[F.col(dc).alias(fc) for fc, dc in on.items()],
-            *[F.col(c) for c in e["cols"]],
+            *[F.col(c) for c in cols],
         )
-        plans.append((proj, list(on.keys()), e.get("how", "left")))
+        plans.append((proj, list(on.keys()), how))
 
     def enrich_fn(df):
         for proj, keys, how in plans:
@@ -362,6 +371,12 @@ class JobSpec:
                 problems.append(
                     "agg_views aggregate current state, not history — "
                     "run them on a separate non-scd2 target")
+            sbucket = self.target.bucket_col or self.target.key_cols[0]
+            if sbucket not in self.target.key_cols:
+                problems.append(
+                    f"scd2 bucket_col {sbucket!r} must be one of the "
+                    f"natural key columns {self.target.key_cols} (a "
+                    "payload bucket would scatter a key's intervals)")
             from datax_spark.lake.scd import _RESERVED as _SCD2_RESERVED
 
             for c in _SCD2_RESERVED:
@@ -378,17 +393,14 @@ class JobSpec:
         seen_out = set(cols)
         for i, e in enumerate(self.enrich):
             tag = f"enrich[{i}]"
-            path, on, ecols = e.get("path"), e.get("on"), e.get("cols")
+            path, fmt, on, ecols, how = _parse_enrich(e)
             if not path or not on or not ecols:
                 problems.append(f"{tag}: needs path, on, and cols")
                 continue
-            if e.get("how", "left") not in ("left", "inner"):
+            if how not in ("left", "inner"):
                 problems.append(f"{tag}: how must be left or inner")
-            if isinstance(on, list):
-                on = {c: c for c in on}
             try:
-                dim = spark.read.format(e.get("format", "parquet")) \
-                    .load(path)
+                dim = spark.read.format(fmt).load(path)
             except Exception as ex:
                 problems.append(f"{tag}: dimension unreadable: {ex}")
                 continue
@@ -530,9 +542,10 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 auto_compact=spec.merge.auto_compact,
                 compact_ratio=spec.merge.compact_ratio,
                 bucket_deltas=spec.merge.bucket_deltas,
+                schema_policy=spec.merge.schema_policy,
             )
             summary["batches"] = len(applied)
-            summary["rows"] = int(table.file_stats()["rows"])
+            summary["rows"] = int(sum(a["rows"] for a in applied))
         else:
             lineages = run_incremental(
                 table, feed, batch_lsns=spec.run.batch_lsns,
@@ -598,6 +611,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 auto_compact=spec.merge.auto_compact,
                 compact_ratio=spec.merge.compact_ratio,
                 bucket_deltas=spec.merge.bucket_deltas,
+                schema_policy=spec.merge.schema_policy,
             )
         else:
             shared.update(

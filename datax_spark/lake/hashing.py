@@ -100,6 +100,14 @@ def spark_hash(value, dtype_name: str, seed: int = SPARK_SEED) -> int | None:
         # Murmur3Hash folds nothing for a NULL child: result is the seed
         return _to_signed32(seed)
     if dtype_name in ("int", "integer", "smallint", "tinyint", "date"):
+        if dtype_name == "date":
+            import datetime
+
+            # Spark hashes DateType as its physical int: days since epoch
+            if isinstance(value, datetime.datetime):
+                value = value.date()
+            if isinstance(value, datetime.date):
+                value = (value - datetime.date(1970, 1, 1)).days
         return hash_int(int(value), seed)
     if dtype_name in ("bigint", "long"):
         return hash_long(int(value), seed)

@@ -82,14 +82,58 @@ def scd2_create(
                              f"column {c!r}")
     key_fields = [schema[c] for c in key_cols]
     payload_fields = [f for f in schema.fields if f.name not in key_cols]
+    bucket_col = create_kw.pop("bucket_col", key_cols[0])
+    if bucket_col not in key_cols:
+        # bucketing by a payload column would scatter a key's intervals
+        # across buckets as its payload changes — the apply path's
+        # bucket-pruned open-row read would then MISS the open interval
+        # and leave it unclosed (silent history corruption)
+        raise ValueError(
+            f"scd2 bucket_col {bucket_col!r} must be a natural key "
+            f"column (one of {key_cols})")
     return LakeTable.create(
         spark, location,
         schema=scd2_schema(key_fields, payload_fields),
         key_cols=[*key_cols, VALID_FROM],
-        bucket_col=create_kw.pop("bucket_col", key_cols[0]),
+        bucket_col=bucket_col,
         num_buckets=num_buckets,
         **create_kw,
     )
+
+
+def _enforce_scd2_schema_policy(
+    table: LakeTable, batch: DataFrame, policy: str,
+    nat_keys: list[str], payload_cols: list[str], allowed: set,
+) -> None:
+    """schema_policy="strict" for SCD2 targets: the batch payload must
+    equal (natural key + payload) exactly — names AND types — else the
+    batch fails loudly BEFORE any write.  Needed here even more than on
+    current-state targets: scd2_apply projects to the table's payload
+    columns, so under the default "evolve" a NEW feed column is silently
+    DROPPED (history tables don't auto-evolve — an interval row's width
+    is fixed at creation); strict is how an operator turns that into a
+    stop-the-pipeline signal."""
+    if policy == "evolve":
+        return
+    if policy != "strict":
+        raise ValueError(f"unknown schema_policy {policy!r}")
+    from datax_spark.cdc.apply import SchemaPolicyViolation
+
+    want = {f.name: f.dataType.simpleString()
+            for f in table.schema().fields if f.name not in _RESERVED}
+    got = {f.name: f.dataType.simpleString()
+           for f in batch.schema.fields if f.name not in allowed}
+    extra = sorted(c for c in got if c not in want)
+    missing_c = sorted(c for c in want if c not in got)
+    changed = sorted(f"{c}: {got[c]} != {want[c]}"
+                     for c in got if c in want and got[c] != want[c])
+    if extra or missing_c or changed:
+        raise SchemaPolicyViolation(
+            "schema_policy='strict' rejected the scd2 batch before any "
+            f"write — extra columns: {extra or '-'}; missing columns: "
+            f"{missing_c or '-'}; type changes: {changed or '-'}. "
+            "History tables do not auto-evolve; recreate the target or "
+            "fix the feed.")
 
 
 def scd2_fold(
@@ -175,6 +219,8 @@ def scd2_apply(
     suppress_unchanged: bool = False,
     mode: str = "mor",
     lineage_extra: dict | None = None,
+    schema_policy: str = "evolve",
+    _plan: tuple | None = None,
     **merge_kw,
 ) -> "Manifest | None":
     """Apply one CDC micro-batch to an SCD2 history table.
@@ -198,6 +244,10 @@ def scd2_apply(
         f.name for f in table.schema().fields
         if f.name not in (*nat_keys, *_RESERVED)
     ]
+    _enforce_scd2_schema_policy(
+        table, batch, schema_policy, nat_keys, payload_cols,
+        allowed={op_col, order_col, "shard", "ts"},
+    )
     missing = [c for c in (*nat_keys, *payload_cols, op_col, order_col)
                if c not in batch.columns]
     if missing:
@@ -206,38 +256,45 @@ def scd2_apply(
     if batch_id is not None and m.is_applied(batch_id):
         return None  # don't pay the fold jobs for a replay
 
-    # ONE planning aggregate (the merge path's _batch_key_box shape):
-    # row count + batch max LSN (the MOR ordinal) + touched buckets +
-    # natural-key bounding box — so the open-row read below scans only
-    # the buckets this batch touches and only the history files whose
-    # zone maps intersect the batch's key range, instead of folding the
-    # WHOLE history table every micro-batch (the difference between
-    # O(batch-adjacent files) and O(table) at 100 TB).
-    from datax_spark.lake.merge import _batch_key_box
-
-    bexpr = table.bucket_expr(m.bucket_col, m.num_buckets)
-    probe = batch.select(
-        *nat_keys, F.lit(1).alias("__one"),
-        F.col(order_col).cast("long").alias("__lsn"),
-    )
-    aggs = [F.count("__one").alias("__n"), F.max("__lsn").alias("__hi"),
-            F.collect_set(bexpr.cast("int")).alias("__bs")]
-    for i, c in enumerate(nat_keys):
-        aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
-        aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
-        aggs.append(F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
-    head = probe.agg(*aggs).first()
-    n_rows = int(head["__n"])
-    if n_rows == 0:
-        return None
-    hi = int(head["__hi"])
-    touched = sorted(int(b) for b in head["__bs"])
-    preds = None
-    if touched and not any(head[f"__nn_{i}"] for i in range(len(nat_keys))):
-        preds = []
+    if _plan is not None:
+        n_rows, hi, touched, preds = _plan
+        if n_rows == 0:
+            return None
+    else:
+        # ONE planning aggregate (the merge path's _batch_key_box shape):
+        # row count + batch max LSN (the MOR ordinal) + touched buckets +
+        # natural-key bounding box — so the open-row read below scans
+        # only the buckets this batch touches and only the history files
+        # whose zone maps intersect the batch's key range, instead of
+        # folding the WHOLE history table every micro-batch (the
+        # difference between O(batch-adjacent files) and O(table) at
+        # 100 TB).
+        bexpr = table.bucket_expr(m.bucket_col, m.num_buckets)
+        probe = batch.select(
+            *nat_keys, F.lit(1).alias("__one"),
+            F.col(order_col).cast("long").alias("__lsn"),
+        )
+        aggs = [F.count("__one").alias("__n"),
+                F.max("__lsn").alias("__hi"),
+                F.collect_set(bexpr.cast("int")).alias("__bs")]
         for i, c in enumerate(nat_keys):
-            preds.append((c, ">=", head[f"__lo_{i}"]))
-            preds.append((c, "<=", head[f"__hi_{i}"]))
+            aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
+        head = probe.agg(*aggs).first()
+        n_rows = int(head["__n"])
+        if n_rows == 0:
+            return None
+        hi = int(head["__hi"])
+        touched = sorted(int(b) for b in head["__bs"])
+        preds = None
+        if touched and not any(
+                head[f"__nn_{i}"] for i in range(len(nat_keys))):
+            preds = []
+            for i, c in enumerate(nat_keys):
+                preds.append((c, ">=", head[f"__lo_{i}"]))
+                preds.append((c, "<=", head[f"__hi_{i}"]))
     merge_kw.pop("batch_rows", None)  # superseded by the fused count
 
     batch_keys = batch.select(*nat_keys).distinct()
@@ -290,18 +347,26 @@ def scd2_run_incremental(
     suppress_unchanged: bool = False,
     mode: str = "mor",
     max_batches: int | None = None,
+    schema_policy: str = "evolve",
     **merge_kw,
-) -> list[int]:
+) -> list[dict]:
     """Bounded incremental replay of ``feed`` into the history table —
     the SCD2 counterpart of :func:`datax_spark.cdc.runner.run_incremental`
     (same LSN-range micro-batching, same deterministic
     ``lsn // batch_lsns`` batch ids, so a resumed run regenerates
     identical boundaries and replayed ids no-op via the lineage guard).
-    Returns the applied batch ids."""
-    bounds = feed.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
+    Returns one ``{"batch_id", "rows"}`` dict per batch applied by THIS
+    call (rows = feed events in the batch, the same accounting as every
+    other run path)."""
+    # one upfront job sizes every batch: empty LSN windows are skipped
+    # without paying scd2_apply's planning aggregate
+    per = feed.groupBy(
+        F.floor(F.col(order_col) / F.lit(int(batch_lsns)))
+        .cast("long").alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__n")).collect()
+    counts = {int(r["__b"]): int(r["__n"]) for r in per
+              if r["__b"] is not None}
+    if not counts:
         return []
     # ids derive from lsn // batch_lsns: a rerun with a DIFFERENT
     # granularity would map new events onto already-applied ids and the
@@ -317,9 +382,7 @@ def scd2_run_incremental(
             f"already-applied ids. Re-run with batch_lsns={recorded}."
         )
     applied = []
-    first = int(bounds["lo"]) // batch_lsns
-    last = int(bounds["hi"]) // batch_lsns
-    for b in range(first, last + 1):
+    for b in sorted(counts):
         if max_batches is not None and len(applied) >= max_batches:
             break
         lo, hi = b * batch_lsns, (b + 1) * batch_lsns
@@ -328,9 +391,10 @@ def scd2_run_incremental(
         )
         if scd2_apply(
             table, part, batch_id=b, order_col=order_col, op_col=op_col,
-            suppress_unchanged=suppress_unchanged, mode=mode, **merge_kw,
+            suppress_unchanged=suppress_unchanged, mode=mode,
+            schema_policy=schema_policy, **merge_kw,
         ) is not None:
-            applied.append(b)
+            applied.append({"batch_id": b, "rows": counts[b]})
     return applied
 
 
@@ -361,6 +425,7 @@ class Scd2Applier:
         op_col: str = "op",
         shard_col: str = "shard",
         mode: str = "mor",
+        schema_policy: str = "evolve",
         **merge_kw,
     ):
         from datax_spark.cdc.apply import CdcApplier
@@ -372,6 +437,7 @@ class Scd2Applier:
         self.op_col = op_col
         self.shard_col = shard_col
         self.mode = mode
+        self.schema_policy = schema_policy
         self.merge_kw = merge_kw
         # reuse the engine's shard-watermark resume filter (literal
         # per-shard predicates, sentinel exemption) — it only needs the
@@ -385,31 +451,59 @@ class Scd2Applier:
         if batch_id is not None and \
                 self.table.manifest().is_applied(batch_id):
             return None
-        extra: dict = {}
-        if self.shard_col in batch.columns:
-            # one agg job: per-shard resume watermarks + the batch size
-            per = batch.groupBy(self.shard_col).agg(
-                F.max(self.order_col).alias("__hi"),
-                F.count(F.lit(1)).alias("__n"),
-            ).collect()
-            n = sum(int(r["__n"]) for r in per)
-            extra["shard_lsns"] = {
-                str(r[0]): int(r["__hi"]) for r in per
-                if r[0] is not None and r["__hi"] is not None
-                and int(r["__hi"]) >= 0
-            }
-        else:
-            n = batch.count()
+        # ONE planning job for everything scalar: per-shard resume
+        # watermarks + batch size + max LSN + touched buckets + the
+        # natural-key bounding box (per shard, combined driver-side) —
+        # scd2_apply then skips its own planning aggregate, so the hot
+        # tail path scans each micro-batch exactly twice (plan, write)
+        # like the current-state applier.
+        m = self.table.manifest()
+        nat_keys = [c for c in m.key_cols if c != VALID_FROM]
+        bexpr = self.table.bucket_expr(m.bucket_col, m.num_buckets)
+        shard = (F.col(self.shard_col) if self.shard_col in batch.columns
+                 else F.lit(None).cast("int"))
+        aggs = [
+            F.max(F.col(self.order_col).cast("long")).alias("__hi"),
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_set(bexpr.cast("int")).alias("__bs"),
+        ]
+        for i, c in enumerate(nat_keys):
+            aggs.append(F.min(F.col(c)).alias(f"__lo_{i}"))
+            aggs.append(F.max(F.col(c)).alias(f"__hi_{i}"))
+            aggs.append(
+                F.max(F.col(c).isNull().cast("int")).alias(f"__nn_{i}"))
+        per = batch.groupBy(shard.alias("__shard")).agg(*aggs).collect()
+        n = sum(int(r["__n"]) for r in per)
         if n == 0:
             return None
-        extra["rows"] = int(n)
-        m = scd2_apply(
+        his = [int(r["__hi"]) for r in per if r["__hi"] is not None]
+        if not his:
+            raise ValueError(
+                f"batch carries no non-null {self.order_col!r} values — "
+                "SCD2 needs an ordering; quarantine null-LSN rows first")
+        hi = max(his)
+        touched = sorted({int(b) for r in per for b in r["__bs"]})
+        preds = None
+        if touched and not any(
+                r[f"__nn_{i}"] for r in per for i in range(len(nat_keys))):
+            preds = []
+            for i, c in enumerate(nat_keys):
+                preds.append((c, ">=", min(r[f"__lo_{i}"] for r in per)))
+                preds.append((c, "<=", max(r[f"__hi_{i}"] for r in per)))
+        extra: dict = {"rows": int(n)}
+        if self.shard_col in batch.columns:
+            extra["shard_lsns"] = {
+                str(r["__shard"]): int(r["__hi"]) for r in per
+                if r["__shard"] is not None and int(r["__hi"]) >= 0
+            }
+        mf = scd2_apply(
             self.table, batch, batch_id=batch_id,
             order_col=self.order_col, op_col=self.op_col,
             suppress_unchanged=self.suppress_unchanged, mode=self.mode,
-            lineage_extra=extra, **self.merge_kw,
+            lineage_extra=extra, schema_policy=self.schema_policy,
+            _plan=(n, hi, touched, preds), **self.merge_kw,
         )
-        if m is None:
+        if mf is None:
             return None
         return {"batch_id": batch_id, **extra}
 

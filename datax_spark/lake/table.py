@@ -1258,10 +1258,17 @@ class LakeTable:
         # difference between a bounded planning collect and an OOM on a
         # thousand-file backfill write
         cap = int(m_bits * _BLOOM_MAX_FILL) + 1
+        # explode_OUTER: a file whose every row has NULL in all bloom
+        # columns still yields one (file, c=NULL) group, so "scanned but
+        # no positions" (→ legitimately empty bitmap, prunes everything)
+        # is distinguishable from "file missing from the result" (path
+        # normalization mismatch → store None, never prune).  Without
+        # the distinction a symlinked table dir would silently bloom-prune
+        # EVERY lookup to zero rows.
         rows = (
             df.select(
                 F.col("_metadata.file_path").alias("__f"),
-                F.explode(F.flatten(F.array(*arrays))).alias("cp"),
+                F.explode_outer(F.flatten(F.array(*arrays))).alias("cp"),
             )
             .groupBy("__f", "cp.c")
             .agg(F.slice(F.collect_set("cp.p"), 1, cap).alias("ps"))
@@ -1271,12 +1278,25 @@ class LakeTable:
 
         per_file: dict[str, dict[int, list[int]]] = {}
         for r in rows:
-            # Spark reports "file:/abs/path" (or file:///): take the path
-            local = unquote(urlparse(r["__f"]).path)
-            per_file.setdefault(local, {})[r["c"]] = r["ps"]
+            # Spark reports "file:/abs/path" (or file:///): take the path;
+            # realpath both sides so symlinked locations still match
+            local = os.path.realpath(unquote(urlparse(r["__f"]).path))
+            bycol = per_file.setdefault(local, {})
+            if r["c"] is not None:
+                bycol[r["c"]] = r["ps"]
         for p, e in paths.items():
-            got = per_file.get(p, {})
+            got = per_file.get(os.path.realpath(p))
             rec: dict[str, Any] = {}
+            if got is None:
+                # the scan never reported this file under a path we can
+                # match — record None for every column (no pruning) rather
+                # than an all-zero bitmap that would prune everything
+                for _, c, _t in usable:
+                    rec[c] = None
+                while len(e) < 6:
+                    e.append(None)
+                e.append(rec)
+                continue
             for ci, c, dtype in usable:
                 ps = got.get(ci, [])
                 # == cap means the slice truncated: provably saturated

@@ -29,6 +29,7 @@ K = 3
         (12345, "int"),
     ],
 )
+
 def test_bloom_positions_match_jvm(spark, value, dtype):
     """pmod(F.hash(col, lit(i)), m) must equal the driver mirror bit for
     bit — the whole pruning correctness rests on this parity."""
@@ -199,3 +200,36 @@ def test_cli_maintain_bloom_cols_backfill(spark, tmp_path, capsys):
     assert res["ok"] and res["bloom_cols"] == ["tag"] and res["compacted"]
     t2 = LakeTable(spark, str(tmp_path / "cli"))
     assert t2.scan_plan(where=[("tag", "=", "rare5")])["bloom_skipped"] > 0
+
+
+def test_bloom_positions_match_jvm_for_dates(spark, tmp_path):
+    """DateType hashes as its physical int (days since epoch) — the
+    driver mirror must accept real datetime.date probe values."""
+    import datetime
+
+    for d in (datetime.date(2024, 1, 15), datetime.date(1969, 12, 31),
+              datetime.date(1970, 1, 1)):
+        df = spark.createDataFrame([(d,)], "c date")
+        jvm = df.select(
+            *[F.pmod(F.hash(F.col("c"), F.lit(i)), F.lit(M_BITS))
+              .alias(f"p{i}") for i in range(K)]
+        ).collect()[0]
+        assert list(jvm) == _bloom_positions_py(d, "date", K, M_BITS), d
+    # end-to-end: bloom on a date column prunes and stays exact
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "dates"), schema=schema, key_cols=["k"],
+        bucket_col="k", num_buckets=2,
+    )
+    t.set_bloom_filters(["d"], m_bits=M_BITS, k=K)
+    base = datetime.date(2020, 1, 1)
+    rows = [(i, base + datetime.timedelta(days=i % 16), i)
+            for i in range(400)]
+    t.overwrite(spark.createDataFrame(rows, schema), files_per_bucket=4)
+    needle = base + datetime.timedelta(days=3)
+    got = t.read(where=[("d", "=", needle)]).count()
+    assert got == len([r for r in rows if r[1] == needle])

@@ -337,3 +337,31 @@ def test_jobspec_scd2_tail_kind(spark, tmp_path):
     want = scd.scd2_fold(feed, ["repo", "path", "commit"], payload)
     assert sorted(map(tuple, t.read().select(*want.columns).collect())) \
         == sorted(map(tuple, want.collect()))
+
+
+def test_scd2_strict_schema_policy(spark, tmp_path):
+    """strict scd2 targets reject diverging batches BEFORE any write —
+    under the default 'evolve' a new feed column is silently dropped
+    (history tables don't auto-evolve), which strict turns into a stop."""
+    from datax_spark.cdc.apply import SchemaPolicyViolation
+
+    t = _mk(spark, tmp_path)
+    good = _feed(spark, BASE_ROWS[:2])
+    scd.scd2_apply(t, good, batch_id=0, schema_policy="strict")
+    v = t.current_version()
+    bad = _feed(spark, BASE_ROWS[2:4]).withColumn("extra", F.lit(1))
+    with pytest.raises(SchemaPolicyViolation, match="extra"):
+        scd.scd2_apply(t, bad, batch_id=1, schema_policy="strict")
+    assert t.current_version() == v
+    with pytest.raises(SchemaPolicyViolation, match="missing"):
+        scd.scd2_apply(t, _feed(spark, BASE_ROWS[2:4]).drop("city"),
+                       batch_id=1, schema_policy="strict")
+    # evolve (default) drops the surprise column without failing
+    scd.scd2_apply(t, bad, batch_id=1)
+    assert "extra" not in t.read().columns
+
+
+def test_scd2_rejects_payload_bucket_col(spark, tmp_path):
+    with pytest.raises(ValueError, match="natural key"):
+        scd.scd2_create(spark, str(tmp_path / "pb"), schema=SRC,
+                        key_cols=["k"], bucket_col="city")
