@@ -136,7 +136,18 @@ def _cdcout_cmd(args) -> int:
     spark = get_session("datax-spark-cdcout", cores=args.cores)
     upstream = LakeTable(spark, args.upstream)
     out = {"ok": True, "upstream": args.upstream, "out": args.out}
-    if args.bootstrap and not is_published(args.out):
+    if args.incremental_snapshot:
+        # DBLog-shaped chunked bootstrap: publish up to --snapshot-chunks
+        # PK-range chunks per invocation, interleaved with the ordinary
+        # changes pass below — the feed never pauses.  Re-running resumes
+        # the persisted chunk plan; once done this flag is a no-op.
+        from datax_spark.sources.debezium import emit_incremental_snapshot
+
+        out["snapshot"] = emit_incremental_snapshot(
+            upstream, args.out, chunk_rows=args.snapshot_chunk_rows,
+            max_chunks=args.snapshot_chunks, db=args.db, name=args.name,
+        )
+    elif args.bootstrap and not is_published(args.out):
         # snapshot-then-follow: publish op:"r" records + the watermark,
         # then the ordinary changes pass below no-ops until new commits
         out.update(emit_table_snapshot(
@@ -348,6 +359,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="on an empty output dir, publish a snapshot "
                           "bootstrap (op:'r' records) before following "
                           "the changelog")
+    cdc.add_argument("--incremental-snapshot", action="store_true",
+                     help="DBLog-shaped chunked bootstrap: publish PK-range "
+                          "snapshot chunks interleaved with the changes "
+                          "pass instead of a stop-the-world snapshot; "
+                          "re-running resumes the persisted chunk plan")
+    cdc.add_argument("--snapshot-chunks", type=int, default=None,
+                     help="max chunks per invocation (default: all "
+                          "remaining)")
+    cdc.add_argument("--snapshot-chunk-rows", type=int, default=100_000,
+                     help="target rows per snapshot chunk")
     cdc.add_argument("--cores", default=None)
 
     dlq = sub.add_parser(

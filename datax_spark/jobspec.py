@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -125,6 +125,15 @@ class RunSpec:
     # under the checkpoint (streaming/runner.py txn_boundary).  The two
     # columns are consumed by the runner and never reach the table.
     txn_boundary: list | None = None
+    # incremental-snapshot bootstrap consumer (the DBLog shape —
+    # sources/debezium.emit_incremental_snapshot): source.path is the feed
+    # DIRECTORY; the run tails BOTH live commits and snapshot chunks via
+    # snapshot_feed_glob, sets the target's bootstrap_active property for
+    # the duration (compaction defers — it would erase the LSN/tombstone
+    # ordering the sentinel chunk fold relies on), and clears it once the
+    # producer's _snapshot_state.json reports the chunk plan done.
+    # Requires merge.mode="mor" (the fold needs per-row LSNs kept).
+    bootstrap: bool = False
 
 
 @dataclass
@@ -276,6 +285,16 @@ class JobSpec:
     def to_dict(self) -> dict:
         return asdict(self)
 
+    def _effective_source(self) -> SourceSpec:
+        """The source as the run actually reads it: under ``run.bootstrap``
+        the feed directory is widened to the glob covering both live
+        commits and incremental-snapshot chunks."""
+        if not self.run.bootstrap:
+            return self.source
+        from datax_spark.sources.debezium import snapshot_feed_glob
+
+        return replace(self.source, path=snapshot_feed_glob(self.source.path))
+
     # ------------------------------------------------------------ pre-check
     def pre_check(self, spark: SparkSession) -> list[str]:
         """Dry-run validation; returns a list of problems (empty = OK)."""
@@ -290,7 +309,7 @@ class JobSpec:
                 "source.payload (row schema DDL)"
             ]
         try:
-            df = load_feed(spark, self.source)
+            df = load_feed(spark, self._effective_source())
         except Exception as e:  # unreadable source
             return problems + [f"source unreadable: {e}"]
         cols = set(df.columns)
@@ -316,6 +335,24 @@ class JobSpec:
                 "tail runs need run.tail_duration_sec or "
                 "run.tail_idle_stop_sec (else the job never returns)"
             )
+        if self.run.bootstrap:
+            if self.run.kind not in ("stream", "tail"):
+                problems.append(
+                    "run.bootstrap only applies to stream/tail runs "
+                    "(the chunked snapshot rides the streaming file source)"
+                )
+            if self.merge.mode != "mor":
+                problems.append(
+                    "run.bootstrap requires merge.mode='mor': the sentinel "
+                    "chunk fold needs per-row LSNs kept, which cow folds "
+                    "away at write time"
+                )
+            if self.target.scd2:
+                problems.append(
+                    "run.bootstrap does not support target.scd2 (snapshot "
+                    "chunks carry no interval history — bootstrap the "
+                    "history table from a changelog instead)"
+                )
         if self.run.txn_boundary is not None:
             if self.run.kind not in ("stream", "tail"):
                 problems.append(
@@ -469,7 +506,12 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     from datax_spark.transforms import TransformerRegistry
 
     t0 = time.monotonic()
-    feed = load_feed(spark, spec.source)
+    # the effective source widens a run.bootstrap feed dir to the
+    # commits+chunks glob — ALSO required for this batch read: batch
+    # partition discovery on the parent dir would see _commit_version=
+    # and _snapshot_chunk= as conflicting partition columns, while glob
+    # roots are read independently
+    feed = load_feed(spark, spec._effective_source())
     if spec.transforms:
         feed = TransformerRegistry().apply_chain(feed, spec.transforms)
     if spec.enrich:
@@ -565,6 +607,25 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             run_continuous,
         )
 
+        src_path = spec._effective_source().path
+        snapshot_done_at_start = False
+        if spec.run.bootstrap:
+            # completion is judged by the producer state AS OF BEFORE the
+            # drain: AvailableNow only processes files present at query
+            # start, so a chunk published mid-drain (with "done" written
+            # after) would be unconsumed — clearing the guard on a
+            # post-run check could let compaction run with a chunk still
+            # pending, exactly the hazard the property exists to prevent.
+            from datax_spark.sources.debezium import _read_snapshot_state
+
+            st = _read_snapshot_state(spec.source.path)
+            snapshot_done_at_start = bool(st and st.get("done"))
+            if not table.manifest().properties.get("bootstrap_active"):
+                # one properties-only commit at bootstrap start; subsequent
+                # invocations of a multi-session bootstrap see it already
+                # set
+                table.set_properties(bootstrap_active=True)
+
         # forward the full spec exactly like the incremental branch does:
         # merge options via applier_opts, error limits + quarantine rules —
         # a stream job.json must enforce the same contract as a batch one
@@ -625,7 +686,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 schema_policy=spec.merge.schema_policy,
             )
         if spec.run.kind == "stream":
-            lineages = run_available_now(spark, spec.source.path, sink,
+            lineages = run_available_now(spark, src_path, sink,
                                          **shared)
         else:
             # live tail, bounded by duration and/or idle-stop (pre_check
@@ -663,7 +724,7 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                         )
 
             tail = run_continuous(
-                spark, spec.source.path, sink,
+                spark, src_path, sink,
                 trigger_interval=spec.run.tail_trigger,
                 on_batch=on_batch, **shared,
             )
@@ -674,6 +735,16 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
         summary["batches"] = len(lineages)
         summary["rows"] = int(sum(l["rows"] for l in lineages))
         summary["bytes"] = int(sum(l.get("bytes", 0) for l in lineages))
+        if spec.run.bootstrap:
+            # chunk plan done BEFORE the drain started → every chunk was
+            # present at query start and has been applied; compaction is
+            # safe again.  Otherwise the property stays set across
+            # invocations (a bootstrap can span many job runs) and the
+            # run AFTER the producer finishes clears it.
+            summary["bootstrap_complete"] = snapshot_done_at_start
+            if snapshot_done_at_start and table.manifest().properties.get(
+                    "bootstrap_active"):
+                table.set_properties(bootstrap_active=None)
     else:
         raise ValueError(f"unknown run kind {spec.run.kind}")
 

@@ -843,6 +843,13 @@ def _merge_mor(
         schema=new_schema, operation="merge-mor",
         properties_update=properties_update,
     )
+    if m.properties.get("bootstrap_active"):
+        # incremental-snapshot bootstrap in flight: auto-compaction DEFERS
+        # (compact() would refuse loudly — see lake/table.py) so the
+        # ingest keeps flowing; the consumer compacts after clearing the
+        # property.  Delta accumulation during the bootstrap window is the
+        # documented cost of not pausing the feed.
+        return m
     if compact_ratio is not None:
         # cost-based pick: compact when delta bytes rival base bytes (the
         # file-count threshold remains as a small-file backstop)

@@ -2034,6 +2034,21 @@ class LakeTable:
         if sort_cols and zorder_cols:
             raise ValueError("pass sort_cols OR zorder_cols, not both")
         m = self.manifest()
+        if m.properties.get("bootstrap_active"):
+            # an incremental-snapshot bootstrap is draining into this table
+            # (sources/debezium.emit_incremental_snapshot): compaction
+            # rewrites winners as __lsn=-1 base rows and drops tombstones,
+            # erasing exactly the LSN ordering the sentinel chunk fold
+            # relies on — a late chunk row could tie a compacted winner or
+            # resurrect a compacted-away delete.  Defer until the consumer
+            # clears the property (set_properties(bootstrap_active=None)).
+            raise RuntimeError(
+                "compaction is disabled while table property "
+                "'bootstrap_active' is set (incremental-snapshot bootstrap "
+                "in flight): compacting erases the __lsn/tombstone history "
+                "that orders sentinel snapshot chunks against live events; "
+                "finish the bootstrap and clear the property first"
+            )
         if L0_BUCKET in m.files or (buckets and L0_BUCKET in {str(b) for b in buckets}):
             # L0 rows span every bucket: partial compaction would either
             # drop or duplicate them — compact the whole table
@@ -2104,6 +2119,13 @@ class LakeTable:
         effect (the rewrite IS a compaction).  Iceberg analogue: changing a
         bucket(N, col) partition spec + rewrite_data_files."""
         m = self.manifest()
+        if m.properties.get("bootstrap_active"):
+            raise RuntimeError(
+                "rebucket is disabled while table property "
+                "'bootstrap_active' is set (incremental-snapshot bootstrap "
+                "in flight): the rewrite erases the __lsn/tombstone history "
+                "that orders sentinel snapshot chunks against live events"
+            )
         new_n = int(num_buckets) if num_buckets else m.num_buckets * factor
         if new_n == m.num_buckets or not m.files:
             return None

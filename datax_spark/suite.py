@@ -3969,6 +3969,73 @@ SELECT user_id, event_type, value_cents, props,
 FROM iv WHERE NOT is_delete
 """
 
+def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL (chunked) SNAPSHOT BOOTSTRAP — the DBLog / Debezium
+    incremental-snapshot shape (sources/debezium.emit_incremental_snapshot):
+    the first half of the feed is upstream HISTORY the wire never carries
+    (truncated binlog); the consumer bootstraps from PK-range snapshot
+    chunks published INTERLEAVED with the live commits of the second half,
+    never pausing the feed.  Chunk rows ride the sentinel lsn=-1 fold, so
+    the ordinary LWW merge converges with zero consumer machinery; the
+    bootstrap_active property defers compaction for the duration (the one
+    operation that would erase the ordering evidence).  Final state must
+    equal the one-shot SQL fold of the WHOLE feed."""
+    from datax_spark.sources import debezium as DBZ
+    from datax_spark.streaming.runner import run_available_now
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    mid = hi // 2
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    work = tempfile.mkdtemp(prefix="dx_incsnap_")
+    src = LakeTable.create(
+        spark, os.path.join(work, "src"), schema=schema,
+        key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+    )
+    pay = ["user_id", "event_type", "value_cents", "props"]
+    merge_into(src, feed.filter(F.col("lsn") <= mid), op_col="op",
+               order_col="lsn", mode="mor", payload_cols=pay)
+    out = os.path.join(work, "wire")
+    # plan + first chunk before any live commit, then interleave one live
+    # slice with one chunk per step until both are exhausted
+    res = DBZ.emit_incremental_snapshot(
+        src, out, chunk_rows=40, max_chunks=1, db="appdb", name="events"
+    )
+    step = max(1, (hi - mid) // 3 + 1)
+    lo = mid
+    while lo <= hi or not res["done"]:
+        if lo <= hi:
+            sl = feed.filter((F.col("lsn") > lo) & (F.col("lsn") <= lo + step))
+            merge_into(src, sl, op_col="op", order_col="lsn", mode="mor",
+                       payload_cols=pay)
+            lo += step
+            DBZ.emit_table_changes(src, out, db="appdb", name="events")
+        if not res["done"]:
+            res = DBZ.emit_incremental_snapshot(src, out, max_chunks=1)
+    tgt = LakeTable.create(
+        spark, os.path.join(work, "tgt"), schema=schema,
+        key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+    )
+    tgt.set_properties(bootstrap_active=True)
+    run_available_now(
+        spark, DBZ.snapshot_feed_glob(out), tgt,
+        feed_format="debezium-json",
+        payload="user_id long, event_type string, value_cents long, "
+                "props string",
+        filter_watermark=False, dedup_batch=False, auto_compact=None,
+    )
+    tgt.set_properties(bootstrap_active=None)
+    return tgt.read().select("user_id", "event_type", "value_cents", "props")
+
+
+_ORACLES["cdc_incremental_snapshot"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
 # suppression collapses the duplicated events exactly, so the history
@@ -4194,6 +4261,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_scd2_suppress": q_cdc_scd2_suppress,
     "cdc_quarantine_replay": q_cdc_quarantine_replay,
     "cdc_enrich_dim": q_cdc_enrich_dim,
+    "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
