@@ -183,6 +183,10 @@ BENCH_QUERIES = [
     "cdc_scd2_suppress",
     "cdc_quarantine_replay",
     "cdc_enrich_dim",
+    # round-4 late pass: incremental chunked snapshot bootstrap (chunks
+    # interleaved with live commits) + history-preserving minor compaction
+    "cdc_incremental_snapshot",
+    "cdc_minor_compact_fold",
 ]
 
 

@@ -62,6 +62,13 @@ def _maintain_cmd(args) -> int:
         out["compacted"] = m is not None
         if m is not None:
             out["version"] = m.version
+    if args.compact_minor:
+        # history-preserving delta consolidation — the only compaction
+        # allowed while an incremental-snapshot bootstrap is in flight
+        m = t.compact_minor(min_files=args.compact_minor)
+        out["compacted_minor"] = m is not None
+        if m is not None:
+            out["version"] = m.version
     if args.rebucket_target_bytes is not None:
         n = t.suggest_num_buckets(args.rebucket_target_bytes)
         out["rebucket_to"] = n
@@ -249,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
     mnt = sub.add_parser("maintain", help="compact / vacuum / report a table")
     mnt.add_argument("table", help="lake table location")
     mnt.add_argument("--compact", action="store_true")
+    mnt.add_argument("--compact-minor", type=int, default=None,
+                     metavar="MIN_FILES",
+                     help="history-preserving delta consolidation (keeps "
+                          "__lsn/tombstones — safe during a bootstrap): "
+                          "collapse each bucket holding at least MIN_FILES "
+                          "delta files into one")
     mnt.add_argument("--compact-ratio", type=float, default=None, metavar="R",
                      help="cost-based compaction: only buckets with delta "
                           "bytes > R x base bytes")

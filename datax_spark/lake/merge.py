@@ -844,11 +844,15 @@ def _merge_mor(
         properties_update=properties_update,
     )
     if m.properties.get("bootstrap_active"):
-        # incremental-snapshot bootstrap in flight: auto-compaction DEFERS
-        # (compact() would refuse loudly — see lake/table.py) so the
-        # ingest keeps flowing; the consumer compacts after clearing the
-        # property.  Delta accumulation during the bootstrap window is the
-        # documented cost of not pausing the feed.
+        # incremental-snapshot bootstrap in flight: FULL auto-compaction
+        # defers (compact() would refuse loudly — it erases the
+        # LSN/tombstone ordering the sentinel chunk fold needs), but
+        # history-preserving MINOR compaction is safe and bounds the
+        # bootstrap window's delta file count at the same threshold
+        if auto_compact is not None:
+            m2 = table.compact_minor(min_files=max(2, auto_compact))
+            if m2 is not None:
+                m = m2
         return m
     if compact_ratio is not None:
         # cost-based pick: compact when delta bytes rival base bytes (the

@@ -1521,7 +1521,7 @@ class LakeTable:
             m = self.manifest(v)
             if m.num_buckets != n_buckets:
                 return None  # layout changed mid-range — ids don't map
-            if m.operation in ("create", "properties", "compact", "rebucket"):
+            if m.operation in ("create", "properties", "compact", "compact-minor", "rebucket"):
                 continue
             prev_files = {
                 e[0]
@@ -1626,7 +1626,7 @@ class LakeTable:
         parts: list[DataFrame] = []
         for v in range(from_version + 1, to_v + 1):
             m = self.manifest(v)
-            if m.operation in ("create", "properties", "compact", "rebucket"):
+            if m.operation in ("create", "properties", "compact", "compact-minor", "rebucket"):
                 continue
             if m.operation not in ("append", "merge-mor"):
                 if on_rewrite == "skip":
@@ -2079,6 +2079,85 @@ class LakeTable:
         # a compacted-to-empty bucket must still drop its old files
         return self._commit(m, frag, replaced_buckets={str(b) for b in buckets},
                             operation="compact")
+
+    def compact_minor(
+        self,
+        buckets: list | None = None,
+        min_files: int = 2,
+        files_per_bucket: int = 1,
+    ) -> "Manifest | None":
+        """HISTORY-PRESERVING delta consolidation (Iceberg/LSM minor
+        compaction): collapse each selected bucket's full-row delta files
+        into one delta file per bucket — keeping ``__lsn``/``__deleted`` —
+        and L0's into fewer L0 files, pre-folded to the last writer per key
+        (tombstones kept as ``__deleted`` rows, exactly what the read-time
+        fold would pick; dropping a key's non-winning versions can never
+        change the ``max_by(__lsn)`` winner, and base rows at ``__lsn=-1``
+        still lose to any surviving delta row).
+
+        Unlike :meth:`compact`, this is SAFE while an incremental-snapshot
+        bootstrap is in flight (``bootstrap_active``): the LSN/tombstone
+        ordering evidence the sentinel chunk fold relies on survives the
+        rewrite, so it is the file-count bound for the bootstrap window —
+        the merge path's auto-compaction falls back to it while full
+        compaction defers (lake/merge.py).
+
+        Buckets holding pdelta (partial-update) files are skipped: their
+        column-wise fold consumes every row, so only a pure union (no
+        fold) would be valid and the win would be marginal.  ``min_files``
+        bounds pointless rewrites (a single delta file gains nothing)."""
+        m = self.manifest()
+        todo: list[str] = []
+        kept: dict[str, list[list[Any]]] = {}
+        deltas: dict[str, list[list[Any]]] = {}
+        want = None if buckets is None else {str(b) for b in buckets}
+        for b, entries in m.files.items():
+            if want is not None and b not in want:
+                continue
+            if any(len(e) > 2 and e[2] == "pdelta" for e in entries):
+                continue
+            d = [e for e in entries if len(e) > 2 and e[2] == "delta"]
+            if len(d) < min_files:
+                continue
+            todo.append(b)
+            deltas[b] = d
+            kept[b] = [e for e in entries if not (len(e) > 2 and e[2] == "delta")]
+        if not todo:
+            return None
+        hidden = [LSN_COL, DELETED_COL]
+        frag: dict[str, list[list[Any]]] = {}
+        numbered = [b for b in todo if b != L0_BUCKET]
+        if numbered:
+            sub = Manifest(**{**m.__dict__,
+                              "files": {b: deltas[b] for b in numbered}})
+            rows, _ = self._scan_raw(sub, None)
+            # bucket_col ∈ key_cols → the in-exchange LWW prefold (the
+            # merge write's own shuffle shape); otherwise consolidate
+            # without folding — same read result, just fewer files
+            frag = self._stage_write(
+                rows, m, files_per_bucket, kind="delta", extra_cols=hidden,
+                dedup_lww=m.bucket_col in m.key_cols,
+            )
+        if L0_BUCKET in todo:
+            sub = Manifest(**{**m.__dict__,
+                              "files": {L0_BUCKET: deltas[L0_BUCKET]}})
+            rows, _ = self._scan_raw(sub, None)
+            win = F.max_by(
+                F.struct(*[F.col(c) for c in rows.columns]), F.col(LSN_COL)
+            ).alias("__w")
+            folded = (
+                rows.groupBy(*[F.col(c) for c in m.key_cols])
+                .agg(win).select("__w.*")
+            )
+            for b, es in self._stage_write(
+                folded, m, files_per_bucket, kind="delta",
+                extra_cols=hidden, bucketed=False,
+            ).items():
+                frag.setdefault(b, []).extend(es)
+        for b in todo:  # base/dv/pdelta-free survivors re-register verbatim
+            frag.setdefault(b, []).extend(kept[b])
+        return self._commit(m, frag, replaced_buckets=set(todo),
+                            operation="compact-minor")
 
     def suggest_num_buckets(self, target_bucket_bytes: int) -> int | None:
         """Bucket-count evolution advice: when the average bucket's base

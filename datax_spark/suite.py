@@ -4035,6 +4035,47 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tgt.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_minor_compact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTORY-PRESERVING MINOR COMPACTION under ingest
+    (lake/table.compact_minor): 4 incremental MOR batches with a minor
+    compaction after each — delta files consolidate to one per bucket
+    with ``__lsn``/tombstones kept, so cross-batch last-writer-wins,
+    delete application, and late-arriving lower-LSN events all behave
+    exactly as with the uncompacted file set.  Final state must equal
+    the one-shot SQL fold; the consolidation is asserted non-vacuous."""
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    loc = tempfile.mkdtemp(prefix="dx_minor_")
+    os.rmdir(loc)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["user_id"],
+        bucket_col="user_id", num_buckets=8,
+    )
+    hi = int(feed.agg(F.max("lsn")).collect()[0][0])
+    step = max(1, (hi + 4) // 4)
+    consolidated = 0
+    for lo in range(0, hi + 1, step):
+        sl = feed.filter((F.col("lsn") > lo) & (F.col("lsn") <= lo + step))
+        merge_into(table, sl, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None, bucket_deltas=True,
+                   payload_cols=["user_id", "event_type", "value_cents",
+                                 "props"])
+        if table.compact_minor(min_files=2) is not None:
+            consolidated += 1
+    assert consolidated >= 2, "minor compaction must have run non-vacuously"
+    assert table.file_stats()["delta_files"] <= table.manifest().num_buckets
+    return table.read().select("user_id", "event_type", "value_cents",
+                               "props")
+
+
+_ORACLES["cdc_minor_compact_fold"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_incremental_snapshot"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
@@ -4262,6 +4303,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_quarantine_replay": q_cdc_quarantine_replay,
     "cdc_enrich_dim": q_cdc_enrich_dim,
     "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+    "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
