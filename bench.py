@@ -183,9 +183,12 @@ BENCH_QUERIES = [
     "cdc_scd2_suppress",
     "cdc_quarantine_replay",
     "cdc_enrich_dim",
-    # round-4 late pass: incremental chunked snapshot bootstrap (chunks
-    # interleaved with live commits) + history-preserving minor compaction
-    "cdc_incremental_snapshot",
+    # round-4 late pass: history-preserving minor compaction under ingest.
+    # (cdc_incremental_snapshot stays OUT of the bench list: a chunked
+    # bootstrap is a one-time operation of ~10 interleaved publish/apply
+    # rounds — ~60+ Spark actions that are pure job-scheduling floor at
+    # bench scale (40-70s of noise that would dwarf every steady-state
+    # query); the driver's sf0.01 correctness gate still runs it.)
     "cdc_minor_compact_fold",
 ]
 

@@ -4004,9 +4004,13 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                order_col="lsn", mode="mor", payload_cols=pay)
     out = os.path.join(work, "wire")
     # plan + first chunk before any live commit, then interleave one live
-    # slice with one chunk per step until both are exhausted
+    # slice with one chunk per step until both are exhausted; ~4 chunks at
+    # any scale (each chunk is a read+publish job pair — the bootstrap's
+    # unit of work, not something to multiply at bench scale)
+    n_keys = src.read().count()
     res = DBZ.emit_incremental_snapshot(
-        src, out, chunk_rows=40, max_chunks=1, db="appdb", name="events"
+        src, out, chunk_rows=max(40, (int(n_keys) + 3) // 4),
+        max_chunks=1, db="appdb", name="events",
     )
     step = max(1, (hi - mid) // 3 + 1)
     lo = mid
