@@ -780,10 +780,13 @@ def emit_incremental_snapshot(
     commit (the truncated-binlog scenario the feature exists for).
 
     Returns {"emitted_chunks", "remaining", "done", "start_version"}.
-    ``split_col`` defaults to the table's first key column; only integral
-    split keys are chunked automatically (pass explicit ``boundaries``
-    for anything else — ASCII base-128 interpolation does not agree with
-    SQL string collation on mixed-length keys, so it is not offered)."""
+    ``split_col`` defaults to the table's first key column and must be
+    integral — pick a different integral key column for tables whose
+    leading key is a string (ASCII base-128 interpolation does not agree
+    with SQL string collation on mixed-length keys, so string chunking
+    is not offered).  ``boundaries`` overrides the quantile plan with
+    explicit integer interior boundaries (e.g. a precomputed plan or
+    manual skew control)."""
     import math as _math
     import os as _os
     import shutil as _shutil
@@ -804,19 +807,20 @@ def emit_incremental_snapshot(
             F.count(F.when(F.col(key).isNull(), 1)).alias("n_null"),
         ).collect()[0]
         n_rows, n_null = int(stats["n"]), int(stats["n_null"])
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"split key {key!r} has non-integral type {ktype}: pass "
+                "split_col naming an integral key column (string-range "
+                "chunking is not offered — ASCII base-128 interpolation "
+                "does not match SQL string collation on mixed-length keys)"
+            )
         if boundaries is not None:
             interior = [int(b) for b in boundaries]
-        elif ktype in ("tinyint", "smallint", "int", "bigint"):
+        else:
             n_chunks = max(1, _math.ceil(max(n_rows - n_null, 1) / chunk_rows))
             interior = quantile_split_bounds(
                 snap.filter(F.col(key).isNotNull()), key, n_chunks
             ) if n_chunks > 1 and n_rows > n_null else []
-        else:
-            raise ValueError(
-                f"split key {key!r} has non-integral type {ktype}: pass "
-                "explicit `boundaries` (ASCII base-128 interpolation does "
-                "not match SQL string collation on mixed-length keys)"
-            )
         # half-open interior ranges + closed tail, encoded as (lo, hi)
         # where None = unbounded — the pk_predicates shape
         edges = [None, *interior, None]
