@@ -4039,6 +4039,65 @@ def q_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tgt.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING OPERATOR (SURVEY §2.7 — the extension
+    point the reference lacks entirely): per-key running (event count,
+    last LSN, bytes) maintained in ``applyInPandasWithState`` GroupState
+    across micro-batches (streaming/stateful.running_key_totals; Arrow
+    per group, no per-row Python).  The feed drains in several
+    rate-capped micro-batches; update-mode emissions are cumulative, so
+    the final per-key emission must equal the one-shot SQL GROUP BY —
+    and the emission count exceeding the key count proves state
+    genuinely crossed batch boundaries (asserted non-vacuously)."""
+    import uuid as _uuid
+
+    from datax_spark.streaming.runner import write_feed_ordered
+    from datax_spark.streaming.stateful import running_key_totals
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id"),
+        F.col("props").alias("content"),
+    )
+    work = tempfile.mkdtemp(prefix="dx_stateful_")
+    fp = os.path.join(work, "feed")
+    write_feed_ordered(feed, fp, n_files=8)
+    stream = spark.readStream.schema(
+        spark.read.parquet(fp).schema
+    ).option("maxFilesPerTrigger", 2).parquet(fp)
+    name = f"totals_{_uuid.uuid4().hex[:8]}"
+    q = (
+        running_key_totals(stream, key_col="user_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination(600)
+    emitted = spark.table(name)
+    n_keys = feed.select("user_id").distinct().count()
+    assert emitted.count() > n_keys, \
+        "state must cross micro-batches (keys re-emitted per batch)"
+    # update-mode emissions are cumulative monotone per key: the final
+    # state is the per-key max of each counter
+    return emitted.groupBy(F.col("key").alias("user_key")).agg(
+        F.max("n_events").alias("n_events"),
+        F.max("last_lsn").alias("last_lsn"),
+        F.max("bytes").alias("content_bytes"),
+    )
+
+
+_ORACLES["cdc_stateful_totals"] = """
+SELECT CAST(user_id AS VARCHAR) AS user_key,
+       COUNT(*) AS n_events,
+       MAX(CAST(event_id AS BIGINT)) AS last_lsn,
+       CAST(SUM(COALESCE(octet_length(encode(props)), 0)) AS BIGINT)
+         AS content_bytes
+FROM events GROUP BY user_id
+"""
+
+
 def q_cdc_minor_compact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HISTORY-PRESERVING MINOR COMPACTION under ingest
     (lake/table.compact_minor): 4 incremental MOR batches with a minor
@@ -4308,6 +4367,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_enrich_dim": q_cdc_enrich_dim,
     "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
     "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
+    "cdc_stateful_totals": q_cdc_stateful_totals,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
