@@ -694,6 +694,44 @@ def q_cdc_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_cdc_rate_capped_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-CAPPED DRAIN (SURVEY §2.1/§2.5 — the byte AND record halves of
+    the reference's Channel throttle, Channel.java:148-204): the rows- and
+    bytes-per-trigger caps derive a files-per-trigger from parquet footer
+    row counts / file sizes (zero Spark jobs,
+    streaming/runner.files_per_trigger_for_rows/_bytes), so the drain is
+    forced into several micro-batches (asserted non-vacuously from the
+    returned lineage) while the final fold stays byte-identical to the
+    one-shot oracle — throughput shaping must never change the answer."""
+    from datax_spark.streaming.runner import run_available_now, write_feed_ordered
+
+    feed = _events_feed(_t(spark, sf_dir, "events"))
+    n_rows = feed.count()
+    work = tempfile.mkdtemp(prefix="dx_rate_")
+    feed_dir = os.path.join(work, "feed")
+    write_feed_ordered(feed, feed_dir, n_files=8)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value_cents", T.LongType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(work, "table"), schema=schema,
+        key_cols=["user_id"], bucket_col="user_id", num_buckets=8,
+    )
+    lineages = run_available_now(
+        spark, feed_dir, table,
+        max_rows_per_trigger=max(1, int(n_rows) // 3),
+        max_bytes_per_trigger=1 << 30,  # bytes cap present but not binding
+    )
+    assert len(lineages) >= 3, f"rows cap must split the drain: {len(lineages)}"
+    assert sum(l["rows"] for l in lineages) == n_rows
+    return table.read().select("user_id", "event_type", "value_cents", "props")
+
+
 def q_cdc_stream_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through the LIVE tail (streaming/runner.run_continuous —
     processingTime trigger): half the ordered feed is present when the
@@ -4140,6 +4178,7 @@ def q_cdc_minor_compact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLES["cdc_minor_compact_fold"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_incremental_snapshot"] = _CDC_FOLD_ORACLE
+_ORACLES["cdc_rate_capped_drain"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
 # suppression collapses the duplicated events exactly, so the history
@@ -4368,6 +4407,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
     "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
     "cdc_stateful_totals": q_cdc_stateful_totals,
+    "cdc_rate_capped_drain": q_cdc_rate_capped_drain,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
