@@ -732,6 +732,41 @@ def q_cdc_rate_capped_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("user_id", "event_type", "value_cents", "props")
 
 
+def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQ legacy-format reader (SURVEY §2.1 — HdfsReader.java:80-86
+    SEQUENCE branch: Text values are delimited lines, keys ignored): the
+    orders table serialized to CSV lines inside a Hadoop SequenceFile,
+    read back through sources/file.read_sequence_text's column-spec path
+    (index/type/name projection + constant column — the engine's one
+    sanctioned RDD hop), and compared against DuckDB reading the SAME
+    source parquet.  Money rides as cents text so no float-format
+    roundtrip can differ between engines."""
+    from datax_spark.sources import file as FS
+
+    orders = _t(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderpriority"),
+            _cents("o_totalprice").cast("string"),
+        ).alias("line")
+    )
+    work = tempfile.mkdtemp(prefix="dx_seq_")
+    seq_dir = os.path.join(work, "seq")
+    os.rmdir(work)
+    lines.rdd.map(lambda r: (0, r[0])).saveAsSequenceFile(seq_dir)
+    return FS.read_sequence_text(
+        spark, seq_dir,
+        columns=[
+            {"index": 0, "type": "long", "name": "o_orderkey"},
+            {"index": 1, "type": "string", "name": "o_orderpriority"},
+            {"index": 2, "type": "long", "name": "total_cents"},
+            {"value": "seq", "type": "string", "name": "src"},
+        ],
+    )
+
+
 def q_cdc_stream_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through the LIVE tail (streaming/runner.run_continuous —
     processingTime trigger): half the ordered feed is present when the
@@ -4179,6 +4214,12 @@ def q_cdc_minor_compact_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["cdc_minor_compact_fold"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_incremental_snapshot"] = _CDC_FOLD_ORACLE
 _ORACLES["cdc_rate_capped_drain"] = _CDC_FOLD_ORACLE
+_ORACLES["file_sequence_roundtrip"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       'seq' AS src
+FROM orders
+"""
 _ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
 # suppression collapses the duplicated events exactly, so the history
@@ -4408,6 +4449,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
     "cdc_stateful_totals": q_cdc_stateful_totals,
     "cdc_rate_capped_drain": q_cdc_rate_capped_drain,
+    "file_sequence_roundtrip": q_file_sequence_roundtrip,
     "lake_bloom_lookup": q_lake_bloom_lookup,
     "text_url_canonical": q_text_url_canonical,
     "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
