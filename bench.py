@@ -190,6 +190,10 @@ BENCH_QUERIES = [
     # bench scale (40-70s of noise that would dwarf every steady-state
     # query); the driver's sf0.01 correctness gate still runs it.)
     "cdc_minor_compact_fold",
+    # round-4 continuation: incremental join views (delta-join dynamic
+    # tables — fact-side and dim-side partial recompute per refresh)
+    "cdc_join_view",
+    "cdc_join_view_left",
 ]
 
 

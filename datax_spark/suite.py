@@ -371,6 +371,130 @@ def q_cdc_agg_view_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_view_tables(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the join-view queries: orders (fact) and customer
+    (dim) as CDC-fed LakeTables.  Base load, then one fact change batch
+    (amount patches %97, foreign-key rewires %53, deletes %291) and one dim
+    change batch (segment rewires %13, dim deletes %417) — each key gets at
+    most ONE change event so the SQL oracle can express the fold as CASE
+    expressions."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    floc = tempfile.mkdtemp(prefix="dx_jv_fact_")
+    os.rmdir(floc)
+    dloc = tempfile.mkdtemp(prefix="dx_jv_dim_")
+    os.rmdir(dloc)
+    fact = LakeTable.create(
+        spark, floc,
+        schema=T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+            T.StructField("prio", T.StringType()),
+        ]),
+        key_cols=["k"], bucket_col="k", num_buckets=8,
+    )
+    dim = LakeTable.create(
+        spark, dloc,
+        schema=T.StructType([
+            T.StructField("ck", T.LongType()),
+            T.StructField("seg", T.StringType()),
+            T.StructField("acct_cents", T.LongType()),
+        ]),
+        key_cols=["ck"], bucket_col="ck", num_buckets=4,
+    )
+    k = F.col("o_orderkey").cast("long")
+    fact_base = orders.select(
+        k.alias("k"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        _cents("o_totalprice").alias("total_cents"),
+        F.col("o_orderpriority").alias("prio"),
+        k.alias("lsn"), F.lit("insert").alias("op"),
+    )
+    merge_into(fact, fact_base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    ck = F.col("c_custkey").cast("long")
+    dim_base = customer.select(
+        ck.alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        _cents("c_acctbal").alias("acct_cents"),
+        ck.alias("lsn"), F.lit("insert").alias("op"),
+    )
+    merge_into(dim, dim_base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    custk = F.col("o_custkey").cast("long")
+    fact_changes = orders.filter(
+        (k % 97 == 0) | (k % 53 == 0) | (k % 291 == 0)
+    ).select(
+        k.alias("k"),
+        F.when((k % 53 == 0) & (custk > 1), custk - 1)
+        .otherwise(custk).alias("custkey"),
+        (_cents("o_totalprice")
+         + F.when(k % 97 == 0, F.lit(1000)).otherwise(F.lit(0)))
+        .alias("total_cents"),
+        F.col("o_orderpriority").alias("prio"),
+        (k + F.lit(10**9)).alias("lsn"),
+        F.when(k % 291 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    dim_changes = customer.filter(
+        (ck % 13 == 0) | (ck % 417 == 0)
+    ).select(
+        ck.alias("ck"),
+        F.when(ck % 13 == 0, F.lit("REWIRED"))
+        .otherwise(F.col("c_mktsegment")).alias("seg"),
+        (_cents("c_acctbal")
+         + F.when(ck % 13 == 0, F.lit(500)).otherwise(F.lit(0)))
+        .alias("acct_cents"),
+        (ck + F.lit(10**9)).alias("lsn"),
+        F.when(ck % 417 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    return fact, dim, fact_changes, dim_changes
+
+
+def _q_cdc_join_view(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    from datax_spark.lake.joinview import create_join_view, refresh_join_view
+
+    fact, dim, fact_changes, dim_changes = _join_view_tables(spark, sf_dir)
+    vloc = tempfile.mkdtemp(prefix=f"dx_jv_{how}_")
+    os.rmdir(vloc)
+    view = create_join_view(fact, dim, vloc, on={"custkey": "ck"}, how=how,
+                            num_buckets=8)
+    # fact-side refresh: the affected-key count at sf0.01 (~470) exceeds
+    # the pushdown cap, exercising the semi-join recompute path
+    merge_into(fact, fact_changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_join_view(fact, dim, view)
+    # dim-side refresh: ~120 touched dim keys ride the zone-map IN pushdown
+    # on the reverse foreign-key lookup
+    merge_into(dim, dim_changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_join_view(fact, dim, view)
+    return view.read().select(
+        "k", "custkey", "total_cents", "prio", "seg", "acct_cents"
+    )
+
+
+def q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view (lake/joinview.py — the delta-join "dynamic
+    table" the aggregate view cannot express): orders ⋈ customer maintained
+    from BOTH upstreams' changelogs.  One fact change batch (amount patches,
+    foreign-key rewires, deletes) and one dim change batch (segment rewires,
+    dim deletes) each trigger an exact partial recompute of only the
+    affected fact keys; a dim delete drops its orders from this INNER view.
+    The oracle folds both change sets in SQL and joins one-shot — the
+    maintained view must match it row-for-row."""
+    return _q_cdc_join_view(spark, sf_dir, "inner")
+
+
+def q_cdc_join_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-join variant of ``cdc_join_view``: orders whose customer is
+    deleted (or never existed) stay in the view with null dim columns — the
+    enrichment-pipeline shape where fact rows must never be lost."""
+    return _q_cdc_join_view(spark, sf_dir, "left")
+
+
 def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataX writeMode=update end-to-end (WriterUtil.java:110-167): 'click'
     events are PATCH events covering only value_cents (per-event presence);
@@ -2561,6 +2685,49 @@ SELECT prio, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(max(total_cents) AS BIGINT) AS max_total_cents
 FROM final GROUP BY prio
 """,
+    # incremental join view: fold both change sets (each key has at most one
+    # change event, so the fold is a CASE over the base row), then join
+    # one-shot — the incrementally-maintained view must equal it.
+    "cdc_join_view": """
+WITH fact AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CASE WHEN o_orderkey % 53 = 0 AND o_custkey > 1
+              THEN CAST(o_custkey AS BIGINT) - 1
+              ELSE CAST(o_custkey AS BIGINT) END AS custkey,
+         CAST(round(o_totalprice*100) AS BIGINT)
+           + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END AS total_cents,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 291 <> 0),
+dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CASE WHEN c_custkey % 13 = 0 THEN 'REWIRED'
+              ELSE c_mktsegment END AS seg,
+         CAST(round(c_acctbal*100) AS BIGINT)
+           + CASE WHEN c_custkey % 13 = 0 THEN 500 ELSE 0 END AS acct_cents
+  FROM customer WHERE c_custkey % 417 <> 0)
+SELECT f.k, f.custkey, f.total_cents, f.prio, d.seg, d.acct_cents
+FROM fact f JOIN dim d ON f.custkey = d.ck
+""",
+    "cdc_join_view_left": """
+WITH fact AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CASE WHEN o_orderkey % 53 = 0 AND o_custkey > 1
+              THEN CAST(o_custkey AS BIGINT) - 1
+              ELSE CAST(o_custkey AS BIGINT) END AS custkey,
+         CAST(round(o_totalprice*100) AS BIGINT)
+           + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END AS total_cents,
+         o_orderpriority AS prio
+  FROM orders WHERE o_orderkey % 291 <> 0),
+dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CASE WHEN c_custkey % 13 = 0 THEN 'REWIRED'
+              ELSE c_mktsegment END AS seg,
+         CAST(round(c_acctbal*100) AS BIGINT)
+           + CASE WHEN c_custkey % 13 = 0 THEN 500 ELSE 0 END AS acct_cents
+  FROM customer WHERE c_custkey % 417 <> 0)
+SELECT f.k, f.custkey, f.total_cents, f.prio, d.seg, d.acct_cents
+FROM fact f LEFT JOIN dim d ON f.custkey = d.ck
+""",
     "cdc_merge_apply_dv": _CDC_FOLD_ORACLE,
     # writeMode=update fold: clicks patch only value_cents; full upserts set
     # everything; a delete wipes the row so later patches rebuild from
@@ -4433,6 +4600,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_point_lookup": q_lake_point_lookup,
     "cdc_debezium_out": q_cdc_debezium_out,
     "text_normalize": q_text_normalize,
+    # ---- round-4 continuation: incremental join views ----
+    "cdc_join_view": q_cdc_join_view,
+    "cdc_join_view_left": q_cdc_join_view_left,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

@@ -1,0 +1,233 @@
+"""Incremental equi-join views (lake/joinview.py).
+
+Contract under test: after every refresh, the view row-for-row equals the
+one-shot join of the two CURRENT upstream snapshots (inner and left),
+under fact updates/deletes, dim updates/deletes, foreign-key rewires,
+and changes on both sides in one refresh; watermarks advance atomically
+with the merge and a re-run of a completed refresh is a no-op.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.joinview import (
+    L_WATERMARK_PROP,
+    R_WATERMARK_PROP,
+    create_join_view,
+    join_view_lag,
+    refresh_join_view,
+)
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("fk", T.LongType()),
+        T.StructField("amt", T.LongType()),
+    ]
+)
+DIM_SCHEMA = T.StructType(
+    [
+        T.StructField("dk", T.LongType()),
+        T.StructField("seg", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    fact = LakeTable.create(
+        spark, str(tmp_path / "fact"), schema=FACT_SCHEMA, key_cols=["k"],
+        bucket_col="k", num_buckets=4,
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"), schema=DIM_SCHEMA, key_cols=["dk"],
+        bucket_col="dk", num_buckets=4,
+    )
+    return fact, dim
+
+
+def _merge_fact(t, rows, lsn0):
+    df = t.spark.createDataFrame(
+        [Row(k=k, fk=fk, amt=a, op=op, lsn=lsn0 + i)
+         for i, (k, fk, a, op) in enumerate(rows)],
+        schema="k long, fk long, amt long, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+
+def _merge_dim(t, rows, lsn0):
+    df = t.spark.createDataFrame(
+        [Row(dk=dk, seg=s, op=op, lsn=lsn0 + i)
+         for i, (dk, s, op) in enumerate(rows)],
+        schema="dk long, seg string, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+
+def _expected(fact, dim, how):
+    f, d = fact.read(), dim.read().withColumnRenamed("dk", "__dk")
+    out = f.join(d, f["fk"] == F.col("__dk"), how).select("k", "fk", "amt",
+                                                          "seg")
+    return sorted(
+        (r["k"], r["fk"], r["amt"], r["seg"]) for r in out.collect()
+    )
+
+
+def _state(view):
+    return sorted(
+        (r["k"], r["fk"], r["amt"], r["seg"])
+        for r in view.read().collect()
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bootstrap_equals_one_shot_join(spark, tmp_path, how):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert"), (2, "B", "insert")], lsn0=0)
+    _merge_fact(
+        fact,
+        [(10, 1, 100, "insert"), (11, 2, 200, "insert"),
+         (12, 99, 300, "insert"), (13, None, 400, "insert")],
+        lsn0=0,
+    )
+    view = create_join_view(
+        fact, dim, str(tmp_path / "v"), on={"fk": "dk"}, how=how,
+        num_buckets=2,
+    )
+    assert _state(view) == _expected(fact, dim, how)
+    props = view.manifest().properties
+    assert int(props[L_WATERMARK_PROP]) == fact.current_version()
+    assert int(props[R_WATERMARK_PROP]) == dim.current_version()
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_incremental_tracks_both_sides(spark, tmp_path, how):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert"), (2, "B", "insert"),
+                     (3, "C", "insert")], lsn0=0)
+    _merge_fact(
+        fact,
+        [(10, 1, 100, "insert"), (11, 2, 200, "insert"),
+         (12, 3, 300, "insert"), (13, 1, 400, "insert")],
+        lsn0=0,
+    )
+    view = create_join_view(
+        fact, dim, str(tmp_path / "v"), on={"fk": "dk"}, how=how,
+        num_buckets=2,
+    )
+
+    # fact-side churn: amount update, fk rewire, delete, fresh insert
+    _merge_fact(
+        fact,
+        [(10, 1, 101, "insert"), (11, 3, 200, "insert"),
+         (12, 3, 0, "delete"), (14, 2, 500, "insert")],
+        lsn0=100,
+    )
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"]
+    assert _state(view) == _expected(fact, dim, how)
+
+    # dim-side churn: seg update + dim delete (orphans fact rows)
+    _merge_dim(dim, [(1, "A2", "insert"), (2, "B", "delete")], lsn0=100)
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"]
+    assert _state(view) == _expected(fact, dim, how)
+
+    # both sides in ONE refresh: re-point 14 to a key the dim batch
+    # simultaneously deletes, resurrect dim 2
+    _merge_fact(fact, [(14, 3, 501, "insert")], lsn0=200)
+    _merge_dim(dim, [(3, "C", "delete"), (2, "B3", "insert")], lsn0=200)
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"]
+    assert _state(view) == _expected(fact, dim, how)
+
+
+def test_refresh_replay_is_noop(spark, tmp_path):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert")], lsn0=0)
+    _merge_fact(fact, [(10, 1, 100, "insert")], lsn0=0)
+    view = create_join_view(fact, dim, str(tmp_path / "v"), on={"fk": "dk"},
+                            num_buckets=2)
+    _merge_fact(fact, [(10, 1, 101, "insert")], lsn0=10)
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"]
+    v = view.current_version()
+    # nothing new on either side → no-op, no commit
+    out2 = refresh_join_view(fact, dim, view)
+    assert not out2["applied"]
+    assert view.current_version() == v
+    assert _state(view) == _expected(fact, dim, "inner")
+
+
+def test_dim_only_change_touches_only_affected_keys(spark, tmp_path):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(d, f"s{d}", "insert") for d in range(1, 6)], lsn0=0)
+    _merge_fact(
+        fact,
+        [(k, (k % 5) + 1, k * 10, "insert") for k in range(100)],
+        lsn0=0,
+    )
+    view = create_join_view(fact, dim, str(tmp_path / "v"), on={"fk": "dk"},
+                            num_buckets=2)
+    _merge_dim(dim, [(3, "s3x", "insert")], lsn0=100)
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"]
+    # only the 20 fact rows pointing at dim key 3 were recomputed
+    assert out["affected"] == 20
+    assert out["pushdown"]
+    assert _state(view) == _expected(fact, dim, "inner")
+
+
+def test_watermark_only_advance_without_affected_rows(spark, tmp_path):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert")], lsn0=0)
+    _merge_fact(fact, [(10, 1, 100, "insert")], lsn0=0)
+    view = create_join_view(fact, dim, str(tmp_path / "v"), on={"fk": "dk"},
+                            num_buckets=2)
+    # a dim change no fact row references: nothing affected, watermarks
+    # still advance (properties commit)
+    _merge_dim(dim, [(999, "Z", "insert")], lsn0=10)
+    out = refresh_join_view(fact, dim, view)
+    assert not out["applied"] and out["affected"] == 0
+    props = view.manifest().properties
+    assert int(props[R_WATERMARK_PROP]) == dim.current_version()
+    assert _state(view) == _expected(fact, dim, "inner")
+    lag = join_view_lag(fact, dim, view)
+    assert lag["right"]["versions_behind"] == 0
+
+
+def test_contract_validation(spark, tmp_path):
+    fact, dim = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="key columns"):
+        create_join_view(fact, dim, str(tmp_path / "v1"), on={"fk": "seg"})
+    with pytest.raises(ValueError, match="not in left schema"):
+        create_join_view(fact, dim, str(tmp_path / "v2"), on={"nope": "dk"})
+    with pytest.raises(ValueError, match="collides"):
+        create_join_view(fact, dim, str(tmp_path / "v3"), on={"fk": "dk"},
+                         right_cols={"amt": "seg"})
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        create_join_view(fact, dim, str(tmp_path / "v4"), on={"fk": "dk"},
+                         how="full")
+
+
+def test_null_fk_matches_nothing(spark, tmp_path):
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert")], lsn0=0)
+    _merge_fact(fact, [(10, None, 100, "insert")], lsn0=0)
+    view = create_join_view(fact, dim, str(tmp_path / "vi"), on={"fk": "dk"},
+                            how="inner", num_buckets=2)
+    assert _state(view) == []
+    vleft = create_join_view(fact, dim, str(tmp_path / "vl"), on={"fk": "dk"},
+                             how="left", num_buckets=2)
+    assert _state(vleft) == [(10, None, 100, None)]
+    # a later change to that null-fk row flows through refresh too
+    _merge_fact(fact, [(10, 1, 150, "insert")], lsn0=10)
+    refresh_join_view(fact, dim, view)
+    refresh_join_view(fact, dim, vleft)
+    assert _state(view) == [(10, 1, 150, "A")]
+    assert _state(vleft) == [(10, 1, 150, "A")]
