@@ -139,15 +139,35 @@ def _read_csv_like(
             "rename the files to carry the codec extension"
         )
     df = reader.csv(source)
+    return _project_columns(df, columns)
+
+
+def _project_columns(
+    df: DataFrame, columns: list[dict[str, Any]] | None,
+) -> DataFrame:
+    """The reference's column-spec projection
+    (UnstructuredStorageReaderUtil.java:321-470), shared by every file
+    format: ``{"index": i}`` selects the file's i-th column, ``{"field":
+    name}`` selects by (dotted) name — the named-format variant for
+    ORC/JSON where files carry real column names — and ``{"value": v}``
+    emits a constant.  ``type`` casts, ``format`` parses timestamps,
+    ``name`` sets the output name.  None = all columns as read."""
     if columns is None:
         return df
     src = df.columns
     out = []
     for i, spec in enumerate(columns):
         t = _TYPE_MAP.get(str(spec.get("type", "string")).lower(), "string")
-        name = spec.get("name", f"c{i}")
+        name = spec.get("name")
         if "value" in spec:  # constant column
             col = F.lit(spec["value"]).cast(t)
+        elif "field" in spec:  # by (dotted) source-field name
+            col = F.col(str(spec["field"]))
+            name = name or str(spec["field"]).rsplit(".", 1)[-1]
+            if t == "timestamp" and spec.get("format"):
+                col = F.to_timestamp(col, _java_to_spark_fmt(spec["format"]))
+            else:
+                col = col.cast(t)
         else:
             idx = int(spec["index"])
             if idx >= len(src):
@@ -159,8 +179,54 @@ def _read_csv_like(
                 col = F.to_timestamp(col, _java_to_spark_fmt(spec["format"]))
             else:
                 col = col.cast(t)
-        out.append(col.alias(name))
+        out.append(col.alias(name or f"c{i}"))
     return df.select(*out)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """ORC scan — the ORC branch of hdfsreader (HdfsReader.java:80-86;
+    DFSUtil orcFileStartRead projects the configured column indexes out of
+    the OrcSerde row).  Spark's native ORC reader does the scan
+    (predicate pushdown + column pruning built in); the shared column
+    spec adds the reference's index/field projection, casts, and constant
+    columns on top."""
+    return _project_columns(spark.read.orc(path), columns)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict[str, Any]] | None = None,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines scan (one JSON object per line — the interchange format
+    of every public web-scale training corpus, and the shape DataX's
+    hdfsreader TEXT branch would carry JSON in).  ``schema`` (DDL string)
+    pins field types and KEEPS SCHEMA INFERENCE OFF the scan path — at
+    100 TB an unpinned read costs a full extra pass over the data just to
+    infer; always pass it in production.  The shared column spec selects
+    fields by (dotted) name for nested payloads."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _project_columns(reader.json(path), columns)
+
+
+def write_jsonl(df: DataFrame, path: str, write_mode: str = "append",
+                compression: str | None = None) -> None:
+    """JSON-lines emit with the writer's writeMode contract
+    (HdfsWriter.java:84-92): append | nonConflict | truncate."""
+    modes = {"append": "append", "nonConflict": "error", "truncate": "overwrite"}
+    if write_mode not in modes:
+        raise ValueError(f"unknown writeMode {write_mode!r}")
+    w = df.write.mode(modes[write_mode])
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def _java_to_spark_fmt(fmt: str) -> str:

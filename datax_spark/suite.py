@@ -891,6 +891,70 @@ def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC reader (SURVEY §2.1 — HdfsReader.java:80-86 ORC branch): the
+    orders table written as ORC, read back through sources/file.read_orc's
+    shared column-spec path (index + named-field projection, cast,
+    constant column), compared against DuckDB reading the SAME source
+    parquet.  Spark's native ORC scan does pushdown/pruning; money rides
+    as cents so no float-format roundtrip can differ."""
+    from datax_spark.sources import file as FS
+
+    orders = _t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="dx_orc_")
+    orc_dir = os.path.join(work, "orc")
+    orders.select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        _cents("o_totalprice").alias("cents"),
+    ).coalesce(4).write.mode("overwrite").orc(orc_dir)
+    return FS.read_orc(
+        spark, orc_dir,
+        columns=[
+            {"index": 0, "type": "long", "name": "o_orderkey"},
+            {"field": "prio", "type": "string", "name": "o_orderpriority"},
+            {"index": 2, "type": "long", "name": "total_cents"},
+            {"value": "orc", "type": "string", "name": "src"},
+        ],
+    )
+
+
+def q_file_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines reader (the interchange format of public web-scale
+    training corpora): events serialized as nested JSON objects
+    (envelope + payload struct), read back with a PINNED schema (no
+    inference pass — the 100-TB contract) and dotted-path field
+    projection through the shared column spec, vs DuckDB on the source
+    parquet."""
+    from datax_spark.sources import file as FS
+
+    ev = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="dx_jsonl_")
+    jdir = os.path.join(work, "jsonl")
+    FS.write_jsonl(
+        ev.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.struct(
+                F.col("user_id").cast("long").alias("user_id"),
+                F.col("event_type").alias("event_type"),
+                _cents("value").alias("value_cents"),
+            ).alias("payload"),
+        ).coalesce(4),
+        jdir, write_mode="truncate",
+    )
+    return FS.read_jsonl(
+        spark, jdir,
+        schema=("event_id bigint, payload struct<user_id: bigint, "
+                "event_type: string, value_cents: bigint>"),
+        columns=[
+            {"field": "event_id", "type": "long"},
+            {"field": "payload.user_id", "type": "long"},
+            {"field": "payload.event_type", "type": "string"},
+            {"field": "payload.value_cents", "type": "long"},
+        ],
+    )
+
+
 def q_cdc_stream_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same fold through the LIVE tail (streaming/runner.run_continuous —
     processingTime trigger): half the ordered feed is present when the
@@ -4387,6 +4451,18 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        'seq' AS src
 FROM orders
 """
+_ORACLES["file_orc_roundtrip"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+       'orc' AS src
+FROM orders
+"""
+_ORACLES["file_jsonl_roundtrip"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
 _ORACLES["cdc_enrich_dim"] = _ORACLES_ENRICH
 _ORACLES["cdc_scd2_history"] = _SCD2_ORACLE.format(lsn_expr="")
 # suppression collapses the duplicated events exactly, so the history
@@ -4600,9 +4676,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_point_lookup": q_lake_point_lookup,
     "cdc_debezium_out": q_cdc_debezium_out,
     "text_normalize": q_text_normalize,
-    # ---- round-4 continuation: incremental join views ----
+    # ---- round-4 continuation: incremental join views, ORC/JSONL ----
     "cdc_join_view": q_cdc_join_view,
     "cdc_join_view_left": q_cdc_join_view_left,
+    "file_orc_roundtrip": q_file_orc_roundtrip,
+    "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

@@ -341,3 +341,58 @@ def test_rcfile_raises_actionable_error(spark):
 
     with _pytest.raises(NotImplementedError, match="RCFile.*ORC"):
         FS.read_rcfile(spark, "/tmp/whatever.rc")
+
+
+def test_read_orc_projection_cast_const(spark, tmp_path):
+    orc_dir = str(tmp_path / "orc")
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200)], "k long, s string, v long"
+    )
+    FS.write_orc(df, orc_dir, write_mode="truncate")
+    out = FS.read_orc(
+        spark, orc_dir,
+        columns=[
+            {"index": 0, "type": "long", "name": "k"},
+            {"field": "s", "type": "string"},
+            {"index": 2, "type": "double", "name": "v"},
+            {"value": "orc", "type": "string", "name": "src"},
+        ],
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert rows[2].s == "b" and rows[2].v == 200.0 and rows[2].src == "orc"
+    assert dict(out.dtypes) == {
+        "k": "bigint", "s": "string", "v": "double", "src": "string"
+    }
+    # no spec = all columns as stored
+    assert FS.read_orc(spark, orc_dir).columns == ["k", "s", "v"]
+
+
+def test_read_jsonl_pinned_schema_dotted_fields(spark, tmp_path):
+    jdir = str(tmp_path / "jsonl")
+    df = spark.createDataFrame(
+        [(1, ("x", 10)), (2, (None, 20))],
+        "id long, payload struct<tag: string, amt: long>",
+    )
+    FS.write_jsonl(df, jdir, write_mode="truncate")
+    out = FS.read_jsonl(
+        spark, jdir,
+        schema="id bigint, payload struct<tag: string, amt: bigint>",
+        columns=[
+            {"field": "id", "type": "long"},
+            {"field": "payload.tag", "type": "string"},
+            {"field": "payload.amt", "type": "long", "name": "amount"},
+        ],
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].tag == "x" and rows[1].amount == 10
+    # Spark's JSON writer drops null fields; the pinned schema restores
+    # them as nulls on read
+    assert rows[2].tag is None and rows[2].amount == 20
+
+
+def test_write_jsonl_nonconflict(spark, tmp_path):
+    jdir = str(tmp_path / "jnc")
+    df = spark.createDataFrame([(1,)], "id long")
+    FS.write_jsonl(df, jdir, write_mode="truncate")
+    with pytest.raises(Exception):
+        FS.write_jsonl(df, jdir, write_mode="nonConflict")
