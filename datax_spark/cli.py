@@ -206,6 +206,49 @@ def _aggview_cmd(args) -> int:
     return 0
 
 
+def _joinview_cmd(args) -> int:
+    """Maintain an incremental equi-join view from two upstream tables'
+    changelogs — the CLI face of lake/joinview.py (created on first call,
+    refreshed thereafter; re-running a completed refresh is a no-op)."""
+    from datax_spark.lake.joinview import (
+        create_join_view, join_view_lag, refresh_join_view,
+    )
+    from datax_spark.lake.table import LakeTable
+
+    spark = get_session("datax-spark-joinview", cores=args.cores)
+    left = LakeTable(spark, args.left)
+    right = LakeTable(spark, args.right)
+    out = {"ok": True, "left": args.left, "right": args.right,
+           "view": args.view}
+    if args.lag:
+        out["lag"] = join_view_lag(left, right, LakeTable(spark, args.view))
+        print(json.dumps(out))
+        return 0
+    try:
+        if not LakeTable.exists(args.view):
+            if not args.on:
+                raise ValueError("--on is required to create a view")
+            on = dict(pair.split("=", 1) for pair in args.on)
+            rcols = (dict(pair.split("=", 1) for pair in args.right_cols)
+                     if args.right_cols else None)
+            view = create_join_view(
+                left, right, args.view, on=on, right_cols=rcols,
+                how=args.how,
+            )
+            out["created"] = True
+        else:
+            view = LakeTable(spark, args.view)
+            out["created"] = False
+        res = refresh_join_view(left, right, view,
+                                on_rewrite=args.on_rewrite)
+    except (ValueError, FileExistsError) as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 2
+    out.update(res)
+    print(json.dumps(out))
+    return 0
+
+
 def _dlq_cmd(args) -> int:
     from datax_spark import get_session
     from datax_spark.cdc import quarantine as Q
@@ -353,6 +396,32 @@ def main(argv: list[str] | None = None) -> int:
                           "upstream) without refreshing")
     agg.add_argument("--cores", default=None)
 
+    jv = sub.add_parser(
+        "joinview",
+        help="maintain a fact-join-dim view from two tables' changelogs",
+    )
+    jv.add_argument("left", help="left (fact) lake table location")
+    jv.add_argument("right", help="right (dim) lake table location")
+    jv.add_argument("view", help="view location (created if absent)")
+    jv.add_argument("--on", default=None, nargs="+", metavar="LCOL=RCOL",
+                    help="equi-join column pairs; the right side must be "
+                         "exactly the right table's key columns (required "
+                         "on create)")
+    jv.add_argument("--right-cols", default=None, nargs="+",
+                    metavar="OUT=RCOL",
+                    help="dim columns to carry into the view (default: all "
+                         "right non-key columns under their own names)")
+    jv.add_argument("--how", default="inner", choices=["inner", "left"],
+                    help="join type (left keeps unmatched fact rows with "
+                         "null dim columns)")
+    jv.add_argument("--on-rewrite", default="error",
+                    choices=["error", "skip"],
+                    help="changelog behavior across state-rewrite commits")
+    jv.add_argument("--lag", action="store_true",
+                    help="report staleness vs both upstreams without "
+                         "refreshing")
+    jv.add_argument("--cores", default=None)
+
     cdc = sub.add_parser(
         "cdcout",
         help="publish a table's changelog as Debezium JSON-lines commit dirs",
@@ -402,7 +471,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
     if argv and argv[0] not in ("run", "maintain", "relay", "aggview",
-                                "cdcout", "dlq", "-h", "--help"):
+                                "joinview", "cdcout", "dlq", "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
@@ -411,6 +480,8 @@ def main(argv: list[str] | None = None) -> int:
         return _relay_cmd(args)
     if args.cmd == "aggview":
         return _aggview_cmd(args)
+    if args.cmd == "joinview":
+        return _joinview_cmd(args)
     if args.cmd == "cdcout":
         return _cdcout_cmd(args)
     if args.cmd == "dlq":

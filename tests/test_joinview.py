@@ -231,3 +231,46 @@ def test_null_fk_matches_nothing(spark, tmp_path):
     refresh_join_view(fact, dim, vleft)
     assert _state(view) == [(10, 1, 150, "A")]
     assert _state(vleft) == [(10, 1, 150, "A")]
+
+
+def test_cli_joinview_create_refresh_idempotent(spark, tmp_path, capsys):
+    """`joinview` creates the view on first call (with --on), refreshes on
+    later calls, and a no-new-commits rerun applies nothing."""
+    import json as _json
+
+    from datax_spark import cli
+
+    def _cli(*argv):
+        rc = cli.main([str(a) for a in argv])
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, _json.loads(out)
+
+    fact, dim = _mk(spark, tmp_path)
+    _merge_dim(dim, [(1, "A", "insert"), (2, "B", "insert")], lsn0=0)
+    _merge_fact(fact, [(10, 1, 100, "insert"), (11, 2, 200, "insert")],
+                lsn0=0)
+    vw = tmp_path / "vw"
+    rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim", vw,
+                   "--on", "fk=dk", "--how", "left", "--cores", 4)
+    assert rc == 0 and out["created"] and not out["applied"]
+
+    _merge_fact(fact, [(10, 2, 101, "insert")], lsn0=10)
+    _merge_dim(dim, [(2, "B2", "insert")], lsn0=10)
+    rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim", vw,
+                   "--cores", 4)
+    assert rc == 0 and not out["created"] and out["applied"]
+
+    rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim", vw,
+                   "--cores", 4)
+    assert rc == 0 and not out["applied"]
+    rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim", vw,
+                   "--lag", "--cores", 4)
+    assert rc == 0 and out["lag"]["left"]["versions_behind"] == 0
+
+    view = LakeTable(spark, str(vw))
+    assert _state(view) == _expected(fact, dim, "left")
+
+    # bad creation args surface as a clean error payload, not a traceback
+    rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim",
+                   tmp_path / "vw2", "--cores", 4)
+    assert rc == 2 and not out["ok"] and "--on is required" in out["error"]
