@@ -87,6 +87,36 @@ def _maintain_cmd(args) -> int:
             args.rollback if args.rollback is not None else args.rollback_tag
         )
         out["version"] = m.version
+    if args.purge:
+        # right-to-be-forgotten: each COL=V (repeatable; same column twice
+        # becomes an IN-list) must name a key column; reaches ALL retained
+        # snapshots, not just the current one
+        from datax_spark.lake.purge import purge_rows
+
+        by_col: dict[str, list[str]] = {}
+        for pair in args.purge:
+            c, _, v = pair.partition("=")
+            if not _:
+                print(json.dumps({"ok": False,
+                                  "error": f"--purge wants COL=VALUE, "
+                                           f"got {pair!r}"}))
+                return 2
+            by_col.setdefault(c, []).append(v)
+        sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
+
+        def coerce(c, vals):
+            if sch.get(c) in ("bigint", "int", "smallint", "tinyint"):
+                vals = [int(v) for v in vals]
+            elif sch.get(c) in ("double", "float"):
+                vals = [float(v) for v in vals]
+            return (c, "=", vals[0]) if len(vals) == 1 else (c, "in", vals)
+        try:
+            res = purge_rows(t, [coerce(c, vs) for c, vs in by_col.items()])
+        except ValueError as e:
+            print(json.dumps({"ok": False, "error": str(e)}))
+            return 2
+        out["purge"] = res
+        out["version"] = t.current_version()
     if args.vacuum is not None:
         out["vacuumed_files"] = t.vacuum(keep_versions=args.vacuum)
     if args.report:
@@ -333,6 +363,11 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--bloom-bits", type=int, default=32768,
                      help="bloom bitmap bits per file per column "
                           "(default 32768 = 4 KiB)")
+    mnt.add_argument("--purge", default=None, nargs="+", metavar="COL=V",
+                     help="right-to-be-forgotten: remove matching rows "
+                          "from the current AND every retained historical "
+                          "snapshot (key columns only; repeat a column "
+                          "for an IN-list)")
     mnt.add_argument("--tag", default=None, metavar="NAME",
                      help="tag the current snapshot (protects it from "
                           "expire_snapshots; read(version=tag_version))")

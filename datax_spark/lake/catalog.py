@@ -86,6 +86,15 @@ class ManifestCatalog:
         pointer's version — callers guard."""
         raise NotImplementedError
 
+    def replace_manifest(self, version: int, text: str) -> None:
+        """Atomically replace the text of an ALREADY-COMMITTED manifest —
+        the one sanctioned mutation of history, used only by
+        ``lake/purge.py`` (right-to-be-forgotten rewrites must reach
+        retained snapshots, which append-only commits cannot).  Raises
+        FileNotFoundError if ``version`` was never committed; the pointer
+        is untouched."""
+        raise NotImplementedError
+
 
 class FileCatalog(ManifestCatalog):
     """Today's local-filesystem backend: ``meta/v{N:08d}.json`` created
@@ -137,6 +146,12 @@ class FileCatalog(ManifestCatalog):
 
     def delete_version(self, version: int) -> None:
         os.remove(self._vpath(version))
+
+    def replace_manifest(self, version: int, text: str) -> None:
+        path = self._vpath(version)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no manifest v{version} to replace")
+        _atomic_write_text(path, text)
 
 
 class MemoryCatalog(ManifestCatalog):
@@ -198,3 +213,9 @@ class MemoryCatalog(ManifestCatalog):
 
     def delete_version(self, version: int) -> None:
         self._state["manifests"].pop(int(version), None)
+
+    def replace_manifest(self, version: int, text: str) -> None:
+        with self._state["lock"]:
+            if int(version) not in self._state["manifests"]:
+                raise FileNotFoundError(f"no manifest v{version} to replace")
+            self._state["manifests"][int(version)] = text

@@ -891,6 +891,72 @@ def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_purge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-reaching key purge (lake/purge.py — right-to-be-forgotten):
+    an orders table with three commits of history (base, %97 amount
+    patches, %291 deletes) purges the contiguous key band [50, 199] from
+    ALL retained snapshots.  The query itself asserts the purge reached
+    history (the
+    pre-purge snapshot version no longer serves any purged key — a
+    non-vacuous time-travel check) and that the file rewrite was
+    zone-map-pruned, then returns the final state; the oracle folds the
+    same changes in SQL and excludes the purged keys."""
+    from datax_spark.lake.purge import purge_rows
+
+    orders = _t(spark, sf_dir, "orders")
+    loc = tempfile.mkdtemp(prefix="dx_purge_")
+    os.rmdir(loc)
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("prio", T.StringType()),
+        T.StructField("total_cents", T.LongType()),
+    ])
+    table = LakeTable.create(
+        spark, loc, schema=schema, key_cols=["k"], bucket_col="k",
+        num_buckets=8,
+    )
+    k = F.col("o_orderkey").cast("long")
+    base = orders.select(
+        k.alias("k"), F.col("o_orderpriority").alias("prio"),
+        _cents("o_totalprice").alias("total_cents"),
+        k.alias("lsn"), F.lit("insert").alias("op"),
+    )
+    merge_into(table, base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    changes = orders.filter((k % 97 == 0) | (k % 291 == 0)).select(
+        k.alias("k"), F.col("o_orderpriority").alias("prio"),
+        (_cents("o_totalprice") + 1000).alias("total_cents"),
+        (k + F.lit(10**9)).alias("lsn"),
+        F.when(k % 291 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    merge_into(table, changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    # key-cluster the history so the purge rewrite is zone-map-prunable
+    table.compact(sort_cols=["k"])
+    pre_purge_v = table.current_version()
+    # a contiguous key band (the "one tenant's id range" shape) — narrow
+    # against the clustered layout, so most sorted files prove disjoint
+    lo, hi = 50, 199
+    union_files = {
+        e[0]
+        for v in table.catalog.list_versions() if v > 0
+        for es in table.manifest(v).files.values() for e in es
+    }
+    out = purge_rows(table, [("k", "between", (lo, hi))])
+    assert out["rows_purged"] > 0, "purge removed nothing"
+    assert out["files_scanned"] < len(union_files), \
+        "purge rewrite was not zone-map-pruned"
+    # the purge must have reached history: the PRE-PURGE snapshot no
+    # longer serves any purged key
+    leaked = (
+        table.read(version=pre_purge_v)
+        .filter(F.col("k").between(lo, hi)).count()
+    )
+    assert leaked == 0, f"{leaked} purged rows still readable via history"
+    return table.read().select("k", "prio", "total_cents")
+
+
 def q_file_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC reader (SURVEY §2.1 — HdfsReader.java:80-86 ORC branch): the
     orders table written as ORC, read back through sources/file.read_orc's
@@ -4451,6 +4517,13 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        'seq' AS src
 FROM orders
 """
+_ORACLES["lake_purge_key"] = """
+SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio,
+       CAST(round(o_totalprice*100) AS BIGINT)
+         + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END AS total_cents
+FROM orders
+WHERE o_orderkey % 291 <> 0 AND o_orderkey NOT BETWEEN 50 AND 199
+"""
 _ORACLES["file_orc_roundtrip"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
@@ -4681,6 +4754,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_join_view_left": q_cdc_join_view_left,
     "file_orc_roundtrip": q_file_orc_roundtrip,
     "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
+    "lake_purge_key": q_lake_purge_key,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

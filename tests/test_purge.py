@@ -1,0 +1,186 @@
+"""History-reaching key purge (lake/purge.py): the purged key must be
+gone from the CURRENT snapshot and from EVERY retained historical
+snapshot (time travel, tags, changelog), while every other row — and the
+shape of history itself (versions, operations) — survives untouched.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.purge import PURGE_AUDIT_PROP, purge_rows
+from datax_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, loc, **kw):
+    return LakeTable.create(
+        spark, loc, schema=SCHEMA, key_cols=["k"], bucket_col="k",
+        num_buckets=4, **kw,
+    )
+
+
+def _merge(t, rows, lsn0):
+    df = t.spark.createDataFrame(
+        [Row(k=k, v=v, op=op, lsn=lsn0 + i)
+         for i, (k, v, op) in enumerate(rows)],
+        "k long, v string, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+
+def _hist(spark, tmp_path):
+    """Three commits of history touching keys 1..6 (updates + a delete)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    _merge(t, [(k, f"a{k}", "insert") for k in range(1, 7)], lsn0=0)
+    _merge(t, [(1, "b1", "insert"), (2, "b2", "insert"),
+               (3, "", "delete")], lsn0=10)
+    _merge(t, [(1, "c1", "insert"), (3, "c3", "insert")], lsn0=20)
+    return t
+
+
+def _keys_at(t, version=None):
+    return sorted(r.k for r in t.read(version=version).collect())
+
+
+def test_purge_reaches_every_snapshot(spark, tmp_path):
+    t = _hist(spark, tmp_path)
+    vs = t.catalog.list_versions()
+    before = {v: _keys_at(t, v) for v in vs if v > 0}
+    t.create_tag("pre", version=t.current_version())
+
+    out = purge_rows(t, [("k", "=", 1)])
+    assert out["rows_purged"] == 3  # one row per commit carried k=1
+    assert out["versions_rewritten"] >= 3
+
+    # key 1 gone from every retained snapshot; everything else untouched
+    for v, keys in before.items():
+        assert _keys_at(t, v) == [k for k in keys if k != 1]
+    # tag still resolves, also purged (it points into the same history)
+    assert 1 not in set(
+        r.k for r in t.read(version=t.tag_version("pre")).collect()
+    )
+    # non-purged values byte-identical
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {2: "b2", 3: "c3", 4: "a4", 5: "a5", 6: "a6"}
+    # changelog no longer emits the purged key either
+    ch = t.read_changes(0, on_rewrite="skip")
+    assert 1 not in {r.k for r in ch.collect()}
+    # audit marker recorded; history shape preserved (same version count)
+    assert t.manifest().properties[PURGE_AUDIT_PROP]["rows_purged"] == 3
+    assert t.verify_files() == []
+
+
+def test_purge_is_idempotent_and_prunes(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    # key-clustered files: each bucket file covers a narrow k range after
+    # compaction, so the purge's zone-map prune must skip most files
+    _merge(t, [(k, f"v{k}", "insert") for k in range(200)], lsn0=0)
+    t.compact(sort_cols=["k"])
+    n_files = sum(len(es) for es in t.manifest().files.values())
+    out = purge_rows(t, [("k", "=", 7)])
+    assert out["rows_purged"] >= 1
+    assert out["files_scanned"] < n_files  # non-vacuous pruning
+    again = purge_rows(t, [("k", "=", 7)])
+    assert again["rows_purged"] == 0 and again["files_rewritten"] == 0
+    assert 7 not in _keys_at(t)
+
+
+def test_purge_with_blooms_recomputes_bitmaps(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    t.set_bloom_filters(["k"])
+    _merge(t, [(k, f"v{k}", "insert") for k in range(50)], lsn0=0)
+    out = purge_rows(t, [("k", "in", [3, 4])])
+    assert out["rows_purged"] == 2
+    # rewritten entries keep their bloom element and it no longer admits
+    # the purged keys (scan_plan bloom-skips the probe)
+    plan = t.scan_plan(where=[("k", "=", 3)])
+    assert plan["files_kept"] == 0 or plan["bloom_skipped"] >= 1
+    assert _keys_at(t) == [k for k in range(50) if k not in (3, 4)]
+
+
+def test_purge_contract_errors(spark, tmp_path):
+    t = _hist(spark, tmp_path)
+    with pytest.raises(ValueError, match="key columns only"):
+        purge_rows(t, [("v", "=", "a1")])
+    with pytest.raises(ValueError, match="at least one predicate"):
+        purge_rows(t, [])
+
+
+def test_purge_refuses_dv_history(spark, tmp_path):
+    t = _mk(spark, str(tmp_path / "t"))
+    df = t.spark.createDataFrame(
+        [Row(k=k, v=f"v{k}", op="insert", lsn=k) for k in range(10)],
+        "k long, v string, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="cow",
+               auto_compact=None)
+    upd = t.spark.createDataFrame(
+        [Row(k=1, v="x", op="insert", lsn=100)],
+        "k long, v string, op string, lsn long",
+    )
+    merge_into(t, upd, op_col="op", order_col="lsn", mode="dv",
+               auto_compact=None)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        purge_rows(t, [("k", "=", 1)])
+
+
+def test_purge_then_vacuum_keeps_live_files(spark, tmp_path):
+    t = _hist(spark, tmp_path)
+    purge_rows(t, [("k", "=", 2)])
+    t.vacuum(keep_versions=10)
+    assert t.verify_files() == []
+    assert 2 not in _keys_at(t)
+    # and the table still merges normally afterwards
+    _merge(t, [(2, "back", "insert")], lsn0=100)
+    assert {r.v for r in t.read().filter(F.col("k") == 2).collect()} == {
+        "back"
+    }
+
+
+def test_purge_on_memory_catalog_backend(spark, tmp_path):
+    from datax_spark.lake.catalog import MemoryCatalog
+
+    loc = str(tmp_path / "mem")
+    MemoryCatalog.drop(loc)
+    t = _mk(spark, loc, catalog=MemoryCatalog(loc))
+    _merge(t, [(k, f"v{k}", "insert") for k in range(10)], lsn0=0)
+    _merge(t, [(1, "u1", "insert")], lsn0=100)
+    out = purge_rows(t, [("k", "=", 1)])
+    assert out["rows_purged"] == 2
+    for v in t.catalog.list_versions():
+        if v > 0:
+            assert 1 not in _keys_at(t, v)
+    MemoryCatalog.drop(loc)
+
+
+def test_cli_maintain_purge(spark, tmp_path, capsys):
+    import json as _json
+
+    from datax_spark import cli
+
+    t = _hist(spark, tmp_path)
+    rc = cli.main(["maintain", str(tmp_path / "t"), "--purge", "k=1", "k=4",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["purge"]["rows_purged"] == 4  # 3x k=1 + 1x k=4
+    assert _keys_at(t) == [2, 3, 5, 6]
+    for v in t.catalog.list_versions():
+        if v > 0:
+            assert not {1, 4} & set(_keys_at(t, v))
+    # non-key purge surfaces as a clean error payload
+    rc = cli.main(["maintain", str(tmp_path / "t"), "--purge", "v=a1",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "key columns only" in out["error"]
