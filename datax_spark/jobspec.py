@@ -109,6 +109,11 @@ class RunSpec:
     # job end); a refresh failure fails the batch loudly.  Off = views
     # refresh once after the tail stops, like every other run kind.
     tail_live_agg_views: bool = False
+    # same, for declared join_views: refresh the fact-join-dim view inside
+    # each micro-batch so enriched reads are fresh the moment a batch
+    # lands (dim-side-only changes still wait for the next batch or the
+    # post-run refresh — the tail only wakes on fact commits)
+    tail_live_join_views: bool = False
     # per-shard watermark filter (drop events at-or-below the shard's last
     # applied LSN — the at-least-once→exactly-once resume guard).  Sentinel
     # lsn<0 rows (snapshots, append-commit CDC-out) are always exempt, so
@@ -253,6 +258,14 @@ class JobSpec:
     # Created (bootstrapped from the post-run snapshot) on first run,
     # incrementally refreshed from the changelog thereafter.
     agg_views: list[dict] = field(default_factory=list)
+    # declared join views (lake/joinview.py) maintained after every run:
+    # [{"location": ..., "right": <dim LakeTable path>, "on": {fk: dimkey},
+    #   "right_cols": {out: src}?, "how": "inner"|"left",
+    #   "on_rewrite": ...}].  The job's target is the LEFT (fact) side;
+    # ``right`` must be an existing LakeTable.  Created (bootstrapped from
+    # both current snapshots) on first run, refreshed from BOTH changelogs
+    # thereafter — a dim-side change alone still updates the view.
+    join_views: list[dict] = field(default_factory=list)
     # lookup-join enrichment (build_enricher): broadcast dimension
     # columns decorated onto every event before quarantine/merge —
     # [{"path": ..., "on": {feed: dim}|[col,...], "cols": [...],
@@ -274,6 +287,7 @@ class JobSpec:
             post_sql=list(d.get("post_sql", [])),
             hooks=list(d.get("hooks", [])),
             agg_views=list(d.get("agg_views", [])),
+            join_views=list(d.get("join_views", [])),
             enrich=list(d.get("enrich", [])),
         )
 
@@ -408,6 +422,10 @@ class JobSpec:
                 problems.append(
                     "agg_views aggregate current state, not history — "
                     "run them on a separate non-scd2 target")
+            if self.join_views:
+                problems.append(
+                    "join_views join current state, not history — "
+                    "run them on a separate non-scd2 target")
             sbucket = self.target.bucket_col or self.target.key_cols[0]
             if sbucket not in self.target.key_cols:
                 problems.append(
@@ -490,6 +508,62 @@ class JobSpec:
                     problems.append(
                         f"agg_views[{i}]: column not in feed: {c}"
                     )
+        if self.join_views:
+            # same changelog-readability contract as agg_views (the
+            # refresh consumes the TARGET's changelog as its left side)
+            if self.merge.mode != "mor":
+                problems.append(
+                    "join_views require merge.mode='mor' (changelog-"
+                    f"readable commits); got {self.merge.mode!r}")
+            if self.run.kind == "full":
+                problems.append(
+                    "join_views cannot follow run.kind='full' (overwrite "
+                    "commits are not a change stream)")
+            if self.merge.partial_update:
+                problems.append(
+                    "join_views cannot follow partial_update merges (a "
+                    "partial row is not a whole-row change record)")
+        for i, jv in enumerate(self.join_views):
+            tag = f"join_views[{i}]"
+            if not jv.get("location"):
+                problems.append(f"{tag}: missing location")
+            on = jv.get("on") or {}
+            if not on:
+                problems.append(f"{tag}: missing on ({{fk: dim_key}})")
+            if jv.get("how", "inner") not in ("inner", "left"):
+                problems.append(f"{tag}: how must be inner or left")
+            for fc in on:
+                if fc in ENVELOPE_COLS:
+                    problems.append(
+                        f"{tag}: {fc} is an envelope column — join on "
+                        "target payload columns")
+                elif fc not in cols:
+                    problems.append(f"{tag}: join column not in feed: {fc}")
+            right = jv.get("right")
+            if not right:
+                problems.append(f"{tag}: missing right (dim table path)")
+            else:
+                from datax_spark.lake.table import LakeTable as _LT
+
+                if not _LT.exists(right):
+                    problems.append(
+                        f"{tag}: right table does not exist: {right}")
+                else:
+                    rm = _LT(spark, right).manifest()
+                    if set(on.values()) != set(rm.key_cols):
+                        problems.append(
+                            f"{tag}: join columns {sorted(on.values())} "
+                            f"must be exactly the right table's key "
+                            f"columns {sorted(rm.key_cols)}")
+                    rnames = {f.name for f in rm.schema.fields}
+                    for out_c, src_c in (jv.get("right_cols") or {}).items():
+                        if src_c not in rnames:
+                            problems.append(
+                                f"{tag}: right column missing: {src_c}")
+                        if out_c in cols:
+                            problems.append(
+                                f"{tag}: output column {out_c} collides "
+                                "with a feed column")
         return problems
 
 
@@ -693,6 +767,25 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             # enforces at least one); the shared checkpoint makes the next
             # invocation — tail or drain — resume exactly-once
             on_batch = None
+            live_join_views = []
+            if spec.join_views and spec.run.tail_live_join_views:
+                from datax_spark.lake.joinview import (
+                    create_join_view,
+                    refresh_join_view,
+                )
+
+                for jv in spec.join_views:
+                    vloc = jv["location"]
+                    rt = LakeTable(spark, jv["right"])
+                    if LakeTable.exists(vloc):
+                        live_join_views.append(
+                            (rt, LakeTable(spark, vloc), jv))
+                    else:
+                        live_join_views.append((rt, create_join_view(
+                            table, rt, vloc, on=dict(jv["on"]),
+                            right_cols=jv.get("right_cols"),
+                            how=jv.get("how", "inner"),
+                        ), jv))
             if spec.agg_views and spec.run.tail_live_agg_views:
                 # continuous aggregates: bootstrap absent views from the
                 # pre-tail snapshot, then fold every micro-batch's commit
@@ -716,12 +809,23 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                             maxs=list(av.get("maxs", [])),
                         ), av))
 
+            else:
+                live_views = []
+            if live_views or live_join_views:
                 def on_batch(_lineage):
                     for v, av in live_views:
                         refresh_agg_view(
                             table, v,
                             on_rewrite=av.get("on_rewrite", "error"),
                         )
+                    if live_join_views:
+                        from datax_spark.lake.joinview import (
+                            refresh_join_view as _rjv,
+                        )
+
+                        for rt, v, jv in live_join_views:
+                            _rjv(table, rt, v,
+                                 on_rewrite=jv.get("on_rewrite", "error"))
 
             tail = run_continuous(
                 spark, src_path, sink,
@@ -785,6 +889,38 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                 res = {"location": loc, "error": str(e)}
             results.append(res)
         summary["agg_views"] = results
+
+    # declared join views: the target is the left (fact) side; created on
+    # first run, then refreshed from BOTH upstreams' changelogs — so the
+    # job also folds dim-side changes that landed since the last run
+    if spec.join_views:
+        from datax_spark.lake.joinview import (
+            create_join_view,
+            refresh_join_view,
+        )
+
+        jresults = []
+        for jv in spec.join_views:
+            loc = jv["location"]
+            try:
+                right = LakeTable(spark, jv["right"])
+                created = not LakeTable.exists(loc)
+                if created:
+                    view = create_join_view(
+                        table, right, loc, on=dict(jv["on"]),
+                        right_cols=jv.get("right_cols"),
+                        how=jv.get("how", "inner"),
+                    )
+                else:
+                    view = LakeTable(spark, loc)
+                res = {"location": loc, "created": created,
+                       **refresh_join_view(
+                           table, right, view,
+                           on_rewrite=jv.get("on_rewrite", "error"))}
+            except Exception as e:  # noqa: BLE001 — mirror hook capture
+                res = {"location": loc, "error": str(e)}
+            jresults.append(res)
+        summary["join_views"] = jresults
 
     wall = time.monotonic() - t0
     summary["wall_sec"] = round(wall, 3)

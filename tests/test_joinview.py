@@ -274,3 +274,196 @@ def test_cli_joinview_create_refresh_idempotent(spark, tmp_path, capsys):
     rc, out = _cli("joinview", tmp_path / "fact", tmp_path / "dim",
                    tmp_path / "vw2", "--cores", 4)
     assert rc == 2 and not out["ok"] and "--on is required" in out["error"]
+
+
+def test_join_views_declared_in_spec(spark, tmp_path):
+    """A job.json can declare fact-join-dim views: created on first run,
+    refreshed from BOTH changelogs on later runs — a dim-side-only change
+    between runs still lands in the view."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+
+    # dim: repo -> org
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("org", T.StringType()),
+        ]),
+        key_cols=["repo"], bucket_col="repo", num_buckets=4,
+    )
+    orgs = spark.createDataFrame(
+        [Row(repo=f"org{i % 20}/repo{i}", org=f"org{i % 20}",
+             op="insert", lsn=i)
+         for i in range(500)],
+        "repo string, org string, op string, lsn long",
+    )
+    merge_into(dim, orgs, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+    fixtures.change_events(spark, 1500, n_keys=300, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": None},
+        "run": {"kind": "incremental", "batch_lsns": 1000},
+        "join_views": [{
+            "location": str(tmp_path / "vw"),
+            "right": str(tmp_path / "dim"),
+            "on": {"repo": "repo"},
+            "how": "left",
+        }],
+    })
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    jv = summary["join_views"][0]
+    assert jv["created"] and "error" not in jv
+
+    def expect(fact_t):
+        f = fact_t.read()
+        d = dim.read().withColumnRenamed("repo", "__r")
+        out = f.join(d, f["repo"] == F.col("__r"), "left")
+        return sorted((r.repo, r.path, r.commit, r.org)
+                      for r in out.select("repo", "path", "commit",
+                                          "org").collect())
+
+    fact = LakeTable(spark, str(tmp_path / "lake"))
+    view = LakeTable(spark, str(tmp_path / "vw"))
+    assert sorted(
+        (r.repo, r.path, r.commit, r.org)
+        for r in view.read().select("repo", "path", "commit",
+                                    "org").collect()
+    ) == expect(fact)
+
+    # dim-side-only change between runs: rename an org
+    merge_into(dim, spark.createDataFrame(
+        [Row(repo="org3/repo3", org="org3-renamed", op="insert",
+             lsn=1000)],
+        "repo string, org string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+    summary2 = run_job(spark, spec)
+    assert summary2["batches"] == 0  # no new fact data
+    jv2 = summary2["join_views"][0]
+    assert not jv2["created"] and "error" not in jv2
+    assert sorted(
+        (r.repo, r.path, r.commit, r.org)
+        for r in view.read().select("repo", "path", "commit",
+                                    "org").collect()
+    ) == expect(fact)
+    assert "org3-renamed" in {
+        r.org for r in view.read().select("org").collect()
+    }
+
+
+def test_join_views_pre_check_contracts(spark, tmp_path):
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec
+
+    fixtures.change_events(spark, 100, n_keys=20, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    base = {
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "cow"},
+        "run": {"kind": "incremental", "batch_lsns": 1000},
+        "join_views": [{
+            "location": str(tmp_path / "vw"),
+            "right": str(tmp_path / "nope"),
+            "on": {"repo": "repo"},
+        }],
+    }
+    probs = JobSpec.from_dict(base).pre_check(spark)
+    assert any("merge.mode='mor'" in p for p in probs)
+    assert any("does not exist" in p for p in probs)
+
+    base["merge"] = {"mode": "mor"}
+    base["join_views"] = [{"location": str(tmp_path / "vw")}]
+    probs = JobSpec.from_dict(base).pre_check(spark)
+    assert any("missing on" in p for p in probs)
+    assert any("missing right" in p for p in probs)
+
+
+def test_tail_live_join_views(spark, tmp_path):
+    """tail_live_join_views refreshes the declared fact-join-dim view
+    INSIDE each micro-batch — when the tail stops, the post-run refresh
+    has nothing left to do."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("org", T.StringType()),
+        ]),
+        key_cols=["repo"], bucket_col="repo", num_buckets=4,
+    )
+    orgs = spark.createDataFrame(
+        [Row(repo=f"org{i % 20}/repo{i}", org=f"org{i % 20}",
+             op="insert", lsn=i)
+         for i in range(500)],
+        "repo string, org string, op string, lsn long",
+    )
+    merge_into(dim, orgs, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+    feed = fixtures.change_events(spark, 1500, n_keys=300, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    vloc = str(tmp_path / "vw")
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": None},
+        "run": {"kind": "tail", "tail_idle_stop_sec": 3,
+                "tail_trigger": "250 milliseconds",
+                "max_files_per_trigger": 2,
+                "tail_live_join_views": True},
+        "join_views": [{
+            "location": vloc,
+            "right": str(tmp_path / "dim"),
+            "on": {"repo": "repo"},
+            "how": "left",
+        }],
+    })
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1500 and summary["batches"] >= 2
+    jv = summary["join_views"][0]
+    assert jv.get("error") is None
+    # live refreshes kept the watermarks current: post-run refresh no-ops
+    assert jv["applied"] is False
+    view = LakeTable(spark, vloc)
+    ops = [view.manifest(v).operation
+           for v in range(1, view.current_version() + 1)]
+    refreshes = sum(op.startswith("merge") for op in ops)
+    assert refreshes >= 2  # at least two live per-batch refreshes
+    fact = LakeTable(spark, str(tmp_path / "lake"))
+    f, d = fact.read(), dim.read().withColumnRenamed("repo", "__r")
+    expected = sorted(
+        (r.repo, r.path, r.commit, r.org)
+        for r in f.join(d, f["repo"] == F.col("__r"), "left")
+        .select("repo", "path", "commit", "org").collect()
+    )
+    got = sorted(
+        (r.repo, r.path, r.commit, r.org)
+        for r in view.read().select("repo", "path", "commit",
+                                    "org").collect()
+    )
+    assert got == expected
