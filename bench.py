@@ -191,9 +191,12 @@ BENCH_QUERIES = [
     # query); the driver's sf0.01 correctness gate still runs it.)
     "cdc_minor_compact_fold",
     # round-4 continuation: incremental join views (delta-join dynamic
-    # tables — fact-side and dim-side partial recompute per refresh)
+    # tables — fact-side and dim-side partial recompute per refresh),
+    # history-reaching key purge, and the maintained inverted index
     "cdc_join_view",
     "cdc_join_view_left",
+    "lake_purge_key",
+    "text_index_view",
 ]
 
 

@@ -891,6 +891,58 @@ def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained inverted index (lake/indexview.py — a
+    search index as a derived view): documents become a CDC-fed table,
+    the index bootstraps from the base snapshot, then one change batch
+    (content rewrites %7, deletes %31) folds through the before-image
+    changelog — old postings retract, new ones assert, term frequencies
+    update, all in O(changed docs × tokens).  The query returns the
+    postings for four probe terms via the bucket-pruned point-read path;
+    the oracle tokenizes the folded final corpus one-shot in SQL."""
+    from datax_spark.lake.indexview import (
+        create_index_view,
+        lookup_postings,
+        refresh_index_view,
+    )
+
+    documents = _t(spark, sf_dir, "documents")
+    loc = tempfile.mkdtemp(prefix="dx_ixdocs_")
+    os.rmdir(loc)
+    ixloc = tempfile.mkdtemp(prefix="dx_ixview_")
+    os.rmdir(ixloc)
+    table = LakeTable.create(
+        spark, loc,
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("body", T.StringType()),
+        ]),
+        key_cols=["doc_id"], bucket_col="doc_id", num_buckets=8,
+    )
+    d = F.col("doc_id").cast("long")
+    base = documents.select(
+        d.alias("doc_id"), F.col("text").alias("body"),
+        d.alias("lsn"), F.lit("insert").alias("op"),
+    )
+    merge_into(table, base, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    view = create_index_view(table, ixloc, "body", num_buckets=8)
+    changes = documents.filter((d % 7 == 0) | (d % 31 == 0)).select(
+        d.alias("doc_id"),
+        F.concat(F.lit("updated contents for document "),
+                 d.cast("string")).alias("body"),
+        (d + F.lit(10**9)).alias("lsn"),
+        F.when(d % 31 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    merge_into(table, changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_index_view(table, view)
+    return lookup_postings(
+        view, ["updated", "document", "scan", "window"]
+    ).select("token", "doc_id", "tf")
+
+
 def q_lake_purge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History-reaching key purge (lake/purge.py — right-to-be-forgotten):
     an orders table with three commits of history (base, %97 amount
@@ -4517,6 +4569,23 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        'seq' AS src
 FROM orders
 """
+_ORACLES["text_index_view"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'updated contents for document ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS body
+  FROM documents WHERE doc_id % 31 <> 0),
+p AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(body), '[a-z0-9]+')) AS token
+  FROM docs)
+SELECT token, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS tf
+FROM p
+WHERE token IN ('updated', 'document', 'scan', 'window')
+GROUP BY token, doc_id
+"""
 _ORACLES["lake_purge_key"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio,
        CAST(round(o_totalprice*100) AS BIGINT)
@@ -4755,6 +4824,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_orc_roundtrip": q_file_orc_roundtrip,
     "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
     "lake_purge_key": q_lake_purge_key,
+    "text_index_view": q_text_index_view,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

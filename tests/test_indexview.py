@@ -1,0 +1,151 @@
+"""Incrementally-maintained inverted index (lake/indexview.py).
+
+Contract under test: after every refresh the index row-for-row equals a
+fresh tokenization of the CURRENT upstream snapshot — under doc inserts,
+content updates (tokens appear/disappear/change frequency), deletes, and
+multi-commit ranges folded in one refresh.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake.indexview import (
+    WATERMARK_PROP,
+    create_index_view,
+    lookup_postings,
+    refresh_index_view,
+)
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("body", T.StringType()),
+    ]
+)
+
+
+def _mk(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "docs"), schema=SCHEMA, key_cols=["doc_id"],
+        bucket_col="doc_id", num_buckets=4,
+    )
+
+
+def _merge(t, rows, lsn0):
+    df = t.spark.createDataFrame(
+        [Row(doc_id=d, body=b, op=op, lsn=lsn0 + i)
+         for i, (d, b, op) in enumerate(rows)],
+        "doc_id long, body string, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+
+def _expected(docs):
+    """Direct tokenization of the current snapshot."""
+    toks = F.regexp_extract_all(F.lower(F.col("body")),
+                                F.lit("[a-z0-9]+"), F.lit(0))
+    out = (
+        docs.read().select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token", "doc_id").count()
+    )
+    return sorted((r.token, r.doc_id, r["count"]) for r in out.collect())
+
+
+def _state(view):
+    return sorted((r.token, r.doc_id, r.tf) for r in view.read().collect())
+
+
+def test_bootstrap_matches_direct_tokenization(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "the quick fox", "insert"),
+                  (2, "the the THE lazy-dog", "insert"),
+                  (3, "", "insert"), (4, None, "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    assert _state(view) == _expected(docs)
+    # case folding + tf counting + empty/null docs contribute nothing
+    got = dict(((t, d), n) for t, d, n in _state(view))
+    assert got[("the", 2)] == 3 and got[("dog", 2)] == 1
+    assert not [1 for (t, d), _ in got.items() if d in (3, 4)]
+    assert int(view.manifest().properties[WATERMARK_PROP]) == \
+        docs.current_version()
+
+
+def test_incremental_tracks_updates_and_deletes(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "alpha beta gamma", "insert"),
+                  (2, "beta beta delta", "insert"),
+                  (3, "gamma epsilon", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    # update: tokens appear (zeta), disappear (alpha), change tf (beta);
+    # delete: doc 3's postings must vanish
+    _merge(docs, [(1, "beta beta zeta", "insert"), (3, "", "delete")],
+           lsn0=100)
+    out = refresh_index_view(docs, view)
+    assert out["applied"]
+    assert _state(view) == _expected(docs)
+    got = dict(((t, d), n) for t, d, n in _state(view))
+    assert ("alpha", 1) not in got and got[("beta", 1)] == 2
+    assert got[("zeta", 1)] == 1
+    assert not [1 for (t, d), _ in got.items() if d == 3]
+
+
+def test_multi_commit_range_folds_to_net_state(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "one two", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    # three commits before a single refresh: update, update, delete+insert
+    _merge(docs, [(1, "two three", "insert")], lsn0=10)
+    _merge(docs, [(1, "three four four", "insert")], lsn0=20)
+    _merge(docs, [(1, "", "delete"), (2, "five", "insert")], lsn0=30)
+    out = refresh_index_view(docs, view)
+    assert out["applied"]
+    assert _state(view) == _expected(docs) == [("five", 2, 1)]
+
+
+def test_refresh_replay_is_noop(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "a b c", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    _merge(docs, [(2, "c d", "insert")], lsn0=10)
+    assert refresh_index_view(docs, view)["applied"]
+    v = view.current_version()
+    out = refresh_index_view(docs, view)
+    assert not out["applied"] and view.current_version() == v
+    assert _state(view) == _expected(docs)
+
+
+def test_lookup_is_pruned_point_read(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    # distinct vocabularies per doc so the token-clustered index spreads
+    # across many files with narrow token ranges
+    rows = [(d, " ".join(f"w{d:03d}x{j}" for j in range(5)), "insert")
+            for d in range(60)]
+    _merge(docs, rows, lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=8)
+    view.compact(sort_cols=["token"])
+    plan = view.scan_plan(where=[("token", "in", ["w003x1", "w003x2"])])
+    assert plan["files_kept"] < plan["files_total"]  # non-vacuous pruning
+    got = sorted((r.token, r.doc_id, r.tf)
+                 for r in lookup_postings(view, ["w003x1", "w003x2"])
+                 .collect())
+    assert got == [("w003x1", 3, 1), ("w003x2", 3, 1)]
+
+
+def test_contract_validation(spark, tmp_path):
+    docs = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="not in upstream"):
+        create_index_view(docs, str(tmp_path / "ix1"), "nope")
+    with pytest.raises(ValueError, match="must be string"):
+        create_index_view(docs, str(tmp_path / "ix2"), "doc_id")
+    with pytest.raises(ValueError, match="no indexview spec"):
+        refresh_index_view(docs, docs)
