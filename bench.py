@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     # history-reaching key purge, and the maintained inverted index
     "cdc_join_view",
     "cdc_join_view_left",
+    "cdc_star_view",
     "lake_purge_key",
     "text_index_view",
 ]

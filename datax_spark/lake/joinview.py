@@ -1,51 +1,57 @@
-"""Incremental equi-join views: a fact ⋈ dim join maintained from BOTH
-upstreams' changelogs — the delta-join / "dynamic table" shape
-(Flink temporal join materialization, Materialize delta joins) that the
-aggregate view (`lake/aggview.py`, GROUP BY only) cannot express.
+"""Incremental equi-join views: a fact ⋈ dim₁ ⋈ … ⋈ dimₖ star join
+maintained from ALL upstreams' changelogs — the delta-join / "dynamic
+table" shape (Flink temporal join materialization, Materialize delta
+joins) that the aggregate view (`lake/aggview.py`, GROUP BY only) cannot
+express.
 
 The reference has no analogue: DataX outsources every join to the source
 database's SQL (`plugin-rdbms-util/.../util/ReaderSplitUtil.java:94-103`
 passes user querySql through opaquely), so a synced join result goes
-stale the moment either base table changes and the whole query re-syncs.
+stale the moment any base table changes and the whole query re-syncs.
 Here the joined result is itself a :class:`LakeTable` and each refresh
-touches only the rows either side's changes can affect.
+touches only the rows any side's changes can affect.
 
-Shape: an N:1 equi-join — the join columns must be exactly the RIGHT
-table's key columns (the foreign-key-to-primary-key join every
-enrichment pipeline runs), so each left row contributes at most one view
-row and the view is keyed by the LEFT table's key. ``how`` is ``inner``
-(an unmatched or dim-deleted fact row leaves the view) or ``left`` (it
-stays with null dim columns).
+Shape: a STAR of N:1 equi-joins — each dim's join columns must be (a)
+columns of the LEFT (fact) table and (b) exactly that dim's key columns
+(the foreign-key-to-primary-key join every enrichment pipeline runs), so
+each fact row contributes at most one view row and the view is keyed by
+the fact table's key.  Per dim, ``how`` is ``inner`` (an unmatched or
+dim-deleted fact row leaves the view) or ``left`` (it stays with null
+dim columns).  Snowflake chains (joining through a dim's columns) are
+deliberately out of contract — flatten the dim first.
 
-Refresh = exact partial recompute, never O(either table):
+Refresh = exact partial recompute, never O(any table):
 
-1. the two changelogs since the view's per-upstream watermarks
+1. every upstream's changelog since the view's per-upstream watermarks
    (``read_changes`` — manifest file-diff, O(files added));
-2. the AFFECTED left keys: keys appearing in the left changelog, plus
-   current left rows whose join columns appear in the right changelog
-   (reverse foreign-key lookup — the snapshot scan pushes the touched
-   dim keys down as an IN conjunction so manifest ZONE MAPS / bloom
-   filters skip files; keep a hot fact table clustered on the fk via
+2. the AFFECTED fact keys: keys appearing in the fact changelog, plus
+   current fact rows whose join columns appear in any dim's changelog
+   (reverse foreign-key lookup — the fact scan pushes the touched dim
+   keys down as an IN conjunction so manifest ZONE MAPS / bloom filters
+   skip files; keep a hot fact table clustered on the fk via
    ``compact(sort_cols=[fk])`` and this costs O(matching files));
-3. recompute JUST those keys against the CURRENT right snapshot
-   (restricted by semi join to the fk values actually present — O(batch)
+3. recompute JUST those keys against the CURRENT dim snapshots (each
+   restricted by semi join to the fk values actually present — O(batch)
    rows on the build side, broadcast outside the small-batch static
    scope), emit upserts for keys that now produce a row and tombstones
    for keys that no longer do;
-4. one MERGE into the view carries the rows AND advances both watermarks
+4. one MERGE into the view carries the rows AND advances every watermark
    in the same atomic commit (``properties_update``), with the merge's
    batch-id replay guard making a re-run of a completed refresh a no-op
    — the same exactly-once protocol as the mirror and the agg view.
 
 Correctness note (why partial recompute is exact): the view's row for a
-left key is a pure function of (current left row for that key, current
-right snapshot).  A key's view row can change only if (a) its left row
-changed — it is in the left changelog — or (b) a right row it joins to
-changed, before or after: the right changelog carries BOTH the old and
+fact key is a pure function of (current fact row for that key, current
+dim snapshots).  A key's view row can change only if (a) its fact row
+changed — it is in the fact changelog — or (b) a dim row it joins to
+changed, before or after: that dim's changelog carries BOTH the old and
 new join-key values (tombstones carry keys), so the reverse lookup
-finds every such left row.  All other keys' inputs are untouched, and
+finds every such fact row.  All other keys' inputs are untouched, and
 recomputing an affected key from current snapshots is definitionally
-the right answer regardless of how many changes the range held.
+the right answer regardless of how many changes the ranges held.
+
+``create_join_view`` / ``refresh_join_view`` are the single-dim calls;
+``create_star_view`` / ``refresh_star_view`` take a list of dims.
 """
 
 from __future__ import annotations
@@ -66,14 +72,13 @@ from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
 
 L_WATERMARK_PROP = "joinview_left_version"
+# JSON list, one watermark per dim in spec order
+R_WATERMARKS_PROP = "joinview_right_versions"
+# kept mirrored for single-dim views (monitoring/back-compat)
 R_WATERMARK_PROP = "joinview_right_version"
 SPEC_PROP = "joinview_spec"
 _OP = "__jv_op"
 _ORD = "__jv_ord"
-# refresh ordinal bit budget: ord = left_version << 31 | right_version.
-# 2^31 commits per side is ~68 years of one commit per second; exceeding
-# it fails loudly rather than wrapping (the Maxwell/Canal LSN lesson).
-_ORD_BITS = 31
 
 
 def _spec(view: LakeTable) -> dict:
@@ -83,6 +88,26 @@ def _spec(view: LakeTable) -> dict:
             "table has no joinview spec — create it with create_join_view()"
         )
     return json.loads(raw)
+
+
+def _watermarks(view: LakeTable, n_rights: int) -> tuple[int, list[int]]:
+    props = view.manifest().properties
+    wl = int(props[L_WATERMARK_PROP])
+    wrs = [int(v) for v in json.loads(props[R_WATERMARKS_PROP])]
+    if len(wrs) != n_rights:
+        raise ValueError(
+            f"view tracks {len(wrs)} dim watermarks but {n_rights} dim "
+            "tables were passed — pass the SAME dims, in spec order"
+        )
+    return wl, wrs
+
+
+def _wm_props(cl: int, crs: list[int]) -> dict:
+    out = {L_WATERMARK_PROP: int(cl),
+           R_WATERMARKS_PROP: json.dumps([int(v) for v in crs])}
+    if len(crs) == 1:
+        out[R_WATERMARK_PROP] = int(crs[0])
+    return out
 
 
 def _changed_bytes(table: LakeTable, from_v: int, to_v: int) -> int:
@@ -109,93 +134,97 @@ def _changed_bytes(table: LakeTable, from_v: int, to_v: int) -> int:
     return total
 
 
-def _join_cond(left: DataFrame, right: DataFrame, on: dict) -> "F.Column":
-    """Plain-equality join condition (NOT null-safe: a null foreign key
-    matches no dim row, exactly like SQL)."""
-    cond = None
-    for lc, rc in on.items():
-        e = left[lc] == right[rc]
-        cond = e if cond is None else (cond & e)
-    return cond
-
-
-def _joined(left_df: DataFrame, right_df: DataFrame, spec: dict) -> DataFrame:
-    """The view's defining query over two snapshot frames, in the view's
-    column order."""
-    on: dict = spec["on"]
-    rsel = right_df.select(
-        *[F.col(c).alias(f"__r_{c}") for c in on.values()],
-        *[F.col(src).alias(out) for out, src in spec["right_cols"].items()],
-    )
-    cond = None
-    for lc, rc in on.items():
-        e = left_df[lc] == rsel[f"__r_{rc}"]
-        cond = e if cond is None else (cond & e)
-    out = left_df.join(rsel, on=cond, how=spec["how"])
+def _joined(left_df: DataFrame, right_dfs: list[DataFrame],
+            spec: dict) -> DataFrame:
+    """The view's defining query over the fact frame and one frame per
+    dim, chained in spec order, in the view's column order."""
+    out = left_df
+    for i, (r, rdf) in enumerate(zip(spec["rights"], right_dfs)):
+        on: dict = r["on"]
+        rsel = rdf.select(
+            *[F.col(c).alias(f"__r{i}_{c}") for c in on.values()],
+            *[F.col(src).alias(o) for o, src in r["right_cols"].items()],
+        )
+        cond = None
+        for lc, rc in on.items():
+            e = out[lc] == rsel[f"__r{i}_{rc}"]
+            cond = e if cond is None else (cond & e)
+        out = out.join(rsel, on=cond, how=r["how"])
     return out.select(*spec["out_cols"])
 
 
-def create_join_view(
+def create_star_view(
     left: LakeTable,
-    right: LakeTable,
+    rights: list[dict],
     location: str,
-    on: dict[str, str],
-    right_cols: dict[str, str] | None = None,
-    how: str = "inner",
     num_buckets: int = 16,
     mode: str = "mor",
 ) -> LakeTable:
-    """Create the join view and bootstrap it with a one-shot join of the
-    two current snapshots.
-
-    ``on`` maps left (foreign-key) columns to right columns; the right
-    side of the mapping must be EXACTLY the right table's key columns, so
-    the join is N:1 and the view stays keyed by the left table's key.
-    ``right_cols`` maps view output names to right columns (default:
-    every right non-key column under its own name; a collision with a
-    left column name is an error — rename it).  ``mode`` is the merge
-    mode refreshes use (``mor`` default: O(changed keys) per refresh).
+    """Create a star view and bootstrap it with a one-shot join of all
+    current snapshots.  ``rights`` is a list of
+    ``{"table": LakeTable, "on": {fact_col: dim_col}, "right_cols":
+    {out: src} | None, "how": "inner"|"left"}`` — per dim, ``on``'s dim
+    side must be exactly that dim's key columns and its fact side must be
+    fact-table columns (N:1 star contract; see module docstring).
+    ``right_cols`` defaults to every dim non-key column under its own
+    name; collisions with fact columns or other dims' outputs are errors.
 
     Like the agg view, bootstrap is two commits (overwrite, then
     spec+watermarks) — a crash between them leaves no spec and the
     bootstrap is simply resumed on the next call."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    lm, rm = left.manifest(), right.manifest()
+    if not rights:
+        raise ValueError("rights must name at least one dim table")
+    lm = left.manifest()
     lnames = {f.name for f in lm.schema.fields}
-    rnames = {f.name: f for f in rm.schema.fields}
-    for lc, rc in on.items():
-        if lc not in lnames:
-            raise ValueError(f"join column {lc!r} not in left schema")
-        if rc not in rnames:
-            raise ValueError(f"join column {rc!r} not in right schema")
-    if set(on.values()) != set(rm.key_cols):
-        raise ValueError(
-            f"join columns {sorted(on.values())} must be exactly the right "
-            f"table's key columns {sorted(rm.key_cols)} (N:1 join contract)"
-        )
-    if right_cols is None:
-        right_cols = {
-            f.name: f.name for f in rm.schema.fields
-            if f.name not in rm.key_cols
-        }
-    for out, src in right_cols.items():
-        if src not in rnames:
-            raise ValueError(f"right column {src!r} not in right schema")
-        if out in lnames:
-            raise ValueError(
-                f"output column {out!r} collides with a left column — "
-                "rename it via right_cols"
-            )
     fields = list(lm.schema.fields)
-    for out, src in right_cols.items():
-        # dim columns are nullable in the view regardless of source
-        # nullability: a left-join miss writes null
-        fields.append(T.StructField(out, rnames[src].dataType, True))
+    taken = set(lnames)
+    spec_rights = []
+    for i, r in enumerate(rights):
+        right: LakeTable = r["table"]
+        on: dict = r["on"]
+        how = r.get("how", "inner")
+        if how not in ("inner", "left"):
+            raise ValueError(f"rights[{i}]: how must be 'inner' or "
+                             f"'left', got {how!r}")
+        rm = right.manifest()
+        rnames = {f.name: f for f in rm.schema.fields}
+        for lc, rc in on.items():
+            if lc not in lnames:
+                raise ValueError(
+                    f"rights[{i}]: join column {lc!r} not in left schema "
+                    "(star contract: dims join on FACT columns only)")
+            if rc not in rnames:
+                raise ValueError(
+                    f"rights[{i}]: join column {rc!r} not in right schema")
+        if set(on.values()) != set(rm.key_cols):
+            raise ValueError(
+                f"rights[{i}]: join columns {sorted(on.values())} must be "
+                f"exactly the right table's key columns "
+                f"{sorted(rm.key_cols)} (N:1 join contract)"
+            )
+        right_cols = r.get("right_cols")
+        if right_cols is None:
+            right_cols = {
+                f.name: f.name for f in rm.schema.fields
+                if f.name not in rm.key_cols
+            }
+        for out_c, src in right_cols.items():
+            if src not in rnames:
+                raise ValueError(
+                    f"rights[{i}]: right column {src!r} not in right schema")
+            if out_c in taken:
+                raise ValueError(
+                    f"rights[{i}]: output column {out_c!r} collides — "
+                    "rename it via right_cols"
+                )
+            taken.add(out_c)
+            # dim columns are nullable in the view regardless of source
+            # nullability: a left-join miss writes null
+            fields.append(T.StructField(out_c, rnames[src].dataType, True))
+        spec_rights.append({"on": dict(on), "right_cols": dict(right_cols),
+                            "how": how})
     spec = {
-        "on": dict(on),
-        "right_cols": dict(right_cols),
-        "how": how,
+        "rights": spec_rights,
         "mode": mode,
         "out_cols": [f.name for f in fields],
     }
@@ -213,48 +242,77 @@ def create_join_view(
             raise FileExistsError(
                 f"join view already exists at {location}"
             ) from None
-    lv, rv = left.current_version(), right.current_version()
+    lv = left.current_version()
+    rvs = [r["table"].current_version() for r in rights]
     if lv > 0:
         snap_bytes = sum(
-            left._entry_bytes(e)
-            for es in lm.files.values() for e in es
-        ) + sum(
-            right._entry_bytes(e)
-            for es in rm.files.values() for e in es
+            t._entry_bytes(e)
+            for t in (left, *[r["table"] for r in rights])
+            for es in t.manifest().files.values() for e in es
         )
         with _static_planning_if_small(left.spark, snap_bytes):
             view.overwrite(
-                _joined(left.read(version=lv), right.read(version=rv), spec)
+                _joined(left.read(version=lv),
+                        [r["table"].read(version=v)
+                         for r, v in zip(rights, rvs)], spec)
             )
     view.set_properties(**{
-        L_WATERMARK_PROP: int(lv),
-        R_WATERMARK_PROP: int(rv),
+        **_wm_props(lv, rvs),
         SPEC_PROP: json.dumps(spec),
     })
     return view
 
 
-def join_view_lag(left: LakeTable, right: LakeTable, view: LakeTable) -> dict:
-    """Staleness of the view vs both upstreams — monitoring surface."""
-    _spec(view)
-    props = view.manifest().properties
-    wl, wr = int(props[L_WATERMARK_PROP]), int(props[R_WATERMARK_PROP])
+def create_join_view(
+    left: LakeTable,
+    right: LakeTable,
+    location: str,
+    on: dict[str, str],
+    right_cols: dict[str, str] | None = None,
+    how: str = "inner",
+    num_buckets: int = 16,
+    mode: str = "mor",
+) -> LakeTable:
+    """Single-dim convenience wrapper over :func:`create_star_view`."""
+    return create_star_view(
+        left,
+        [{"table": right, "on": on, "right_cols": right_cols, "how": how}],
+        location, num_buckets=num_buckets, mode=mode,
+    )
+
+
+def star_view_lag(left: LakeTable, rights: list[LakeTable],
+                  view: LakeTable) -> dict:
+    """Staleness of the view vs every upstream — monitoring surface."""
+    spec = _spec(view)
+    wl, wrs = _watermarks(view, len(spec["rights"]))
     return {
         "left_watermark": wl,
-        "right_watermark": wr,
+        "right_watermarks": wrs,
         "left": left.commit_lag(wl),
-        "right": right.commit_lag(wr),
+        "rights": [t.commit_lag(w) for t, w in zip(rights, wrs)],
     }
 
 
-def refresh_join_view(
+def join_view_lag(left: LakeTable, right: LakeTable, view: LakeTable) -> dict:
+    """Single-dim lag report (back-compat shape)."""
+    out = star_view_lag(left, [right], view)
+    return {
+        "left_watermark": out["left_watermark"],
+        "right_watermark": out["right_watermarks"][0],
+        "left": out["left"],
+        "right": out["rights"][0],
+    }
+
+
+def refresh_star_view(
     left: LakeTable,
-    right: LakeTable,
+    rights: list[LakeTable],
     view: LakeTable,
     on_rewrite: str = "error",
     auto_compact: int | None = None,
 ) -> dict:
-    """One incremental refresh: fold both upstreams' changes since the
+    """One incremental refresh: fold every upstream's changes since the
     stored watermarks into the view (see module docstring for the exact
     partial-recompute argument).  Returns refresh stats; a re-run of a
     completed refresh is a no-op (merge batch-id replay guard).
@@ -264,34 +322,32 @@ def refresh_join_view(
     ``"skip"`` is passed (and then its rewrites are NOT folded, exactly
     like the mirror's contract)."""
     spec = _spec(view)
-    props = view.manifest().properties
-    wl, wr = int(props[L_WATERMARK_PROP]), int(props[R_WATERMARK_PROP])
-    cl, cr = left.current_version(), right.current_version()
-    if cl == wl and cr == wr:
-        return {"left": (wl, cl), "right": (wr, cr),
+    wl, wrs = _watermarks(view, len(rights))
+    cl = left.current_version()
+    crs = [t.current_version() for t in rights]
+    if cl == wl and crs == wrs:
+        return {"left": (wl, cl),
+                "rights": list(zip(wrs, crs)),
                 "affected": 0, "applied": False}
-    if cl >= (1 << _ORD_BITS) or cr >= (1 << _ORD_BITS):
-        raise ValueError(
-            f"upstream version exceeds the refresh-ordinal bit budget "
-            f"(2^{_ORD_BITS}) — widen _ORD_BITS before this table wraps"
-        )
-    on: dict = spec["on"]
     lkeys = left.manifest().key_cols
-    change_bytes = (
-        _changed_bytes(left, wl, cl) + _changed_bytes(right, wr, cr)
+    change_bytes = _changed_bytes(left, wl, cl) + sum(
+        _changed_bytes(t, w, c) for t, w, c in zip(rights, wrs, crs)
     )
     with _static_planning_if_small(left.spark, change_bytes):
-        # -- affected left keys ------------------------------------------
+        # -- affected fact keys ------------------------------------------
         # (a) keys whose own row changed
-        ak = None
+        aff = None
         if cl > wl:
             dl = left.read_changes(wl, cl, on_rewrite=on_rewrite)
-            ak = dl.select(*lkeys).distinct()
-        # (b) keys whose dim row changed: reverse fk lookup on the current
-        # left snapshot, touched-dim-keys pushed down for file skipping
-        rk_keys = None
-        if cr > wr:
-            dr = right.read_changes(wr, cr, on_rewrite=on_rewrite)
+            aff = dl.select(*lkeys).distinct()
+        # (b) keys whose dim rows changed: reverse fk lookup per dim on
+        # the current fact snapshot, touched-dim-keys pushed down for
+        # file skipping
+        for i, (rt, w, c) in enumerate(zip(rights, wrs, crs)):
+            if c <= w:
+                continue
+            on: dict = spec["rights"][i]["on"]
+            dr = rt.read_changes(w, c, on_rewrite=on_rewrite)
             rkc = list(on.values())
             touched = dr.select(*rkc).distinct()
             t_rows = touched.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
@@ -314,17 +370,16 @@ def refresh_join_view(
                 lscan.join(_bcast(tk), on=cond, how="left_semi")
                 .select(*lkeys).distinct()
             )
-        aff = ak if rk_keys is None else (
-            rk_keys if ak is None else ak.unionByName(rk_keys).distinct()
-        )
+            aff = rk_keys if aff is None else (
+                aff.unionByName(rk_keys).distinct()
+            )
         aff = _pin(aff)
         try:
             a_rows = aff.limit(_RESCAN_PUSHDOWN_CAP + 1).collect()
             if not a_rows:
-                view.set_properties(**{
-                    L_WATERMARK_PROP: int(cl), R_WATERMARK_PROP: int(cr),
-                })
-                return {"left": (wl, cl), "right": (wr, cr),
+                view.set_properties(**_wm_props(cl, crs))
+                return {"left": (wl, cl),
+                        "rights": list(zip(wrs, crs)),
                         "affected": 0, "applied": False}
             few = (len(a_rows) <= _RESCAN_PUSHDOWN_CAP
                    and not any(v is None for r in a_rows for v in r))
@@ -343,17 +398,22 @@ def refresh_join_view(
                 e = lsnap[k].eqNullSafe(F.col(f"__a_{k}"))
                 cond = e if cond is None else (cond & e)
             cur_rows = lsnap.join(_bcast(akn), on=cond, how="left_semi")
-            # right snapshot restricted to the fk values actually present
-            fks = cur_rows.select(
-                *[F.col(lc).alias(f"__f_{rc}") for lc, rc in on.items()]
-            ).distinct()
-            rsnap = right.read(version=cr)
-            rcond = None
-            for rc in on.values():
-                e = rsnap[rc] == F.col(f"__f_{rc}")
-                rcond = e if rcond is None else (rcond & e)
-            rsnap = rsnap.join(_bcast(fks), on=rcond, how="left_semi")
-            result = _joined(cur_rows, rsnap, spec)
+            # each dim snapshot restricted to the fk values actually
+            # present among the affected fact rows
+            rdfs = []
+            for i, (rt, c) in enumerate(zip(rights, crs)):
+                on = spec["rights"][i]["on"]
+                fks = cur_rows.select(
+                    *[F.col(lc).alias(f"__f_{rc}") for lc, rc in on.items()]
+                ).distinct()
+                rsnap = rt.read(version=c)
+                rcond = None
+                for rc in on.values():
+                    e = rsnap[rc] == F.col(f"__f_{rc}")
+                    rcond = e if rcond is None else (rcond & e)
+                rdfs.append(rsnap.join(_bcast(fks), on=rcond,
+                                       how="left_semi"))
+            result = _joined(cur_rows, rdfs, spec)
             # -- upserts + tombstones, one atomic merge ------------------
             res_k = result.select(
                 *[F.col(k).alias(f"__g_{k}") for k in lkeys]
@@ -369,7 +429,10 @@ def refresh_join_view(
                  else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in vschema.fields
             ])
-            ordinal = (int(cl) << _ORD_BITS) | int(cr)
+            # refresh ordinal: the component-wise-monotone watermark
+            # tuple makes the version SUM strictly increasing across
+            # refreshes — monotone MOR ordering with no bit budget to wrap
+            ordinal = int(cl) + sum(int(c) for c in crs)
             batch = (
                 result.withColumn(_OP, F.lit("insert"))
                 .unionByName(dels.withColumn(_OP, F.lit("delete")))
@@ -383,16 +446,30 @@ def refresh_join_view(
                 # (the refresh ordinal) — the shape lineage retirement
                 # pruning assumes (Manifest.is_applied)
                 lineage={"batch_id": f"joinview{ordinal}"},
-                properties_update={
-                    L_WATERMARK_PROP: int(cl), R_WATERMARK_PROP: int(cr),
-                },
+                properties_update=_wm_props(cl, crs),
             )
         finally:
             aff.unpersist()
     return {
-        "left": (wl, cl), "right": (wr, cr),
+        "left": (wl, cl),
+        "rights": list(zip(wrs, crs)),
         "affected": len(a_rows) if len(a_rows) <= _RESCAN_PUSHDOWN_CAP
         else None,
         "applied": mf is not None,
         "pushdown": a_push is not None,
     }
+
+
+def refresh_join_view(
+    left: LakeTable,
+    right: LakeTable,
+    view: LakeTable,
+    on_rewrite: str = "error",
+    auto_compact: int | None = None,
+) -> dict:
+    """Single-dim convenience wrapper over :func:`refresh_star_view`.
+    Returns the star stats plus the single-dim ``right`` tuple."""
+    out = refresh_star_view(left, [right], view, on_rewrite=on_rewrite,
+                            auto_compact=auto_compact)
+    out["right"] = out["rights"][0]
+    return out

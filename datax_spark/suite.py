@@ -891,6 +891,124 @@ def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimension STAR view (lake/joinview.create_star_view):
+    lineitem ⋈ part (inner) ⋈ supplier (left) maintained from all three
+    changelogs.  One fact change batch (price patches %97, deletes %291
+    by order), then part rewires/deletes and supplier patches/deletes
+    folded in a SINGLE refresh — the multi-dim partial recompute: each
+    dim's reverse foreign-key lookup contributes affected fact keys, one
+    merge settles them all.  The oracle folds all three change sets in
+    SQL and double-joins one-shot."""
+    from datax_spark.lake.joinview import create_star_view, refresh_star_view
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    flocs = [tempfile.mkdtemp(prefix=f"dx_star_{n}_")
+             for n in ("fact", "p", "s", "v")]
+    for d in flocs:
+        os.rmdir(d)
+    fact = LakeTable.create(
+        spark, flocs[0],
+        schema=T.StructType([
+            T.StructField("k1", T.LongType()),
+            T.StructField("k2", T.LongType()),
+            T.StructField("partkey", T.LongType()),
+            T.StructField("suppkey", T.LongType()),
+            T.StructField("price_cents", T.LongType()),
+        ]),
+        key_cols=["k1", "k2"], bucket_col="k1", num_buckets=8,
+    )
+    dimp = LakeTable.create(
+        spark, flocs[1],
+        schema=T.StructType([
+            T.StructField("pk", T.LongType()),
+            T.StructField("brand", T.StringType()),
+        ]),
+        key_cols=["pk"], bucket_col="pk", num_buckets=4,
+    )
+    dims = LakeTable.create(
+        spark, flocs[2],
+        schema=T.StructType([
+            T.StructField("sk", T.LongType()),
+            T.StructField("s_acct_cents", T.LongType()),
+        ]),
+        key_cols=["sk"], bucket_col="sk", num_buckets=4,
+    )
+    ok = F.col("l_orderkey").cast("long")
+    ln = F.col("l_linenumber").cast("long")
+    base_lsn = ok * 8 + ln
+    merge_into(fact, lineitem.select(
+        ok.alias("k1"), ln.alias("k2"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        _cents("l_extendedprice").alias("price_cents"),
+        base_lsn.alias("lsn"), F.lit("insert").alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    pk = F.col("p_partkey").cast("long")
+    merge_into(dimp, part.select(
+        pk.alias("pk"), F.col("p_brand").alias("brand"),
+        pk.alias("lsn"), F.lit("insert").alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    sk = F.col("s_suppkey").cast("long")
+    merge_into(dims, supplier.select(
+        sk.alias("sk"),
+        _cents("s_acctbal").alias("s_acct_cents"),
+        sk.alias("lsn"), F.lit("insert").alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    view = create_star_view(
+        fact,
+        [{"table": dimp, "on": {"partkey": "pk"}, "how": "inner"},
+         {"table": dims, "on": {"suppkey": "sk"}, "how": "left"}],
+        flocs[3], num_buckets=8,
+    )
+    # fact-side churn → refresh 1 (above-cap semi-join recompute path)
+    merge_into(fact, lineitem.filter((ok % 97 == 0) | (ok % 291 == 0))
+               .select(
+        ok.alias("k1"), ln.alias("k2"),
+        F.col("l_partkey").cast("long").alias("partkey"),
+        F.col("l_suppkey").cast("long").alias("suppkey"),
+        (_cents("l_extendedprice")
+         + F.when(ok % 97 == 0, F.lit(1000)).otherwise(F.lit(0)))
+        .alias("price_cents"),
+        (base_lsn + F.lit(10**9)).alias("lsn"),
+        F.when(ok % 291 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    refresh_star_view(fact, [dimp, dims], view)
+    # BOTH dims churn → one multi-dim refresh (pushdown reverse lookups)
+    merge_into(dimp, part.filter((pk % 13 == 0) | (pk % 419 == 0)).select(
+        pk.alias("pk"),
+        F.when(pk % 13 == 0, F.lit("REWIRED"))
+        .otherwise(F.col("p_brand")).alias("brand"),
+        (pk + F.lit(10**9)).alias("lsn"),
+        F.when(pk % 419 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    merge_into(dims, supplier.filter((sk % 11 == 0) | (sk % 83 == 0))
+               .select(
+        sk.alias("sk"),
+        (_cents("s_acctbal")
+         + F.when(sk % 11 == 0, F.lit(500)).otherwise(F.lit(0)))
+        .alias("s_acct_cents"),
+        (sk + F.lit(10**9)).alias("lsn"),
+        F.when(sk % 83 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    refresh_star_view(fact, [dimp, dims], view)
+    return view.read().select(
+        "k1", "k2", "partkey", "suppkey", "price_cents", "brand",
+        "s_acct_cents",
+    )
+
+
 def q_text_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained inverted index (lake/indexview.py — a
     search index as a derived view): documents become a CDC-fed table,
@@ -4569,6 +4687,33 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        'seq' AS src
 FROM orders
 """
+_ORACLES["cdc_star_view"] = """
+WITH fact AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS k1,
+         CAST(l_linenumber AS BIGINT) AS k2,
+         CAST(l_partkey AS BIGINT) AS partkey,
+         CAST(l_suppkey AS BIGINT) AS suppkey,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           + CASE WHEN l_orderkey % 97 = 0 THEN 1000 ELSE 0 END
+           AS price_cents
+  FROM lineitem WHERE l_orderkey % 291 <> 0),
+dimp AS (
+  SELECT CAST(p_partkey AS BIGINT) AS pk,
+         CASE WHEN p_partkey % 13 = 0 THEN 'REWIRED'
+              ELSE p_brand END AS brand
+  FROM part WHERE p_partkey % 419 <> 0),
+dims AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS sk,
+         CAST(round(s_acctbal*100) AS BIGINT)
+           + CASE WHEN s_suppkey % 11 = 0 THEN 500 ELSE 0 END
+           AS s_acct_cents
+  FROM supplier WHERE s_suppkey % 83 <> 0)
+SELECT f.k1, f.k2, f.partkey, f.suppkey, f.price_cents, p.brand,
+       s.s_acct_cents
+FROM fact f
+JOIN dimp p ON f.partkey = p.pk
+LEFT JOIN dims s ON f.suppkey = s.sk
+"""
 _ORACLES["text_index_view"] = """
 WITH docs AS (
   SELECT doc_id,
@@ -4825,6 +4970,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
     "lake_purge_key": q_lake_purge_key,
     "text_index_view": q_text_index_view,
+    "cdc_star_view": q_cdc_star_view,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

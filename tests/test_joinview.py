@@ -467,3 +467,119 @@ def test_tail_live_join_views(spark, tmp_path):
                                     "org").collect()
     )
     assert got == expected
+
+
+def test_star_view_two_dims_tracks_all_sides(spark, tmp_path):
+    """fact ⋈ dim1 (inner) ⋈ dim2 (left): churn on all three tables, the
+    view equals the one-shot double join after every refresh."""
+    from datax_spark.lake.joinview import (
+        create_star_view,
+        refresh_star_view,
+        star_view_lag,
+    )
+
+    fact = LakeTable.create(
+        spark, str(tmp_path / "fact"),
+        schema=T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("fk1", T.LongType()),
+            T.StructField("fk2", T.LongType()),
+            T.StructField("amt", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_col="k", num_buckets=4,
+    )
+    dim1 = LakeTable.create(
+        spark, str(tmp_path / "dim1"), schema=DIM_SCHEMA, key_cols=["dk"],
+        bucket_col="dk", num_buckets=2,
+    )
+    dim2 = LakeTable.create(
+        spark, str(tmp_path / "dim2"),
+        schema=T.StructType([
+            T.StructField("ek", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]),
+        key_cols=["ek"], bucket_col="ek", num_buckets=2,
+    )
+
+    def mf(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(k=k, fk1=f1, fk2=f2, amt=a, op=op, lsn=lsn0 + i)
+             for i, (k, f1, f2, a, op) in enumerate(rows)],
+            "k long, fk1 long, fk2 long, amt long, op string, lsn long",
+        )
+        merge_into(fact, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    def md2(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(ek=e, region=rg, op=op, lsn=lsn0 + i)
+             for i, (e, rg, op) in enumerate(rows)],
+            "ek long, region string, op string, lsn long",
+        )
+        merge_into(dim2, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    _merge_dim(dim1, [(1, "A", "insert"), (2, "B", "insert")], lsn0=0)
+    md2([(7, "eu", "insert"), (8, "us", "insert")], lsn0=0)
+    mf([(10, 1, 7, 100, "insert"), (11, 2, 8, 200, "insert"),
+        (12, 1, 99, 300, "insert")], lsn0=0)
+    view = create_star_view(
+        fact,
+        [{"table": dim1, "on": {"fk1": "dk"}, "how": "inner"},
+         {"table": dim2, "on": {"fk2": "ek"}, "how": "left"}],
+        str(tmp_path / "v"), num_buckets=2,
+    )
+
+    def expect():
+        f = fact.read()
+        d1 = dim1.read().withColumnRenamed("dk", "__d1")
+        d2 = dim2.read().withColumnRenamed("ek", "__d2")
+        out = (f.join(d1, f["fk1"] == F.col("__d1"), "inner")
+               .join(d2, f["fk2"] == F.col("__d2"), "left"))
+        return sorted(
+            (r.k, r.fk1, r.fk2, r.amt, r.seg, r.region)
+            for r in out.select("k", "fk1", "fk2", "amt", "seg",
+                                "region").collect()
+        )
+
+    def state():
+        return sorted(
+            (r.k, r.fk1, r.fk2, r.amt, r.seg, r.region)
+            for r in view.read().select("k", "fk1", "fk2", "amt", "seg",
+                                        "region").collect()
+        )
+
+    assert state() == expect()
+    # churn on all three: fact repoint + delete, dim1 rename + delete,
+    # dim2 delete (left join -> nulls)
+    mf([(10, 2, 8, 101, "insert"), (11, 0, 0, 0, "delete")], lsn0=100)
+    _merge_dim(dim1, [(1, "A2", "insert"), (2, "B", "delete")], lsn0=100)
+    md2([(8, "us", "delete")], lsn0=100)
+    out = refresh_star_view(fact, [dim1, dim2], view)
+    assert out["applied"]
+    assert state() == expect()
+    # dim2-only change on the next refresh
+    md2([(7, "emea", "insert")], lsn0=200)
+    out = refresh_star_view(fact, [dim1, dim2], view)
+    assert state() == expect()
+    lag = star_view_lag(fact, [dim1, dim2], view)
+    assert lag["rights"][1]["versions_behind"] == 0
+
+    # passing the wrong dim count is refused
+    with pytest.raises(ValueError, match="SAME dims"):
+        refresh_star_view(fact, [dim1], view)
+
+
+def test_star_view_rejects_snowflake_join(spark, tmp_path):
+    """A dim joining on another dim's output (snowflake) is out of
+    contract: join columns must be FACT columns."""
+    from datax_spark.lake.joinview import create_star_view
+
+    fact, dim = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="FACT columns only"):
+        create_star_view(
+            fact,
+            [{"table": dim, "on": {"fk": "dk"}},
+             {"table": dim, "on": {"seg": "dk"}}],  # seg is dim1 output
+            str(tmp_path / "v"),
+        )
