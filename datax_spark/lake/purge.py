@@ -28,6 +28,12 @@ Contract and safety:
 - deletion-vector history is refused loudly: dv masks address base-file
   ROW POSITIONS, and dropping rows from a base file would shift every
   later position.  Compact + expire the dv snapshots first.
+- an administrative operation: quiesce writers for a hard guarantee.  A
+  commit racing the manifest rewrite is handled best-effort (a final
+  sweep rewrites versions that appeared mid-purge before originals are
+  deleted), but an in-flight commit landing after the sweep could still
+  reference a deleted file — re-run purge (idempotent) if verify_files
+  reports missing paths after a raced purge.
 - crash-safe by re-run: originals are deleted only after every manifest
   is rewritten, so a crash mid-purge leaves all snapshots readable
   (some already purged, some not); re-running finds the remaining
@@ -156,8 +162,7 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
         replacements[relpath] = new_e
     versions_rewritten = 0
     if replacements:
-        for v in versions:
-            m = manifests[v]
+        def rewrite(v: int, m) -> bool:
             changed = False
             new_files: dict[str, list[list[Any]]] = {}
             for b, entries in m.files.items():
@@ -179,7 +184,21 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
             if changed:
                 m.files = new_files
                 table.catalog.replace_manifest(v, m.to_json())
+            return changed
+
+        for v in versions:
+            if rewrite(v, manifests[v]):
                 versions_rewritten += 1
+        # best-effort sweep of commits that landed while we rewrote: a
+        # concurrent writer may have read a pre-purge manifest and
+        # committed entries referencing replaced files.  Purge is an
+        # administrative operation — quiesce writers for a hard
+        # guarantee — but this closes the common race before originals
+        # are deleted.
+        for v in table.catalog.list_versions():
+            if v not in manifests:
+                if rewrite(v, table.manifest(v)):
+                    versions_rewritten += 1
     out = {
         "files_scanned": len(candidates),
         "files_rewritten": sum(1 for r in replacements.values()

@@ -936,30 +936,33 @@ def q_cdc_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]),
         key_cols=["sk"], bucket_col="sk", num_buckets=4,
     )
+    # every fourth order: the full 600k-row lineitem at sf0.1 quadruples
+    # the fixture-build cost without adding semantics coverage (4 is
+    # coprime with the %97 patch and %291 delete moduli, so both change
+    # classes survive the thinning at every scale)
+    lineitem = lineitem.filter(F.col("l_orderkey") % 4 == 0)
     ok = F.col("l_orderkey").cast("long")
     ln = F.col("l_linenumber").cast("long")
     base_lsn = ok * 8 + ln
-    merge_into(fact, lineitem.select(
+    # base loads are pure inserts into empty tables: overwrite() writes
+    # bucketed base files in one action (the post-compaction read fast
+    # path) — later MOR change merges layer deltas on top exactly as
+    # they would after a compaction
+    fact.overwrite(lineitem.select(
         ok.alias("k1"), ln.alias("k2"),
         F.col("l_partkey").cast("long").alias("partkey"),
         F.col("l_suppkey").cast("long").alias("suppkey"),
         _cents("l_extendedprice").alias("price_cents"),
-        base_lsn.alias("lsn"), F.lit("insert").alias("op"),
-    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
-        keys_unique=True)
+    ))
     pk = F.col("p_partkey").cast("long")
-    merge_into(dimp, part.select(
+    dimp.overwrite(part.select(
         pk.alias("pk"), F.col("p_brand").alias("brand"),
-        pk.alias("lsn"), F.lit("insert").alias("op"),
-    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
-        keys_unique=True)
+    ))
     sk = F.col("s_suppkey").cast("long")
-    merge_into(dims, supplier.select(
+    dims.overwrite(supplier.select(
         sk.alias("sk"),
         _cents("s_acctbal").alias("s_acct_cents"),
-        sk.alias("lsn"), F.lit("insert").alias("op"),
-    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
-        keys_unique=True)
+    ))
     view = create_star_view(
         fact,
         [{"table": dimp, "on": {"partkey": "pk"}, "how": "inner"},
@@ -4696,7 +4699,8 @@ WITH fact AS (
          CAST(round(l_extendedprice*100) AS BIGINT)
            + CASE WHEN l_orderkey % 97 = 0 THEN 1000 ELSE 0 END
            AS price_cents
-  FROM lineitem WHERE l_orderkey % 291 <> 0),
+  FROM lineitem
+  WHERE l_orderkey % 4 = 0 AND l_orderkey % 291 <> 0),
 dimp AS (
   SELECT CAST(p_partkey AS BIGINT) AS pk,
          CASE WHEN p_partkey % 13 = 0 THEN 'REWIRED'

@@ -149,3 +149,18 @@ def test_contract_validation(spark, tmp_path):
         create_index_view(docs, str(tmp_path / "ix2"), "doc_id")
     with pytest.raises(ValueError, match="no indexview spec"):
         refresh_index_view(docs, docs)
+
+
+def test_refresh_with_no_tokenizable_changes(spark, tmp_path):
+    """A change range whose docs produce zero postings (empty content)
+    still advances the watermark without corrupting the index."""
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "alpha", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    _merge(docs, [(2, "", "insert")], lsn0=10)
+    out = refresh_index_view(docs, view)
+    assert int(view.manifest().properties[WATERMARK_PROP]) == \
+        docs.current_version()
+    assert _state(view) == _expected(docs) == [("alpha", 1, 1)]
+    assert not refresh_index_view(docs, view)["applied"]

@@ -184,3 +184,33 @@ def test_cli_maintain_purge(spark, tmp_path, capsys):
                    "--cores", "4"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 2 and "key columns only" in out["error"]
+
+
+def test_purge_sweeps_commits_landing_mid_purge(spark, tmp_path, monkeypatch):
+    """A commit racing the purge (written after the manifest capture,
+    before originals are deleted) references pre-purge files; the final
+    sweep must rewrite it too, so no retained manifest points at a
+    deleted file."""
+    import datax_spark.lake.purge as P
+
+    t = _hist(spark, tmp_path)
+    raced = {"done": False}
+    orig_replace = t.catalog.replace_manifest
+
+    def racing_replace(version, text):
+        orig_replace(version, text)
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer lands a commit carrying forward the
+            # current (pre-purge-rewrite for later versions) file entries
+            _merge(t, [(9, "raced", "insert")], lsn0=500)
+
+    monkeypatch.setattr(t.catalog, "replace_manifest", racing_replace)
+    out = purge_rows(t, [("k", "=", 1)])
+    assert raced["done"] and out["rows_purged"] == 3
+    # every retained snapshot readable, no dangling file references
+    assert t.verify_files() == []
+    for v in t.catalog.list_versions():
+        if v > 0:
+            assert 1 not in _keys_at(t, v)
+    assert 9 in _keys_at(t)
