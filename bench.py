@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "cdc_join_view",
     "cdc_join_view_left",
     "cdc_star_view",
+    "cdc_view_pipeline",
     "lake_purge_key",
     "text_index_view",
 ]

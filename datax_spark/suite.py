@@ -891,6 +891,37 @@ def q_file_sequence_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_view_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-view DAG (the dbt-style pipeline, fully incremental):
+    orders ⋈ customer JOIN VIEW feeds an AGGREGATE VIEW (per-segment
+    count + revenue) — the join view's MOR merges are themselves a
+    changelog, so the rollup maintains from the view exactly as it would
+    from a base table.  After fact churn and dim churn each stage
+    refreshes in sequence; the oracle folds both change sets, joins, and
+    aggregates one-shot in SQL."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+    from datax_spark.lake.joinview import create_join_view, refresh_join_view
+
+    fact, dim, fact_changes, dim_changes = _join_view_tables(spark, sf_dir)
+    vloc = tempfile.mkdtemp(prefix="dx_pipe_jv_")
+    os.rmdir(vloc)
+    aloc = tempfile.mkdtemp(prefix="dx_pipe_agg_")
+    os.rmdir(aloc)
+    view = create_join_view(fact, dim, vloc, on={"custkey": "ck"},
+                            how="inner", num_buckets=8)
+    rollup = create_agg_view(view, aloc, dims=["seg"],
+                             sums=["total_cents"], num_buckets=4)
+    merge_into(fact, fact_changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_join_view(fact, dim, view)
+    refresh_agg_view(view, rollup)
+    merge_into(dim, dim_changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_join_view(fact, dim, view)
+    refresh_agg_view(view, rollup)
+    return rollup.read().select("seg", "n_rows", "sum_total_cents")
+
+
 def q_cdc_star_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-dimension STAR view (lake/joinview.create_star_view):
     lineitem ⋈ part (inner) ⋈ supplier (left) maintained from all three
@@ -4690,6 +4721,25 @@ SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderpriority,
        'seq' AS src
 FROM orders
 """
+_ORACLES["cdc_view_pipeline"] = """
+WITH fact AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CASE WHEN o_orderkey % 53 = 0 AND o_custkey > 1
+              THEN CAST(o_custkey AS BIGINT) - 1
+              ELSE CAST(o_custkey AS BIGINT) END AS custkey,
+         CAST(round(o_totalprice*100) AS BIGINT)
+           + CASE WHEN o_orderkey % 97 = 0 THEN 1000 ELSE 0 END AS total_cents
+  FROM orders WHERE o_orderkey % 291 <> 0),
+dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CASE WHEN c_custkey % 13 = 0 THEN 'REWIRED'
+              ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey % 417 <> 0)
+SELECT d.seg, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(f.total_cents) AS BIGINT) AS sum_total_cents
+FROM fact f JOIN dim d ON f.custkey = d.ck
+GROUP BY d.seg
+"""
 _ORACLES["cdc_star_view"] = """
 WITH fact AS (
   SELECT CAST(l_orderkey AS BIGINT) AS k1,
@@ -4975,6 +5025,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_purge_key": q_lake_purge_key,
     "text_index_view": q_text_index_view,
     "cdc_star_view": q_cdc_star_view,
+    "cdc_view_pipeline": q_cdc_view_pipeline,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,
