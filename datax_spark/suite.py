@@ -403,25 +403,22 @@ def _join_view_tables(spark: SparkSession, sf_dir: str):
         ]),
         key_cols=["ck"], bucket_col="ck", num_buckets=4,
     )
+    # base loads are pure inserts into empty tables: overwrite() writes
+    # bucketed base files in one action (no merge machinery); the change
+    # merges layer MOR deltas on top exactly as after a compaction
     k = F.col("o_orderkey").cast("long")
-    fact_base = orders.select(
+    fact.overwrite(orders.select(
         k.alias("k"),
         F.col("o_custkey").cast("long").alias("custkey"),
         _cents("o_totalprice").alias("total_cents"),
         F.col("o_orderpriority").alias("prio"),
-        k.alias("lsn"), F.lit("insert").alias("op"),
-    )
-    merge_into(fact, fact_base, op_col="op", order_col="lsn", mode="mor",
-               auto_compact=None, keys_unique=True)
+    ))
     ck = F.col("c_custkey").cast("long")
-    dim_base = customer.select(
+    dim.overwrite(customer.select(
         ck.alias("ck"),
         F.col("c_mktsegment").alias("seg"),
         _cents("c_acctbal").alias("acct_cents"),
-        ck.alias("lsn"), F.lit("insert").alias("op"),
-    )
-    merge_into(dim, dim_base, op_col="op", order_col="lsn", mode="mor",
-               auto_compact=None, keys_unique=True)
+    ))
     custk = F.col("o_custkey").cast("long")
     fact_changes = orders.filter(
         (k % 97 == 0) | (k % 53 == 0) | (k % 291 == 0)
