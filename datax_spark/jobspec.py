@@ -147,6 +147,18 @@ class ErrorLimitSpec:
     percentage: float | None = None
 
 
+def _jv_rights(jv: dict) -> list[dict]:
+    """Normalize a ``join_views`` entry to its list-of-dims (star) form.
+    Single-dim shorthand ``{"right": path, "on": {...}, ...}`` and the
+    star form ``{"rights": [{"right": path, "on": {...}, ...}, ...]}``
+    both come out as a list of per-dim dicts."""
+    if jv.get("rights"):
+        return [dict(r) for r in jv["rights"]]
+    return [{"right": jv.get("right"), "on": jv.get("on"),
+             "right_cols": jv.get("right_cols"),
+             "how": jv.get("how", "inner")}]
+
+
 def _parse_enrich(e: dict):
     """One parser for enrich specs, shared by build_enricher and
     pre_check so validation and execution can't drift: returns
@@ -261,11 +273,19 @@ class JobSpec:
     # declared join views (lake/joinview.py) maintained after every run:
     # [{"location": ..., "right": <dim LakeTable path>, "on": {fk: dimkey},
     #   "right_cols": {out: src}?, "how": "inner"|"left",
-    #   "on_rewrite": ...}].  The job's target is the LEFT (fact) side;
-    # ``right`` must be an existing LakeTable.  Created (bootstrapped from
-    # both current snapshots) on first run, refreshed from BOTH changelogs
-    # thereafter — a dim-side change alone still updates the view.
+    #   "on_rewrite": ...}], or the star form with several dims:
+    # {"location": ..., "rights": [{"right": ..., "on": ..., ...}, ...]}.
+    # The job's target is the FACT side; every ``right`` must be an
+    # existing LakeTable.  Created (bootstrapped from all current
+    # snapshots) on first run, refreshed from EVERY changelog thereafter
+    # — a dim-side change alone still updates the view.
     join_views: list[dict] = field(default_factory=list)
+    # declared inverted-index views (lake/indexview.py):
+    # [{"location": ..., "content_col": ..., "token_pattern"?: ...,
+    #   "on_rewrite"?: ...}] — a search index over a target string
+    # column, bootstrapped on first run and refreshed from the
+    # before-image changelog after every later run.
+    index_views: list[dict] = field(default_factory=list)
     # lookup-join enrichment (build_enricher): broadcast dimension
     # columns decorated onto every event before quarantine/merge —
     # [{"path": ..., "on": {feed: dim}|[col,...], "cols": [...],
@@ -288,6 +308,7 @@ class JobSpec:
             hooks=list(d.get("hooks", [])),
             agg_views=list(d.get("agg_views", [])),
             join_views=list(d.get("join_views", [])),
+            index_views=list(d.get("index_views", [])),
             enrich=list(d.get("enrich", [])),
         )
 
@@ -426,6 +447,10 @@ class JobSpec:
                 problems.append(
                     "join_views join current state, not history — "
                     "run them on a separate non-scd2 target")
+            if self.index_views:
+                problems.append(
+                    "index_views index current state, not history — "
+                    "run them on a separate non-scd2 target")
             sbucket = self.target.bucket_col or self.target.key_cols[0]
             if sbucket not in self.target.key_cols:
                 problems.append(
@@ -524,46 +549,83 @@ class JobSpec:
                     "join_views cannot follow partial_update merges (a "
                     "partial row is not a whole-row change record)")
         for i, jv in enumerate(self.join_views):
-            tag = f"join_views[{i}]"
+            vtag = f"join_views[{i}]"
             if not jv.get("location"):
-                problems.append(f"{tag}: missing location")
-            on = jv.get("on") or {}
-            if not on:
-                problems.append(f"{tag}: missing on ({{fk: dim_key}})")
-            if jv.get("how", "inner") not in ("inner", "left"):
-                problems.append(f"{tag}: how must be inner or left")
-            for fc in on:
-                if fc in ENVELOPE_COLS:
-                    problems.append(
-                        f"{tag}: {fc} is an envelope column — join on "
-                        "target payload columns")
-                elif fc not in cols:
-                    problems.append(f"{tag}: join column not in feed: {fc}")
-            right = jv.get("right")
-            if not right:
-                problems.append(f"{tag}: missing right (dim table path)")
-            else:
+                problems.append(f"{vtag}: missing location")
+            rights = _jv_rights(jv)
+            seen_jv_out = set(cols)
+            for j, r in enumerate(rights):
+                tag = (f"{vtag}.rights[{j}]" if jv.get("rights") else vtag)
+                on = r.get("on") or {}
+                if not on:
+                    problems.append(f"{tag}: missing on ({{fk: dim_key}})")
+                if r.get("how", "inner") not in ("inner", "left"):
+                    problems.append(f"{tag}: how must be inner or left")
+                for fc in on:
+                    if fc in ENVELOPE_COLS:
+                        problems.append(
+                            f"{tag}: {fc} is an envelope column — join on "
+                            "target payload columns")
+                    elif fc not in cols:
+                        problems.append(
+                            f"{tag}: join column not in feed: {fc} (star "
+                            "contract: dims join on fact columns only)")
+                right = r.get("right")
+                if not right:
+                    problems.append(f"{tag}: missing right (dim table path)")
+                    continue
                 from datax_spark.lake.table import LakeTable as _LT
 
                 if not _LT.exists(right):
                     problems.append(
                         f"{tag}: right table does not exist: {right}")
-                else:
-                    rm = _LT(spark, right).manifest()
-                    if set(on.values()) != set(rm.key_cols):
+                    continue
+                rm = _LT(spark, right).manifest()
+                if on and set(on.values()) != set(rm.key_cols):
+                    problems.append(
+                        f"{tag}: join columns {sorted(on.values())} "
+                        f"must be exactly the right table's key "
+                        f"columns {sorted(rm.key_cols)}")
+                rnames = {f.name for f in rm.schema.fields}
+                out_cols = (r.get("right_cols")
+                            or {f: f for f in rnames - set(rm.key_cols)})
+                for out_c, src_c in out_cols.items():
+                    if src_c not in rnames:
                         problems.append(
-                            f"{tag}: join columns {sorted(on.values())} "
-                            f"must be exactly the right table's key "
-                            f"columns {sorted(rm.key_cols)}")
-                    rnames = {f.name for f in rm.schema.fields}
-                    for out_c, src_c in (jv.get("right_cols") or {}).items():
-                        if src_c not in rnames:
-                            problems.append(
-                                f"{tag}: right column missing: {src_c}")
-                        if out_c in cols:
-                            problems.append(
-                                f"{tag}: output column {out_c} collides "
-                                "with a feed column")
+                            f"{tag}: right column missing: {src_c}")
+                    if out_c in seen_jv_out:
+                        problems.append(
+                            f"{tag}: output column {out_c} collides with "
+                            "the feed or an earlier dim")
+                    seen_jv_out.add(out_c)
+        if self.index_views:
+            # the refresh consumes the target's before-image changelog —
+            # same changelog-readability contract as the other views
+            if self.merge.mode != "mor":
+                problems.append(
+                    "index_views require merge.mode='mor' (changelog-"
+                    f"readable commits); got {self.merge.mode!r}")
+            if self.run.kind == "full":
+                problems.append(
+                    "index_views cannot follow run.kind='full' (overwrite "
+                    "commits are not a change stream)")
+            if self.merge.partial_update:
+                problems.append(
+                    "index_views cannot follow partial_update merges (a "
+                    "partial row is not a whole-row change record)")
+        for i, iv in enumerate(self.index_views):
+            tag = f"index_views[{i}]"
+            if not iv.get("location"):
+                problems.append(f"{tag}: missing location")
+            c = iv.get("content_col")
+            if not c:
+                problems.append(f"{tag}: missing content_col")
+            elif c in ENVELOPE_COLS:
+                problems.append(
+                    f"{tag}: {c} is an envelope column — index a target "
+                    "payload column")
+            elif c not in cols:
+                problems.append(f"{tag}: content column not in feed: {c}")
         return problems
 
 
@@ -769,22 +831,23 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
             on_batch = None
             live_join_views = []
             if spec.join_views and spec.run.tail_live_join_views:
-                from datax_spark.lake.joinview import (
-                    create_join_view,
-                    refresh_join_view,
-                )
+                from datax_spark.lake.joinview import create_star_view
 
                 for jv in spec.join_views:
                     vloc = jv["location"]
-                    rt = LakeTable(spark, jv["right"])
+                    rights = _jv_rights(jv)
+                    rts = [LakeTable(spark, r["right"]) for r in rights]
                     if LakeTable.exists(vloc):
                         live_join_views.append(
-                            (rt, LakeTable(spark, vloc), jv))
+                            (rts, LakeTable(spark, vloc), jv))
                     else:
-                        live_join_views.append((rt, create_join_view(
-                            table, rt, vloc, on=dict(jv["on"]),
-                            right_cols=jv.get("right_cols"),
-                            how=jv.get("how", "inner"),
+                        live_join_views.append((rts, create_star_view(
+                            table,
+                            [{"table": rt, "on": dict(r["on"]),
+                              "right_cols": r.get("right_cols"),
+                              "how": r.get("how", "inner")}
+                             for rt, r in zip(rts, rights)],
+                            vloc,
                         ), jv))
             if spec.agg_views and spec.run.tail_live_agg_views:
                 # continuous aggregates: bootstrap absent views from the
@@ -820,11 +883,11 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                         )
                     if live_join_views:
                         from datax_spark.lake.joinview import (
-                            refresh_join_view as _rjv,
+                            refresh_star_view as _rsv,
                         )
 
-                        for rt, v, jv in live_join_views:
-                            _rjv(table, rt, v,
+                        for rts, v, jv in live_join_views:
+                            _rsv(table, rts, v,
                                  on_rewrite=jv.get("on_rewrite", "error"))
 
             tail = run_continuous(
@@ -895,32 +958,68 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
     # job also folds dim-side changes that landed since the last run
     if spec.join_views:
         from datax_spark.lake.joinview import (
-            create_join_view,
-            refresh_join_view,
+            create_star_view,
+            refresh_star_view,
         )
 
         jresults = []
         for jv in spec.join_views:
             loc = jv["location"]
             try:
-                right = LakeTable(spark, jv["right"])
+                rights = _jv_rights(jv)
+                rts = [LakeTable(spark, r["right"]) for r in rights]
                 created = not LakeTable.exists(loc)
                 if created:
-                    view = create_join_view(
-                        table, right, loc, on=dict(jv["on"]),
-                        right_cols=jv.get("right_cols"),
-                        how=jv.get("how", "inner"),
+                    view = create_star_view(
+                        table,
+                        [{"table": rt, "on": dict(r["on"]),
+                          "right_cols": r.get("right_cols"),
+                          "how": r.get("how", "inner")}
+                         for rt, r in zip(rts, rights)],
+                        loc,
                     )
                 else:
                     view = LakeTable(spark, loc)
                 res = {"location": loc, "created": created,
-                       **refresh_join_view(
-                           table, right, view,
+                       **refresh_star_view(
+                           table, rts, view,
                            on_rewrite=jv.get("on_rewrite", "error"))}
             except Exception as e:  # noqa: BLE001 — mirror hook capture
                 res = {"location": loc, "error": str(e)}
             jresults.append(res)
         summary["join_views"] = jresults
+
+    # declared inverted-index views: bootstrapped on first run, refreshed
+    # from the target's before-image changelog thereafter
+    if spec.index_views:
+        from datax_spark.lake.indexview import (
+            create_index_view,
+            refresh_index_view,
+        )
+        from datax_spark.lake.indexview import (
+            DEFAULT_TOKEN_PATTERN as _DTP,
+        )
+
+        iresults = []
+        for iv in spec.index_views:
+            loc = iv["location"]
+            try:
+                created = not LakeTable.exists(loc)
+                if created:
+                    view = create_index_view(
+                        table, loc, iv["content_col"],
+                        token_pattern=iv.get("token_pattern", _DTP),
+                    )
+                else:
+                    view = LakeTable(spark, loc)
+                res = {"location": loc, "created": created,
+                       **refresh_index_view(
+                           table, view,
+                           on_rewrite=iv.get("on_rewrite", "error"))}
+            except Exception as e:  # noqa: BLE001 — mirror hook capture
+                res = {"location": loc, "error": str(e)}
+            iresults.append(res)
+        summary["index_views"] = iresults
 
     wall = time.monotonic() - t0
     summary["wall_sec"] = round(wall, 3)

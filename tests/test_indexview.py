@@ -164,3 +164,60 @@ def test_refresh_with_no_tokenizable_changes(spark, tmp_path):
         docs.current_version()
     assert _state(view) == _expected(docs) == [("alpha", 1, 1)]
     assert not refresh_index_view(docs, view)["applied"]
+
+
+def test_index_views_declared_in_spec(spark, tmp_path):
+    """A job.json can declare inverted-index views over a target string
+    column: created on first run, refreshed from the before-image
+    changelog on later runs."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+
+    fixtures.change_events(spark, 800, n_keys=150, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": None},
+        "run": {"kind": "incremental", "batch_lsns": 500},
+        "index_views": [{
+            "location": str(tmp_path / "ix"),
+            "content_col": "content",
+        }],
+    })
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    iv = summary["index_views"][0]
+    assert iv["created"] and "error" not in iv
+
+    docs = LakeTable(spark, str(tmp_path / "lake"))
+    view = LakeTable(spark, str(tmp_path / "ix"))
+    toks = F.regexp_extract_all(F.lower(F.col("content")),
+                                F.lit("[a-z0-9]+"), F.lit(0))
+    expected = sorted(
+        ((r.token, r.repo, r.path, r.commit), r["count"])
+        for r in docs.read()
+        .select("repo", "path", "commit", F.explode(toks).alias("token"))
+        .groupBy("token", "repo", "path", "commit").count().collect()
+    )
+    got = sorted(
+        ((r.token, r.repo, r.path, r.commit), r.tf)
+        for r in view.read().collect()
+    )
+    assert got == expected
+    # idempotent rerun: no new data, no refresh
+    summary2 = run_job(spark, spec)
+    assert summary2["batches"] == 0
+    assert summary2["index_views"][0]["applied"] is False
+
+    # pre_check rejects a non-string / missing content col
+    bad = JobSpec.from_dict({**spec.to_dict(),
+                             "index_views": [{"location": str(tmp_path / "ix2"),
+                                              "content_col": "nope"}]})
+    assert any("content column not in feed" in p
+               for p in bad.pre_check(spark))

@@ -583,3 +583,99 @@ def test_star_view_rejects_snowflake_join(spark, tmp_path):
              {"table": dim, "on": {"seg": "dk"}}],  # seg is dim1 output
             str(tmp_path / "v"),
         )
+
+
+def test_star_form_join_views_in_spec(spark, tmp_path):
+    """The join_views entry's star form ({"rights": [...]}) builds a
+    multi-dim view from a job run and keeps tracking all changelogs."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+
+    dim1 = LakeTable.create(
+        spark, str(tmp_path / "dim1"),
+        schema=T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("org", T.StringType()),
+        ]),
+        key_cols=["repo"], bucket_col="repo", num_buckets=4,
+    )
+    merge_into(dim1, spark.createDataFrame(
+        [Row(repo=f"org{i % 20}/repo{i}", org=f"org{i % 20}",
+             op="insert", lsn=i) for i in range(500)],
+        "repo string, org string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+    dim2 = LakeTable.create(
+        spark, str(tmp_path / "dim2"),
+        schema=T.StructType([
+            T.StructField("lang", T.StringType()),
+            T.StructField("family", T.StringType()),
+        ]),
+        key_cols=["lang"], bucket_col="lang", num_buckets=2,
+    )
+    merge_into(dim2, spark.createDataFrame(
+        [Row(lang=lg, family=f"fam-{lg}", op="insert", lsn=i)
+         for i, lg in enumerate(["python", "go", "rust", "java", "ts",
+                                 "c", "cpp", "ruby"])],
+        "lang string, family string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+
+    fixtures.change_events(spark, 1200, n_keys=250, seed=42) \
+        .write.parquet(str(tmp_path / "feed"))
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": None},
+        "run": {"kind": "incremental", "batch_lsns": 1000},
+        "join_views": [{
+            "location": str(tmp_path / "vw"),
+            "rights": [
+                {"right": str(tmp_path / "dim1"),
+                 "on": {"repo": "repo"}, "how": "left"},
+                {"right": str(tmp_path / "dim2"),
+                 "on": {"lang": "lang"}, "how": "left"},
+            ],
+        }],
+    })
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    jv = summary["join_views"][0]
+    assert jv["created"] and "error" not in jv
+
+    def expect():
+        fact = LakeTable(spark, str(tmp_path / "lake"))
+        f = fact.read()
+        d1 = dim1.read().withColumnRenamed("repo", "__r1")
+        d2 = dim2.read().withColumnRenamed("lang", "__r2")
+        out = (f.join(d1, f["repo"] == F.col("__r1"), "left")
+               .join(d2, f["lang"] == F.col("__r2"), "left"))
+        return sorted(
+            (r.repo, r.path, r.commit, r.org, r.family)
+            for r in out.select("repo", "path", "commit", "org",
+                                "family").collect()
+        )
+
+    view = LakeTable(spark, str(tmp_path / "vw"))
+
+    def state():
+        return sorted(
+            (r.repo, r.path, r.commit, r.org, r.family)
+            for r in view.read().select("repo", "path", "commit", "org",
+                                        "family").collect()
+        )
+
+    assert state() == expect()
+    # dim2-only drift between runs still lands
+    merge_into(dim2, spark.createDataFrame(
+        [Row(lang="python", family="fam-py3", op="insert", lsn=100)],
+        "lang string, family string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+    summary2 = run_job(spark, spec)
+    assert summary2["batches"] == 0
+    assert "error" not in summary2["join_views"][0]
+    assert state() == expect()
+    assert "fam-py3" in {r.family for r in view.read().collect()}
