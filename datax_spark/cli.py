@@ -279,6 +279,40 @@ def _joinview_cmd(args) -> int:
     return 0
 
 
+def _search_cmd(args) -> int:
+    """Term search against a maintained inverted-index view
+    (lake/indexview.py): postings for the query terms are a bucket- and
+    zone-map-pruned point read; docs rank by matched-term count then
+    summed term frequency."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.indexview import _spec, lookup_postings
+    from datax_spark.lake.table import LakeTable
+
+    spark = get_session("datax-spark-search", cores=args.cores)
+    view = LakeTable(spark, args.index)
+    try:
+        spec = _spec(view)
+    except ValueError as e:
+        print(json.dumps({"ok": False, "error": str(e)}))
+        return 2
+    keys = list(spec["doc_keys"])
+    hits = (
+        lookup_postings(view, args.terms)
+        .groupBy(*keys)
+        .agg(F.countDistinct("token").alias("matched"),
+             F.sum("tf").alias("score"))
+        .orderBy(F.col("matched").desc(), F.col("score").desc(),
+                 *[F.col(k) for k in keys])
+        .limit(args.topk)
+    )
+    print(json.dumps({
+        "ok": True, "index": args.index, "terms": args.terms,
+        "hits": [r.asDict() for r in hits.collect()],
+    }, default=str))
+    return 0
+
+
 def _dlq_cmd(args) -> int:
     from datax_spark import get_session
     from datax_spark.cdc import quarantine as Q
@@ -488,6 +522,15 @@ def main(argv: list[str] | None = None) -> int:
                      help="target rows per snapshot chunk")
     cdc.add_argument("--cores", default=None)
 
+    srch = sub.add_parser(
+        "search",
+        help="term search against a maintained inverted-index view",
+    )
+    srch.add_argument("index", help="index view location (lake/indexview)")
+    srch.add_argument("terms", nargs="+", help="query terms")
+    srch.add_argument("--topk", type=int, default=10)
+    srch.add_argument("--cores", default=None)
+
     dlq = sub.add_parser(
         "dlq",
         help="replay a job's quarantined rows through its (fixed) "
@@ -506,7 +549,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     # back-compat: bare `cli.py job.json [flags]` == the run subcommand
     if argv and argv[0] not in ("run", "maintain", "relay", "aggview",
-                                "joinview", "cdcout", "dlq", "-h", "--help"):
+                                "joinview", "cdcout", "search", "dlq",
+                                "-h", "--help"):
         argv = ["run", *argv]
     args = p.parse_args(argv)
     if args.cmd == "maintain":
@@ -517,6 +561,8 @@ def main(argv: list[str] | None = None) -> int:
         return _aggview_cmd(args)
     if args.cmd == "joinview":
         return _joinview_cmd(args)
+    if args.cmd == "search":
+        return _search_cmd(args)
     if args.cmd == "cdcout":
         return _cdcout_cmd(args)
     if args.cmd == "dlq":

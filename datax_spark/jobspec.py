@@ -114,6 +114,9 @@ class RunSpec:
     # lands (dim-side-only changes still wait for the next batch or the
     # post-run refresh — the tail only wakes on fact commits)
     tail_live_join_views: bool = False
+    # same, for declared index_views: the search index is current the
+    # moment a micro-batch lands
+    tail_live_index_views: bool = False
     # per-shard watermark filter (drop events at-or-below the shard's last
     # applied LSN — the at-least-once→exactly-once resume guard).  Sentinel
     # lsn<0 rows (snapshots, append-commit CDC-out) are always exempt, so
@@ -874,7 +877,24 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
 
             else:
                 live_views = []
-            if live_views or live_join_views:
+            live_index_views = []
+            if spec.index_views and spec.run.tail_live_index_views:
+                from datax_spark.lake.indexview import (
+                    DEFAULT_TOKEN_PATTERN as _DTP,
+                )
+                from datax_spark.lake.indexview import create_index_view
+
+                for iv in spec.index_views:
+                    vloc = iv["location"]
+                    if LakeTable.exists(vloc):
+                        live_index_views.append(
+                            (LakeTable(spark, vloc), iv))
+                    else:
+                        live_index_views.append((create_index_view(
+                            table, vloc, iv["content_col"],
+                            token_pattern=iv.get("token_pattern", _DTP),
+                        ), iv))
+            if live_views or live_join_views or live_index_views:
                 def on_batch(_lineage):
                     for v, av in live_views:
                         refresh_agg_view(
@@ -889,6 +909,14 @@ def run_job(spark: SparkSession, spec: JobSpec) -> dict:
                         for rts, v, jv in live_join_views:
                             _rsv(table, rts, v,
                                  on_rewrite=jv.get("on_rewrite", "error"))
+                    if live_index_views:
+                        from datax_spark.lake.indexview import (
+                            refresh_index_view as _riv,
+                        )
+
+                        for v, iv in live_index_views:
+                            _riv(table, v,
+                                 on_rewrite=iv.get("on_rewrite", "error"))
 
             tail = run_continuous(
                 spark, src_path, sink,

@@ -221,3 +221,76 @@ def test_index_views_declared_in_spec(spark, tmp_path):
                                               "content_col": "nope"}]})
     assert any("content column not in feed" in p
                for p in bad.pre_check(spark))
+
+
+def test_cli_search_ranks_by_match_then_tf(spark, tmp_path, capsys):
+    import json as _json
+
+    from datax_spark import cli
+
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "spark spark shuffle", "insert"),
+                  (2, "spark shuffle merge", "insert"),
+                  (3, "merge only", "insert")], lsn0=0)
+    create_index_view(docs, str(tmp_path / "ix"), "body", num_buckets=4)
+    rc = cli.main(["search", str(tmp_path / "ix"), "spark", "shuffle",
+                   "--topk", "2", "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"]
+    # doc 2 matches both terms (tf 2), doc 1 matches both (tf 3) -> doc 1
+    # first by score; doc 3 (one term) excluded by topk
+    assert [h["doc_id"] for h in out["hits"]] == [1, 2]
+    # non-index table -> clean error
+    rc = cli.main(["search", str(tmp_path / "docs"), "spark",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "no indexview spec" in out["error"]
+
+
+def test_tail_live_index_views(spark, tmp_path):
+    """tail_live_index_views refreshes the index inside each micro-batch;
+    the post-run refresh then has nothing to do."""
+    from datax_spark import fixtures
+    from datax_spark.jobspec import JobSpec, run_job
+    from datax_spark.streaming.runner import write_feed_ordered
+
+    feed = fixtures.change_events(spark, 1000, n_keys=200, seed=42)
+    write_feed_ordered(feed, str(tmp_path / "feed"), n_files=4)
+    spec = JobSpec.from_dict({
+        "source": {"path": str(tmp_path / "feed")},
+        "target": {
+            "location": str(tmp_path / "lake"),
+            "key_cols": ["repo", "path", "commit"],
+            "bucket_col": "repo",
+            "num_buckets": 8,
+        },
+        "merge": {"mode": "mor", "auto_compact": None},
+        "run": {"kind": "tail", "tail_idle_stop_sec": 3,
+                "tail_trigger": "250 milliseconds",
+                "max_files_per_trigger": 2,
+                "tail_live_index_views": True},
+        "index_views": [{
+            "location": str(tmp_path / "ix"),
+            "content_col": "content",
+        }],
+    })
+    assert spec.pre_check(spark) == []
+    summary = run_job(spark, spec)
+    assert summary["rows"] == 1000 and summary["batches"] >= 2
+    iv = summary["index_views"][0]
+    assert iv.get("error") is None and iv["applied"] is False
+    docs = LakeTable(spark, str(tmp_path / "lake"))
+    view = LakeTable(spark, str(tmp_path / "ix"))
+    toks = F.regexp_extract_all(F.lower(F.col("content")),
+                                F.lit("[a-z0-9]+"), F.lit(0))
+    expected = sorted(
+        ((r.token, r.repo, r.path, r.commit), r["count"])
+        for r in docs.read()
+        .select("repo", "path", "commit", F.explode(toks).alias("token"))
+        .groupBy("token", "repo", "path", "commit").count().collect()
+    )
+    got = sorted(
+        ((r.token, r.repo, r.path, r.commit), r.tf)
+        for r in view.read().collect()
+    )
+    assert got == expected
