@@ -85,6 +85,33 @@ def read_sequence_text(
     )
 
 
+def read_avro(
+    spark: SparkSession,
+    path: str,
+    columns: list[dict[str, Any]] | None = None,
+) -> DataFrame:
+    """Avro scan (the Kafka-ecosystem container format).  Spark ships
+    Avro as an EXTERNAL module (`spark-avro`) since 2.4; this runtime
+    does not bundle the jar, so the capability is probed and the failure
+    is a loud, actionable contract instead of a ClassNotFoundException
+    deep inside a job.  On a cluster with the jar
+    (`--packages org.apache.spark:spark-avro_2.13:<spark-version>`), the
+    same call reads natively and the shared column spec applies."""
+    try:
+        df = spark.read.format("avro").load(path)
+    except Exception as e:
+        if "Failed to find data source: avro" in str(e):
+            raise NotImplementedError(
+                "Avro needs Spark's external spark-avro module, which "
+                "this runtime does not ship.  Submit with `--packages "
+                "org.apache.spark:spark-avro_2.13:<spark-version>` on a "
+                "real cluster, or convert the data once to parquet "
+                "(first-class here)."
+            ) from e
+        raise
+    return _project_columns(df, columns)
+
+
 def read_rcfile(spark: SparkSession, path: str, **_kwargs) -> DataFrame:
     """RCFile (the RC branch of hdfsreader, HdfsReader.java:80-86):
     FORMALLY UNSUPPORTED — decided wontfix, not pending.

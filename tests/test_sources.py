@@ -396,3 +396,21 @@ def test_write_jsonl_nonconflict(spark, tmp_path):
     FS.write_jsonl(df, jdir, write_mode="truncate")
     with pytest.raises(Exception):
         FS.write_jsonl(df, jdir, write_mode="nonConflict")
+
+
+def test_read_avro_gated_or_native(spark, tmp_path):
+    """Avro is an external Spark module this runtime doesn't bundle: the
+    reader must either work natively (jar present) or fail with the
+    actionable contract naming the module and the migration path."""
+    import pytest as _pytest
+
+    try:
+        out = FS.read_avro(spark, str(tmp_path / "nope"))
+        # jar present: a missing path is a normal AnalysisException, so
+        # reaching here means the capability probe passed unexpectedly
+        assert out is not None
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e) and "parquet" in str(e)
+    except Exception:
+        _pytest.fail("read_avro must gate on the missing module, not "
+                     "leak a raw datasource error")
