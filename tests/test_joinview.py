@@ -679,3 +679,64 @@ def test_star_form_join_views_in_spec(spark, tmp_path):
     assert "error" not in summary2["join_views"][0]
     assert state() == expect()
     assert "fam-py3" in {r.family for r in view.read().collect()}
+
+
+# ------------------------------------------------------ property-based churn
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# interleaved fact/dim operations over tiny key domains (collisions and
+# delete/reinsert patterns guaranteed), refresh points chosen arbitrarily
+churn_strategy = st.lists(
+    st.one_of(
+        st.tuples(st.just("fact"),
+                  st.sampled_from(["insert", "delete"]),
+                  st.integers(0, 5),        # fact key
+                  st.integers(0, 3),        # fk
+                  st.integers(0, 99)),      # amt
+        st.tuples(st.just("dim"),
+                  st.sampled_from(["insert", "delete"]),
+                  st.integers(0, 3),        # dim key
+                  st.integers(0, 9),        # seg id
+                  st.just(0)),
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@given(events=churn_strategy, cut=st.integers(1, 10),
+       how=st.sampled_from(["inner", "left"]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+def test_view_matches_one_shot_join_for_random_churn(
+    spark, tmp_path_factory, events, cut, how
+):
+    """Any interleaving of fact/dim inserts/deletes, split at an arbitrary
+    refresh boundary, must leave the view equal to the one-shot join of
+    the final snapshots."""
+    tmp = tmp_path_factory.mktemp("jvprop")
+    fact, dim = _mk(spark, tmp)
+    view = create_join_view(fact, dim, str(tmp / "v"), on={"fk": "dk"},
+                            how=how, num_buckets=2)
+
+    def apply_chunk(chunk, lsn0):
+        f_rows = [(k, fk, a, op) for t, op, k, fk, a in chunk
+                  if t == "fact"]
+        d_rows = [(k, f"s{s}", op) for t, op, k, s, _ in chunk
+                  if t == "dim"]
+        if f_rows:
+            _merge_fact(fact, f_rows, lsn0=lsn0)
+        if d_rows:
+            _merge_dim(dim, d_rows, lsn0=lsn0)
+
+    n = max(1, min(cut, len(events)))
+    apply_chunk(events[:n], lsn0=100)
+    refresh_join_view(fact, dim, view)
+    if events[n:]:
+        apply_chunk(events[n:], lsn0=1000)
+        refresh_join_view(fact, dim, view)
+    assert _state(view) == _expected(fact, dim, how)
