@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "cdc_view_pipeline",
     "lake_purge_key",
     "text_index_view",
+    "text_index_bm25",
 ]
 
 

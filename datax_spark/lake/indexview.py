@@ -206,6 +206,81 @@ def refresh_index_view(
     return {"from_version": wm, "to_version": cur, "applied": True}
 
 
+def search_bm25(
+    view: LakeTable,
+    terms: list[str],
+    k: int = 20,
+    doclen: LakeTable | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k over the MAINTAINED index — the incremental
+    counterpart of ``functions/retrieval.bm25_topk`` (which tokenizes the
+    corpus per query): postings for the query terms are a bucket-pruned
+    point read, document frequencies fall out of those postings, and doc
+    lengths come from ``doclen`` — an ordinary aggregate view over this
+    index (``create_agg_view(index, dims=doc_keys, sums=["tf"])``),
+    itself incrementally maintained, so the whole retrieval stack stays
+    current per refresh with NO per-query corpus pass.  Without
+    ``doclen`` the lengths aggregate over the full index (the one-shot
+    fallback).
+
+    Same formula/discipline as the corpus-scan version: idf =
+    ln(1 + (N - df + ½)/(df + ½)), scores rounded to 6 decimals,
+    deterministic ties (score desc, then doc keys)."""
+    spec = _spec(view)
+    keys = list(spec["doc_keys"])
+    terms = sorted({t for t in terms if t})
+    if not terms:
+        raise ValueError("search_bm25: empty query")
+    p = lookup_postings(view, terms)
+    if doclen is not None:
+        dl = doclen.read().select(
+            *keys, F.col("sum_tf").cast("long").alias("dl")
+        )
+    else:
+        dl = view.read().groupBy(*keys).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    ).first()
+    n_docs = int(stats["n_docs"])
+    if n_docs == 0:
+        return p.select(*keys, F.lit(0.0).alias("score")).limit(0)
+    avgdl = float(stats["sum_dl"]) / float(n_docs)
+    idf = (
+        p.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+    )
+    contrib = (
+        p.join(F.broadcast(idf), "token")
+        .join(dl, keys)
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b)
+                   + F.lit(b) * F.col("dl") / F.lit(avgdl))
+            ),
+        )
+    )
+    return (
+        contrib.groupBy(*keys)
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), *[F.col(c) for c in keys])
+        .limit(k)
+    )
+
+
 def lookup_postings(view: LakeTable, terms: list[str]) -> DataFrame:
     """Posting rows for ``terms`` — a bucket- and zone-map-pruned point
     read (the index is bucketed by token; keep it compacted with

@@ -1092,6 +1092,58 @@ def q_text_index_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "doc_id", "tf")
 
 
+def q_text_index_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the MAINTAINED index stack — three composed
+    incremental views: documents CDC-fed → inverted index
+    (lake/indexview.py) → doc-length rollup (an ordinary agg view over
+    the index, sums=["tf"]).  After a change batch both views refresh
+    incrementally and ``search_bm25`` answers from pruned postings +
+    the rollup — no per-query corpus pass anywhere.  The oracle computes
+    Okapi BM25 one-shot in SQL from the folded final corpus with the
+    index's own tokenization."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+    from datax_spark.lake.indexview import (
+        create_index_view,
+        refresh_index_view,
+        search_bm25,
+    )
+
+    documents = _t(spark, sf_dir, "documents")
+    locs = [tempfile.mkdtemp(prefix=f"dx_bm25ix_{n}_")
+            for n in ("docs", "ix", "dl")]
+    for d in locs:
+        os.rmdir(d)
+    table = LakeTable.create(
+        spark, locs[0],
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("body", T.StringType()),
+        ]),
+        key_cols=["doc_id"], bucket_col="doc_id", num_buckets=8,
+    )
+    d = F.col("doc_id").cast("long")
+    table.overwrite(documents.select(
+        d.alias("doc_id"), F.col("text").alias("body"),
+    ))
+    view = create_index_view(table, locs[1], "body", num_buckets=8)
+    doclen = create_agg_view(view, locs[2], dims=["doc_id"], sums=["tf"],
+                             num_buckets=4)
+    changes = documents.filter((d % 7 == 0) | (d % 31 == 0)).select(
+        d.alias("doc_id"),
+        F.concat(F.lit("updated contents for document "),
+                 d.cast("string")).alias("body"),
+        (d + F.lit(10**9)).alias("lsn"),
+        F.when(d % 31 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    )
+    merge_into(table, changes, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None, keys_unique=True)
+    refresh_index_view(table, view)
+    refresh_agg_view(view, doclen)
+    return search_bm25(view, ["scan", "window", "updated"], k=20,
+                       doclen=doclen)
+
+
 def q_lake_purge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History-reaching key purge (lake/purge.py — right-to-be-forgotten):
     an orders table with three commits of history (base, %97 amount
@@ -4782,6 +4834,37 @@ FROM p
 WHERE token IN ('updated', 'document', 'scan', 'window')
 GROUP BY token, doc_id
 """
+_ORACLES["text_index_bm25"] = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN 'updated contents for document ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS body
+  FROM documents WHERE doc_id % 31 <> 0),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(body), '[a-z0-9]+')) AS term
+  FROM docs),
+postings AS (SELECT doc_id, term, count(*) AS tf
+             FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest(['scan', 'window', 'updated']) AS term),
+idf AS (SELECT term,
+               ln(1.0 + (s.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM postings JOIN q USING (term), stats s
+        GROUP BY term, s.n_docs),
+contrib AS (
+  SELECT p.doc_id,
+         i.idf * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS part
+  FROM postings p JOIN idf i USING (term)
+  JOIN dl d USING (doc_id), stats s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(sum(part), 6) AS score
+FROM contrib GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 20
+"""
 _ORACLES["lake_purge_key"] = """
 SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio,
        CAST(round(o_totalprice*100) AS BIGINT)
@@ -5023,6 +5106,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_index_view": q_text_index_view,
     "cdc_star_view": q_cdc_star_view,
     "cdc_view_pipeline": q_cdc_view_pipeline,
+    "text_index_bm25": q_text_index_bm25,
     # ---- round-4 additions (never driver-gated yet) ----
     "lake_snapshot_expiry": q_lake_snapshot_expiry,
     "sample_weighted": q_sample_weighted,

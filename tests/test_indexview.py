@@ -294,3 +294,31 @@ def test_tail_live_index_views(spark, tmp_path):
         for r in view.read().collect()
     )
     assert got == expected
+
+
+def test_search_bm25_doclen_view_matches_fallback(spark, tmp_path):
+    """BM25 with the incremental doc-length rollup equals BM25 with the
+    one-shot length aggregate, through a refresh cycle."""
+    from datax_spark.lake.aggview import create_agg_view, refresh_agg_view
+    from datax_spark.lake.indexview import search_bm25
+
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "spark merge scan scan", "insert"),
+                  (2, "scan window window", "insert"),
+                  (3, "merge window", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    doclen = create_agg_view(view, str(tmp_path / "dl"), dims=["doc_id"],
+                             sums=["tf"], num_buckets=2)
+    _merge(docs, [(2, "scan scan scan", "insert"), (3, "", "delete")],
+           lsn0=100)
+    refresh_index_view(docs, view)
+    refresh_agg_view(view, doclen)
+    a = [(r.doc_id, r.score) for r in
+         search_bm25(view, ["scan", "merge"], k=10, doclen=doclen)
+         .collect()]
+    b = [(r.doc_id, r.score) for r in
+         search_bm25(view, ["scan", "merge"], k=10).collect()]
+    assert a == b and len(a) == 2  # doc 3 deleted
+    with pytest.raises(ValueError, match="empty query"):
+        search_bm25(view, [])
