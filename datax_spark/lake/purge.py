@@ -43,6 +43,17 @@ Contract and safety:
   snapshot — history keeps its shape (same versions, same operations,
   same lineage); only the audit marker is a new commit.
 
+Derived views: purge REWRITES history in place, so it never appears in
+any changelog — a join/index view refreshed afterwards will NOT hear
+about it.  The operator purges each fact-keyed derived view with the
+SAME key predicate: views are ordinary LakeTables whose key columns
+include the doc/fact key (join views are keyed by the fact key; the
+index view by (token, doc_key) — the doc key is a key column, so the
+predicate is purge-legal), and refreshes keep working afterwards
+(pinned by ``test_purge_cascades_to_derived_views``).  Aggregate views
+hold only aggregates, not per-row data — out of redaction scope by
+construction.
+
 Reference analogue: none — DataX can only re-sync a source (the
 "purge" is re-running the job after the source deleted the rows,
 ``introduction.md:23-31``); a lake engine owns its history and must be

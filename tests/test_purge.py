@@ -214,3 +214,82 @@ def test_purge_sweeps_commits_landing_mid_purge(spark, tmp_path, monkeypatch):
         if v > 0:
             assert 1 not in _keys_at(t, v)
     assert 9 in _keys_at(t)
+
+
+def test_purge_cascades_to_derived_views(spark, tmp_path):
+    """Purge bypasses the changelog (history is rewritten in place), so a
+    derived view never hears about it through refresh — the operator
+    purges each fact-keyed view with the SAME key predicate.  Views are
+    ordinary LakeTables whose keys include the doc/fact key, so
+    purge_rows applies verbatim; afterwards ordinary refreshes keep
+    working."""
+    from datax_spark.lake.indexview import (
+        create_index_view,
+        refresh_index_view,
+    )
+    from datax_spark.lake.joinview import (
+        create_join_view,
+        refresh_join_view,
+    )
+
+    docs = LakeTable.create(
+        spark, str(tmp_path / "docs"),
+        schema=T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fk", T.LongType()),
+            T.StructField("body", T.StringType()),
+        ]),
+        key_cols=["doc_id"], bucket_col="doc_id", num_buckets=4,
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([
+            T.StructField("dk", T.LongType()),
+            T.StructField("seg", T.StringType()),
+        ]),
+        key_cols=["dk"], bucket_col="dk", num_buckets=2,
+    )
+
+    def merge_docs(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(doc_id=d, fk=fk, body=b, op=op, lsn=lsn0 + i)
+             for i, (d, fk, b, op) in enumerate(rows)],
+            "doc_id long, fk long, body string, op string, lsn long",
+        )
+        merge_into(docs, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    dimdf = spark.createDataFrame(
+        [Row(dk=1, seg="A", op="insert", lsn=0),
+         Row(dk=2, seg="B", op="insert", lsn=1)],
+        "dk long, seg string, op string, lsn long",
+    )
+    merge_into(dim, dimdf, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+    merge_docs([(1, 1, "secret user data", "insert"),
+                (2, 2, "public info", "insert"),
+                (3, 1, "more text", "insert")], lsn0=0)
+    ix = create_index_view(docs, str(tmp_path / "ix"), "body",
+                           num_buckets=4)
+    jv = create_join_view(docs, dim, str(tmp_path / "jv"),
+                          on={"fk": "dk"}, num_buckets=2)
+
+    # right-to-be-forgotten for doc 1: base + every fact-keyed view,
+    # same predicate (doc_id is a key column of all three tables)
+    pred = [("doc_id", "=", 1)]
+    assert purge_rows(docs, pred)["rows_purged"] == 1
+    assert purge_rows(ix, pred)["rows_purged"] == 3  # secret/user/data
+    assert purge_rows(jv, pred)["rows_purged"] == 1
+
+    assert 1 not in {r.doc_id for r in docs.read().collect()}
+    assert not [r for r in ix.read().collect() if r.doc_id == 1]
+    assert "secret" not in {r.token for r in ix.read().collect()}
+    assert 1 not in {r.doc_id for r in jv.read().collect()}
+
+    # the pipeline keeps working after the purge
+    merge_docs([(4, 2, "fresh doc", "insert")], lsn0=100)
+    assert refresh_index_view(docs, ix)["applied"]
+    assert refresh_join_view(docs, dim, jv)["applied"]
+    toks = {(r.token, r.doc_id) for r in ix.read().collect()}
+    assert ("fresh", 4) in toks and not [t for t in toks if t[1] == 1]
+    assert {r.doc_id for r in jv.read().collect()} == {2, 3, 4}
