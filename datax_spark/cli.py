@@ -293,21 +293,30 @@ def _search_cmd(args) -> int:
     view = LakeTable(spark, args.index)
     try:
         spec = _spec(view)
+        if args.bm25:
+            from datax_spark.lake.indexview import search_bm25
+
+            doclen = (LakeTable(spark, args.doclen)
+                      if args.doclen else None)
+            hits = search_bm25(view, args.terms, k=args.topk,
+                               doclen=doclen)
+        else:
+            keys = list(spec["doc_keys"])
+            hits = (
+                lookup_postings(view, args.terms)
+                .groupBy(*keys)
+                .agg(F.countDistinct("token").alias("matched"),
+                     F.sum("tf").alias("score"))
+                .orderBy(F.col("matched").desc(), F.col("score").desc(),
+                         *[F.col(k) for k in keys])
+                .limit(args.topk)
+            )
     except ValueError as e:
         print(json.dumps({"ok": False, "error": str(e)}))
         return 2
-    keys = list(spec["doc_keys"])
-    hits = (
-        lookup_postings(view, args.terms)
-        .groupBy(*keys)
-        .agg(F.countDistinct("token").alias("matched"),
-             F.sum("tf").alias("score"))
-        .orderBy(F.col("matched").desc(), F.col("score").desc(),
-                 *[F.col(k) for k in keys])
-        .limit(args.topk)
-    )
     print(json.dumps({
         "ok": True, "index": args.index, "terms": args.terms,
+        "ranking": "bm25" if args.bm25 else "tf",
         "hits": [r.asDict() for r in hits.collect()],
     }, default=str))
     return 0
@@ -529,6 +538,13 @@ def main(argv: list[str] | None = None) -> int:
     srch.add_argument("index", help="index view location (lake/indexview)")
     srch.add_argument("terms", nargs="+", help="query terms")
     srch.add_argument("--topk", type=int, default=10)
+    srch.add_argument("--bm25", action="store_true",
+                      help="rank by Okapi BM25 instead of matched-term "
+                           "count + summed tf")
+    srch.add_argument("--doclen", default=None, metavar="PATH",
+                      help="doc-length rollup view (an agg view over the "
+                           "index, sums=['tf']) — avoids the one-shot "
+                           "length aggregate on a big index")
     srch.add_argument("--cores", default=None)
 
     dlq = sub.add_parser(

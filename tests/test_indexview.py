@@ -322,3 +322,24 @@ def test_search_bm25_doclen_view_matches_fallback(spark, tmp_path):
     assert a == b and len(a) == 2  # doc 3 deleted
     with pytest.raises(ValueError, match="empty query"):
         search_bm25(view, [])
+
+
+def test_cli_search_bm25_mode(spark, tmp_path, capsys):
+    import json as _json
+
+    from datax_spark import cli
+    from datax_spark.lake.aggview import create_agg_view
+
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "spark spark shuffle", "insert"),
+                  (2, "spark shuffle merge", "insert")], lsn0=0)
+    view = create_index_view(docs, str(tmp_path / "ix"), "body",
+                             num_buckets=4)
+    create_agg_view(view, str(tmp_path / "dl"), dims=["doc_id"],
+                    sums=["tf"], num_buckets=2)
+    rc = cli.main(["search", str(tmp_path / "ix"), "spark", "--bm25",
+                   "--doclen", str(tmp_path / "dl"), "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] and out["ranking"] == "bm25"
+    assert [h["doc_id"] for h in out["hits"]] == [1, 2]  # tf 2 beats 1
+    assert all("score" in h for h in out["hits"])

@@ -740,3 +740,64 @@ def test_view_matches_one_shot_join_for_random_churn(
         apply_chunk(events[n:], lsn0=1000)
         refresh_join_view(fact, dim, view)
     assert _state(view) == _expected(fact, dim, how)
+
+
+def test_composite_foreign_key_join(spark, tmp_path):
+    """A dim keyed by TWO columns joins on a two-column fk map; dim-side
+    churn reverse-looks-up through the composite key."""
+    fact = LakeTable.create(
+        spark, str(tmp_path / "fact"),
+        schema=T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("fka", T.LongType()),
+            T.StructField("fkb", T.StringType()),
+            T.StructField("amt", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_col="k", num_buckets=2,
+    )
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([
+            T.StructField("da", T.LongType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("seg", T.StringType()),
+        ]),
+        key_cols=["da", "db"], bucket_col="da", num_buckets=2,
+    )
+    dimdf = spark.createDataFrame(
+        [Row(da=a, db=b, seg=f"{a}{b}", op="insert", lsn=i)
+         for i, (a, b) in enumerate([(1, "x"), (1, "y"), (2, "x")])],
+        "da long, db string, seg string, op string, lsn long",
+    )
+    merge_into(dim, dimdf, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+    factdf = spark.createDataFrame(
+        [Row(k=10, fka=1, fkb="x", amt=100, op="insert", lsn=0),
+         Row(k=11, fka=1, fkb="y", amt=200, op="insert", lsn=1),
+         Row(k=12, fka=2, fkb="y", amt=300, op="insert", lsn=2)],
+        "k long, fka long, fkb string, amt long, op string, lsn long",
+    )
+    merge_into(fact, factdf, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+    view = create_join_view(fact, dim, str(tmp_path / "v"),
+                            on={"fka": "da", "fkb": "db"}, how="left",
+                            num_buckets=2)
+
+    def state():
+        return sorted((r.k, r.seg) for r in view.read().collect())
+
+    assert state() == [(10, "1x"), (11, "1y"), (12, None)]
+    # composite-key dim churn: update (1,x), delete (1,y), insert (2,y)
+    merge_into(dim, spark.createDataFrame(
+        [Row(da=1, db="x", seg="1x2", op="insert", lsn=100),
+         Row(da=1, db="y", seg="", op="delete", lsn=101),
+         Row(da=2, db="y", seg="2y", op="insert", lsn=102)],
+        "da long, db string, seg string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+    out = refresh_join_view(fact, dim, view)
+    assert out["applied"] and out["affected"] == 3
+    assert state() == [(10, "1x2"), (11, None), (12, "2y")]
+    # a partial on-map (not covering the whole dim key) is refused
+    with pytest.raises(ValueError, match="key columns"):
+        create_join_view(fact, dim, str(tmp_path / "v2"),
+                         on={"fka": "da"})
