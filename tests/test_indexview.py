@@ -343,3 +343,90 @@ def test_cli_search_bm25_mode(spark, tmp_path, capsys):
     assert rc == 0 and out["ok"] and out["ranking"] == "bm25"
     assert [h["doc_id"] for h in out["hits"]] == [1, 2]  # tf 2 beats 1
     assert all("score" in h for h in out["hits"])
+
+
+# ------------------------------------------------------ property-based churn
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+doc_churn = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "delete"]),
+        st.integers(0, 4),                                   # doc key
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),  # tokens
+                 min_size=0, max_size=5),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@given(events=doc_churn, cut=st.integers(1, 8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+def test_index_matches_direct_tokenization_for_random_churn(
+    spark, tmp_path_factory, events, cut
+):
+    """Any doc insert/delete interleaving with repeated tokens and tf
+    changes, split at an arbitrary refresh boundary, leaves the index
+    equal to direct tokenization of the final snapshot."""
+    tmp = tmp_path_factory.mktemp("ixprop")
+    docs = _mk(spark, tmp)
+    view = create_index_view(docs, str(tmp / "ix"), "body", num_buckets=2)
+
+    def apply_chunk(chunk, lsn0):
+        _merge(docs, [(k, " ".join(toks), op) for op, k, toks in chunk],
+               lsn0=lsn0)
+
+    n = max(1, min(cut, len(events)))
+    apply_chunk(events[:n], lsn0=100)
+    refresh_index_view(docs, view)
+    if events[n:]:
+        apply_chunk(events[n:], lsn0=1000)
+        refresh_index_view(docs, view)
+    assert _state(view) == _expected(docs)
+
+
+def test_fact_schema_evolution_under_views(spark, tmp_path):
+    """A column added to the fact table mid-life must not break view
+    refreshes: the join view keeps its declared output columns (the new
+    column is simply not part of the view), and the index view keeps
+    indexing its content column."""
+    from datax_spark.lake.joinview import (
+        create_join_view,
+        refresh_join_view,
+    )
+
+    docs = _mk(spark, tmp_path)
+    _merge(docs, [(1, "alpha beta", "insert")], lsn0=0)
+    ix = create_index_view(docs, str(tmp_path / "ix"), "body",
+                           num_buckets=2)
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"),
+        schema=T.StructType([
+            T.StructField("dk", T.LongType()),
+            T.StructField("seg", T.StringType()),
+        ]),
+        key_cols=["dk"], bucket_col="dk", num_buckets=2,
+    )
+    merge_into(dim, spark.createDataFrame(
+        [Row(dk=1, seg="A", op="insert", lsn=0)],
+        "dk long, seg string, op string, lsn long",
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None)
+    # evolve the fact schema mid-life (a new column arrives with the
+    # change batch; merge_into's evolve_schema widens the table)
+    df = spark.createDataFrame(
+        [Row(doc_id=2, body="beta gamma", extra="NEW", op="insert",
+             lsn=10)],
+        "doc_id long, body string, extra string, op string, lsn long",
+    )
+    merge_into(docs, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)  # evolve_schema=True adds `extra`
+    assert "extra" in [f.name for f in docs.schema().fields]
+    out = refresh_index_view(docs, ix)
+    assert out["applied"]
+    got = {(r.token, r.doc_id) for r in ix.read().collect()}
+    assert ("gamma", 2) in got and ("alpha", 1) in got
