@@ -105,10 +105,28 @@ def _maintain_cmd(args) -> int:
         sch = {f.name: f.dataType.simpleString() for f in t.schema().fields}
 
         def coerce(c, vals):
-            if sch.get(c) in ("bigint", "int", "smallint", "tinyint"):
+            dt = sch.get(c)
+            if dt in ("bigint", "int", "smallint", "tinyint"):
                 vals = [int(v) for v in vals]
-            elif sch.get(c) in ("double", "float"):
+            elif dt in ("double", "float"):
                 vals = [float(v) for v in vals]
+            elif dt == "boolean":
+                lut = {"true": True, "1": True, "false": False, "0": False}
+                try:
+                    vals = [lut[v.lower()] for v in vals]
+                except KeyError:
+                    raise ValueError(
+                        f"--purge {c}=... wants true/false for a boolean "
+                        f"column, got {vals!r}") from None
+            elif dt is not None and dt != "string":
+                # date/decimal/binary/... key equality needs a typed value
+                # the shell can't spell unambiguously — surface a contract
+                # error instead of letting a str-vs-typed comparison blow
+                # up inside zone-map pruning
+                raise ValueError(
+                    f"--purge on {c} ({dt}) is not supported from the CLI "
+                    "— call datax_spark.lake.purge.purge_rows() with a "
+                    "typed value")
             return (c, "=", vals[0]) if len(vals) == 1 else (c, "in", vals)
         try:
             res = purge_rows(t, [coerce(c, vs) for c, vs in by_col.items()])

@@ -57,6 +57,7 @@ the right answer regardless of how many changes the ranges held.
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,6 +89,28 @@ def _spec(view: LakeTable) -> dict:
             "table has no joinview spec — create it with create_join_view()"
         )
     return json.loads(raw)
+
+
+def _check_tables(spec: dict, left: LakeTable,
+                  rights: list[LakeTable]) -> None:
+    """Refuse upstreams that are not the tables the view was created over,
+    in spec order.  Watermark COUNT alone can't catch two dims passed
+    swapped (or the wrong tables) whose key column names coincide — that
+    would silently fold dim A's changelog through dim B's join mapping.
+    Specs written before locations were recorded skip the check."""
+    exp = spec.get("left_location")
+    if exp is not None and os.path.abspath(left.location) != exp:
+        raise ValueError(
+            f"view was created over fact table {exp!r} but "
+            f"{left.location!r} was passed as the fact"
+        )
+    for i, (r, rt) in enumerate(zip(spec["rights"], rights)):
+        exp = r.get("location")
+        if exp is not None and os.path.abspath(rt.location) != exp:
+            raise ValueError(
+                f"rights[{i}] is {rt.location!r} but the view was created "
+                f"over {exp!r} — pass the SAME dim tables, in spec order"
+            )
 
 
 def _watermarks(view: LakeTable, n_rights: int) -> tuple[int, list[int]]:
@@ -222,11 +245,16 @@ def create_star_view(
             # nullability: a left-join miss writes null
             fields.append(T.StructField(out_c, rnames[src].dataType, True))
         spec_rights.append({"on": dict(on), "right_cols": dict(right_cols),
-                            "how": how})
+                            "how": how,
+                            # identity pin: refresh/lag verify the SAME
+                            # tables come back in spec order
+                            "location": os.path.abspath(right.location),
+                            "key_cols": sorted(rm.key_cols)})
     spec = {
         "rights": spec_rights,
         "mode": mode,
         "out_cols": [f.name for f in fields],
+        "left_location": os.path.abspath(left.location),
     }
     try:
         view = LakeTable.create(
@@ -285,6 +313,7 @@ def star_view_lag(left: LakeTable, rights: list[LakeTable],
                   view: LakeTable) -> dict:
     """Staleness of the view vs every upstream — monitoring surface."""
     spec = _spec(view)
+    _check_tables(spec, left, rights)
     wl, wrs = _watermarks(view, len(spec["rights"]))
     return {
         "left_watermark": wl,
@@ -322,6 +351,7 @@ def refresh_star_view(
     ``"skip"`` is passed (and then its rewrites are NOT folded, exactly
     like the mirror's contract)."""
     spec = _spec(view)
+    _check_tables(spec, left, rights)
     wl, wrs = _watermarks(view, len(rights))
     cl = left.current_version()
     crs = [t.current_version() for t in rights]

@@ -28,12 +28,17 @@ Contract and safety:
 - deletion-vector history is refused loudly: dv masks address base-file
   ROW POSITIONS, and dropping rows from a base file would shift every
   later position.  Compact + expire the dv snapshots first.
-- an administrative operation: quiesce writers for a hard guarantee.  A
-  commit racing the manifest rewrite is handled best-effort (a final
-  sweep rewrites versions that appeared mid-purge before originals are
-  deleted), but an in-flight commit landing after the sweep could still
-  reference a deleted file — re-run purge (idempotent) if verify_files
-  reports missing paths after a raced purge.
+- writers are FENCED for the duration: purge sets the ``purge_active``
+  table property before touching any manifest, and ``_write_manifest``
+  refuses every data commit that carries it (``PurgeActive``) — a writer
+  whose base predates the fence hits ``CommitConflict`` on its claim,
+  rebases onto the fenced manifest, and is refused there, so no commit
+  can land referencing files the purge is deleting.  The pre-existing
+  best-effort sweep still runs (it covers commits that landed BEFORE the
+  fence version).  The fence clears in the same properties commit as the
+  audit marker, after originals are removed; after a crash mid-purge the
+  fence stays up and a re-run (idempotent) finishes the job and clears
+  it.
 - crash-safe by re-run: originals are deleted only after every manifest
   is rewritten, so a crash mid-purge leaves all snapshots readable
   (some already purged, some not); re-running finds the remaining
@@ -71,6 +76,7 @@ from typing import Any
 from pyspark.sql import functions as F
 
 from datax_spark.lake.table import (
+    PURGE_ACTIVE_PROP,
     LakeTable,
     _bloom_may_match,
     _file_column_stats,
@@ -87,8 +93,6 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
     every retained historical snapshot.  See the module docstring for the
     contract.  Returns ``{"files_scanned", "files_rewritten",
     "files_dropped", "rows_purged", "versions_rewritten"}``."""
-    import pyarrow.parquet as pq
-
     preds = _normalize_preds(where)
     if not preds:
         raise ValueError("purge_rows requires at least one predicate")
@@ -101,6 +105,43 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
             f"(got {sorted(set(bad))}; keys are {sorted(keyset)}) — "
             "non-key predicates are undecidable on partial-update rows"
         )
+    # fence writers BEFORE reading any manifest state: every data commit
+    # from here to the final audit+clear commit raises PurgeActive at the
+    # commit point (table._write_manifest), including writers whose base
+    # predates the fence (their version claim conflicts → rebase onto the
+    # fenced manifest → refused).  A re-run after a crash finds the fence
+    # already up and proceeds (idempotent resume).
+    if not cur.properties.get(PURGE_ACTIVE_PROP):
+        from datax_spark.lake.catalog import CommitConflict
+
+        fence = {PURGE_ACTIVE_PROP: {
+            "at": time.time(),
+            "where": [[c, op, _jsonable(v)] for c, op, v in preds],
+        }}
+        for attempt in range(5):
+            try:
+                table.set_properties(**fence)
+                break
+            except CommitConflict:
+                # a writer won the version claim — rebase (set_properties
+                # re-reads the base) and try again; after the fence lands
+                # no further data commit can race
+                if attempt == 4:
+                    raise
+        cur = table.manifest()
+    try:
+        return _purge_fenced(table, preds, cur)
+    except BaseException:
+        # a refused purge (e.g. dv history) must not leave writers fenced;
+        # manifests rewritten so far are a valid partial purge (every
+        # snapshot stays readable) and a re-run finishes the job
+        table.set_properties(**{PURGE_ACTIVE_PROP: None})
+        raise
+
+
+def _purge_fenced(table: LakeTable, preds: list[tuple], cur) -> dict:
+    import pyarrow.parquet as pq
+
     versions = table.catalog.list_versions()
     manifests = {v: table.manifest(v) for v in versions}
     # candidate files: union over all retained snapshots, stat/bloom-pruned
@@ -184,8 +225,10 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
                         changed = True
                         if r is None:
                             continue  # every row purged — drop the entry
-                        # keep THIS manifest's schema_id/kind, swap the rest
-                        ne = list(r)
+                        # keep THIS manifest's schema_id/kind, swap the
+                        # rest; pad short pre-stats entries ([path,
+                        # schema_id]) to the 3-wide shape first
+                        ne = list(r) + [None] * max(0, 3 - len(r))
                         ne[1], ne[2] = e[1], (e[2] if len(e) > 2 else "base")
                         out.append(ne)
                     else:
@@ -218,20 +261,24 @@ def purge_rows(table: LakeTable, where: list[tuple]) -> dict:
         "rows_purged": int(rows_purged),
         "versions_rewritten": versions_rewritten,
     }
-    # audit marker (ordinary properties commit — the only version bump)
-    table.set_properties(**{PURGE_AUDIT_PROP: {
-        "at": time.time(),
-        "where": [[c, op, _jsonable(v)] for c, op, v in preds],
-        **out,
-    }})
-    # originals go last: every manifest already points at the rewrites, so
-    # a crash before this line costs orphan files (vacuum's job), never a
-    # broken snapshot
+    # originals first: every manifest already points at the rewrites, so a
+    # crash here costs orphan files (vacuum's job) or a re-run that finds
+    # nothing left to purge — never a broken snapshot
     for relpath in replacements:
         try:
             os.remove(os.path.join(table.location, relpath))
         except OSError:
             pass
+    # audit marker + fence clear in ONE properties commit, after originals
+    # are gone — the fence drops only when no deleted file can be raced
+    table.set_properties(**{
+        PURGE_AUDIT_PROP: {
+            "at": time.time(),
+            "where": [[c, op, _jsonable(v)] for c, op, v in preds],
+            **out,
+        },
+        PURGE_ACTIVE_PROP: None,
+    })
     return out
 
 

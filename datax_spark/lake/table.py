@@ -83,6 +83,21 @@ DV_POS_COL = "__pos"
 PRESENT_COL = "__present"
 # File kinds whose rows defer key-merge work to read time.
 DELTA_KINDS = ("delta", "pdelta")
+# While a purge (lake/purge.py) rewrites history, this property fences data
+# commits: a racing writer could commit entries referencing pre-purge files
+# that the purge is about to delete.  Property-only commits stay allowed
+# (the fence itself, and purge's audit+clear commit).
+PURGE_ACTIVE_PROP = "purge_active"
+
+
+class PurgeActive(RuntimeError):
+    """A purge is rewriting this table's history; data commits are fenced.
+
+    Raised at the commit point, so a writer that read its base manifest
+    before the fence landed is still refused (its first commit attempt
+    rebases onto the fenced manifest).  Re-running the purge to completion
+    clears the fence; after a crashed purge, a re-run is idempotent and
+    also clears it."""
 
 # Safe implicit widenings (DataX analogue: LongColumn stores BigInteger and
 # DoubleColumn keeps the string form until cast — common/src/main/java/com/
@@ -588,6 +603,13 @@ class LakeTable:
         return Manifest.from_json(self.catalog.read_manifest(v))
 
     def _write_manifest(self, m: Manifest) -> None:
+        if m.properties.get(PURGE_ACTIVE_PROP) and m.operation != "properties":
+            raise PurgeActive(
+                f"table {self.location} is fenced by an active purge "
+                f"({m.properties[PURGE_ACTIVE_PROP]}); retry after it "
+                "completes, or re-run purge_rows (idempotent) to finish a "
+                "crashed one and clear the fence"
+            )
         m.committed_at = time.time()
         # the catalog's atomic claim IS the commit point: data visible and
         # lineage recorded in one event (CommitConflict = rebase + retry)

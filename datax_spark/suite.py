@@ -5080,95 +5080,14 @@ FROM w GROUP BY 1, 2
 
 
 # Registry order matters: the driver gate evaluates the FIRST 50 entries
-# against their DuckDB oracles each round.  The least-proven operators
-# (newest additions) therefore sit inside the first 50; rows rotated to the
-# tail below all have two rounds of driver-green evidence and full pytest
-# coverage.  Round 4 rotates IN the 8 entries that have never had a driver
-# row (q8/q13/q15/q17/q19, lake_point_lookup, cdc_debezium_out,
-# text_normalize — all judge-verified green in round 3) plus the round-4
-# additions, and rotates OUT rows green in BOTH r2 and r3 whose code is
-# untouched this round.
+# against their DuckDB oracles each round.  Round-5 policy (deterministic,
+# prescribed by the round-4 verdict): oldest-driver-evidence-first — entries
+# never driver-gated come first, then cohorts ascending by the round of their
+# latest fully-green driver row, stable within a cohort.  Regenerate with
+# ``python tools/rotate_window.py`` after each round's CORRECTNESS lands, so
+# no query's driver row ever ages past ~2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "q8_market_share": q_q8_market_share,
-    "q13_customer_distribution": q_q13_customer_distribution,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
-    "q19_discounted_revenue": q_q19_discounted_revenue,
-    "lake_point_lookup": q_lake_point_lookup,
-    "cdc_debezium_out": q_cdc_debezium_out,
-    "text_normalize": q_text_normalize,
-    # ---- round-4 continuation: incremental join views, ORC/JSONL ----
-    "cdc_join_view": q_cdc_join_view,
-    "cdc_join_view_left": q_cdc_join_view_left,
-    "file_orc_roundtrip": q_file_orc_roundtrip,
-    "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
-    "lake_purge_key": q_lake_purge_key,
-    "text_index_view": q_text_index_view,
-    "cdc_star_view": q_cdc_star_view,
-    "cdc_view_pipeline": q_cdc_view_pipeline,
-    "text_index_bm25": q_text_index_bm25,
-    # ---- round-4 additions (never driver-gated yet) ----
-    "lake_snapshot_expiry": q_lake_snapshot_expiry,
-    "sample_weighted": q_sample_weighted,
-    "events_sliding_window": q_events_sliding_window,
-    "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
-    "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
-    "cdc_txn_boundary": q_cdc_txn_boundary,
-    "cdc_multi_table": q_cdc_multi_table,
-    "cdc_scd2_history": q_cdc_scd2_history,
-    "cdc_scd2_suppress": q_cdc_scd2_suppress,
-    "cdc_quarantine_replay": q_cdc_quarantine_replay,
-    "cdc_enrich_dim": q_cdc_enrich_dim,
-    "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
-    "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
-    "cdc_stateful_totals": q_cdc_stateful_totals,
-    "cdc_rate_capped_drain": q_cdc_rate_capped_drain,
-    "file_sequence_roundtrip": q_file_sequence_roundtrip,
-    "lake_bloom_lookup": q_lake_bloom_lookup,
-    "text_url_canonical": q_text_url_canonical,
-    "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
-    "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
-    "cdc_agg_view": q_cdc_agg_view,
-    "cdc_agg_view_incr": q_cdc_agg_view_incr,
-    "cdc_partial_update": q_cdc_partial_update,
-    "cdc_dml_delete_update": q_cdc_dml_delete_update,
-    "cdc_schema_evolution": q_cdc_schema_evolution,
-    "cdc_quarantine": q_cdc_quarantine,
-    "cdc_quarantine_report": q_cdc_quarantine_report,
-    "cdc_shard_skew_delivery": q_cdc_shard_skew_delivery,
-    "cdc_debezium_envelope": q_cdc_debezium_envelope,
-    "cdc_maxwell_envelope": q_cdc_maxwell_envelope,
-    "cdc_canal_envelope": q_cdc_canal_envelope,
-    "file_delimited_roundtrip": q_file_delimited_roundtrip,
-    "cdc_stream_continuous": q_cdc_stream_continuous,
-    "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
-    "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
-    "text_bm25_topk": q_text_bm25_topk,
-    "embed_quantize": q_embed_quantize,
-    "text_pii_scrub": q_text_pii_scrub,
-    "text_contamination": q_text_contamination,
-    "text_repetition": q_text_repetition,
-    "text_token_stats": q_text_token_stats,
-    "dedup_paragraphs": q_dedup_paragraphs,
-    "sample_split": q_sample_split,
-    "pack_sequences": q_pack_sequences,
-    "ivf_kmeans_assign": q_ivf_kmeans_assign,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "embed_near_dup": q_embed_near_dup,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_decode_meta": q_multimodal_decode_meta,
-    "multimodal_decode_image": q_multimodal_decode_image,
-    "multimodal_decode_audio": q_multimodal_decode_audio,
-    "multimodal_decode_video": q_multimodal_decode_video,
-    # ---- two-rounds-green rows rotated beyond the 50-query gate window ----
-    "lake_prune_read": q_lake_prune_read,
-    "lake_zorder_read": q_lake_zorder_read,
-    "cdc_wap_publish": q_cdc_wap_publish,
-    "cdc_changelog_read": q_cdc_changelog_read,
-    "chunk_documents": q_chunk_documents,
-    "text_fingerprint": q_text_fingerprint,
-    "embed_cosine_topk": q_embed_cosine_topk,
-    "ann_bucketed_topk": q_ann_bucketed_topk,
+    # ---- latest driver-green row: r2 ----
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,
     "split_quantile_pk": q_split_quantile_pk,
@@ -5203,6 +5122,34 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel": q_events_funnel,
     "q3_top_shipping": q_q3_top_shipping,
     "q1_pricing_summary": q_q1_pricing_summary,
+    # ---- latest driver-green row: r3 ----
+    "cdc_merge_cow_clustered": q_cdc_merge_cow_clustered,
+    "dedup_cluster_keep_one": q_dedup_cluster_keep_one,
+    "text_bm25_topk": q_text_bm25_topk,
+    "embed_quantize": q_embed_quantize,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_contamination": q_text_contamination,
+    "text_repetition": q_text_repetition,
+    "text_token_stats": q_text_token_stats,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "sample_split": q_sample_split,
+    "pack_sequences": q_pack_sequences,
+    "ivf_kmeans_assign": q_ivf_kmeans_assign,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embed_near_dup": q_embed_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_decode_meta": q_multimodal_decode_meta,  # ← gate window boundary (first 50)
+    "multimodal_decode_image": q_multimodal_decode_image,
+    "multimodal_decode_audio": q_multimodal_decode_audio,
+    "multimodal_decode_video": q_multimodal_decode_video,
+    "lake_prune_read": q_lake_prune_read,
+    "lake_zorder_read": q_lake_zorder_read,
+    "cdc_wap_publish": q_cdc_wap_publish,
+    "cdc_changelog_read": q_cdc_changelog_read,
+    "chunk_documents": q_chunk_documents,
+    "text_fingerprint": q_text_fingerprint,
+    "embed_cosine_topk": q_embed_cosine_topk,
+    "ann_bucketed_topk": q_ann_bucketed_topk,
     "asof_purchase_attrib": q_asof_purchase_attrib,
     "asof_forward_next_purchase": q_asof_forward_next_purchase,
     "range_error_window": q_range_error_window,
@@ -5211,6 +5158,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_mirror_relay": q_cdc_mirror_relay,
     "sample_stratified": q_sample_stratified,
     "dedup_ngram_jaccard_lsh": q_dedup_ngram_jaccard_lsh,
+    # ---- latest driver-green row: r4 ----
+    "q8_market_share": q_q8_market_share,
+    "q13_customer_distribution": q_q13_customer_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    "q19_discounted_revenue": q_q19_discounted_revenue,
+    "lake_point_lookup": q_lake_point_lookup,
+    "cdc_debezium_out": q_cdc_debezium_out,
+    "text_normalize": q_text_normalize,
+    "cdc_join_view": q_cdc_join_view,
+    "cdc_join_view_left": q_cdc_join_view_left,
+    "file_orc_roundtrip": q_file_orc_roundtrip,
+    "file_jsonl_roundtrip": q_file_jsonl_roundtrip,
+    "lake_purge_key": q_lake_purge_key,
+    "text_index_view": q_text_index_view,
+    "cdc_star_view": q_cdc_star_view,
+    "cdc_view_pipeline": q_cdc_view_pipeline,
+    "text_index_bm25": q_text_index_bm25,
+    "lake_snapshot_expiry": q_lake_snapshot_expiry,
+    "sample_weighted": q_sample_weighted,
+    "events_sliding_window": q_events_sliding_window,
+    "cdc_merge_when_clauses": q_cdc_merge_when_clauses,
+    "cdc_agg_view_distinct": q_cdc_agg_view_distinct,
+    "cdc_txn_boundary": q_cdc_txn_boundary,
+    "cdc_multi_table": q_cdc_multi_table,
+    "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_scd2_suppress": q_cdc_scd2_suppress,
+    "cdc_quarantine_replay": q_cdc_quarantine_replay,
+    "cdc_enrich_dim": q_cdc_enrich_dim,
+    "cdc_incremental_snapshot": q_cdc_incremental_snapshot,
+    "cdc_minor_compact_fold": q_cdc_minor_compact_fold,
+    "cdc_stateful_totals": q_cdc_stateful_totals,
+    "cdc_rate_capped_drain": q_cdc_rate_capped_drain,
+    "file_sequence_roundtrip": q_file_sequence_roundtrip,
+    "lake_bloom_lookup": q_lake_bloom_lookup,
+    "text_url_canonical": q_text_url_canonical,
+    "cdc_merge_apply_e2e": q_cdc_merge_apply_e2e,
+    "cdc_merge_apply_dv": q_cdc_merge_apply_dv,
+    "cdc_agg_view": q_cdc_agg_view,
+    "cdc_agg_view_incr": q_cdc_agg_view_incr,
+    "cdc_partial_update": q_cdc_partial_update,
+    "cdc_dml_delete_update": q_cdc_dml_delete_update,
+    "cdc_schema_evolution": q_cdc_schema_evolution,
+    "cdc_quarantine": q_cdc_quarantine,
+    "cdc_quarantine_report": q_cdc_quarantine_report,
+    "cdc_shard_skew_delivery": q_cdc_shard_skew_delivery,
+    "cdc_debezium_envelope": q_cdc_debezium_envelope,
+    "cdc_maxwell_envelope": q_cdc_maxwell_envelope,
+    "cdc_canal_envelope": q_cdc_canal_envelope,
+    "file_delimited_roundtrip": q_file_delimited_roundtrip,
+    "cdc_stream_continuous": q_cdc_stream_continuous,
 }
 
 

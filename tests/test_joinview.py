@@ -570,6 +570,51 @@ def test_star_view_two_dims_tracks_all_sides(spark, tmp_path):
         refresh_star_view(fact, [dim1], view)
 
 
+def test_refresh_rejects_wrong_or_swapped_tables(spark, tmp_path):
+    """The spec pins each upstream's LOCATION at create time; a refresh
+    (or lag probe) passed different tables — or the right tables in the
+    wrong order, even with coincidentally matching key column names — is
+    refused instead of silently folding dim A's changelog through dim B's
+    join mapping (round-4 advisor finding, joinview.py)."""
+    from datax_spark.lake.joinview import (
+        create_star_view,
+        refresh_star_view,
+        star_view_lag,
+    )
+
+    fact, dim1 = _mk(spark, tmp_path)
+    # a second dim with the SAME schema and key name as dim1
+    dim2 = LakeTable.create(
+        spark, str(tmp_path / "dim2"), schema=DIM_SCHEMA, key_cols=["dk"],
+        bucket_col="dk", num_buckets=4,
+    )
+    _merge_fact(fact, [(1, 10, 5, "insert")], lsn0=0)
+    _merge_dim(dim1, [(10, "big", "insert")], lsn0=0)
+    _merge_dim(dim2, [(10, "emea", "insert")], lsn0=0)
+    view = create_star_view(
+        fact,
+        [{"table": dim1, "on": {"fk": "dk"},
+          "right_cols": {"seg": "seg"}},
+         {"table": dim2, "on": {"fk": "dk"},
+          "right_cols": {"seg2": "seg"}}],
+        str(tmp_path / "v"),
+    )
+    # swapped dims: same count, same key names — must be refused
+    with pytest.raises(ValueError, match="SAME dim tables"):
+        refresh_star_view(fact, [dim2, dim1], view)
+    with pytest.raises(ValueError, match="SAME dim tables"):
+        star_view_lag(fact, [dim2, dim1], view)
+    # wrong fact table
+    with pytest.raises(ValueError, match="fact"):
+        refresh_star_view(dim1, [dim1, dim2], view)
+    # the right tables in spec order still work
+    _merge_dim(dim1, [(10, "small", "insert")], lsn0=100)
+    out = refresh_star_view(fact, [dim1, dim2], view)
+    assert out["applied"]
+    rows = view.read().collect()
+    assert [(r["seg"], r["seg2"]) for r in rows] == [("small", "emea")]
+
+
 def test_star_view_rejects_snowflake_join(spark, tmp_path):
     """A dim joining on another dim's output (snowflake) is out of
     contract: join columns must be FACT columns."""

@@ -186,34 +186,162 @@ def test_cli_maintain_purge(spark, tmp_path, capsys):
     assert rc == 2 and "key columns only" in out["error"]
 
 
-def test_purge_sweeps_commits_landing_mid_purge(spark, tmp_path, monkeypatch):
-    """A commit racing the purge (written after the manifest capture,
-    before originals are deleted) references pre-purge files; the final
-    sweep must rewrite it too, so no retained manifest points at a
-    deleted file."""
-    import datax_spark.lake.purge as P
+def test_cli_purge_value_coercion(spark, tmp_path, capsys):
+    """Boolean key values coerce ('true'/'false'/'1'/'0'); unsupported
+    key types (date/decimal/…) and unparsable numerics surface as clean
+    JSON contract errors, never comparison TypeErrors (round-4 advisor
+    finding, cli.py coerce())."""
+    import json as _json
+
+    from datax_spark import cli
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("d", T.DateType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "b"), schema=schema,
+        key_cols=["k", "flag", "d"], bucket_col="k", num_buckets=2,
+    )
+    import datetime
+
+    df = spark.createDataFrame(
+        [Row(k=k, flag=(k % 2 == 0), d=datetime.date(2026, 1, 1),
+             v=f"v{k}", op="insert", lsn=k)
+         for k in range(1, 7)],
+        "k long, flag boolean, d date, v string, op string, lsn long",
+    )
+    merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+               auto_compact=None)
+
+    rc = cli.main(["maintain", str(tmp_path / "b"), "--purge", "flag=true",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["purge"]["rows_purged"] == 3  # k=2,4,6
+    assert sorted(r.k for r in t.read().collect()) == [1, 3, 5]
+
+    rc = cli.main(["maintain", str(tmp_path / "b"), "--purge", "flag=maybe",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "true/false" in out["error"]
+
+    rc = cli.main(["maintain", str(tmp_path / "b"),
+                   "--purge", "d=2026-01-01", "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2 and "not supported from the CLI" in out["error"]
+
+    rc = cli.main(["maintain", str(tmp_path / "b"), "--purge", "k=abc",
+                   "--cores", "4"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 2  # int('abc') → clean JSON error, not a traceback
+
+
+def test_purge_fences_commits_landing_mid_purge(spark, tmp_path, monkeypatch):
+    """A commit racing the purge (attempted after the fence, before
+    originals are deleted) would reference pre-purge files the purge is
+    about to delete — the purge_active fence refuses it at the commit
+    point (PurgeActive), and the fence drops with the audit commit so the
+    writer succeeds on retry."""
+    from datax_spark.lake.table import PurgeActive
 
     t = _hist(spark, tmp_path)
-    raced = {"done": False}
+    raced = {"refused": False}
     orig_replace = t.catalog.replace_manifest
 
     def racing_replace(version, text):
         orig_replace(version, text)
-        if not raced["done"]:
-            raced["done"] = True
-            # a concurrent writer lands a commit carrying forward the
-            # current (pre-purge-rewrite for later versions) file entries
-            _merge(t, [(9, "raced", "insert")], lsn0=500)
+        if not raced["refused"]:
+            raced["refused"] = True
+            with pytest.raises(PurgeActive):
+                _merge(t, [(9, "raced", "insert")], lsn0=500)
 
     monkeypatch.setattr(t.catalog, "replace_manifest", racing_replace)
     out = purge_rows(t, [("k", "=", 1)])
-    assert raced["done"] and out["rows_purged"] == 3
+    assert raced["refused"] and out["rows_purged"] == 3
     # every retained snapshot readable, no dangling file references
     assert t.verify_files() == []
     for v in t.catalog.list_versions():
         if v > 0:
             assert 1 not in _keys_at(t, v)
+    assert 9 not in _keys_at(t)  # the raced commit never landed
+    # fence is down: the writer's retry goes through
+    _merge(t, [(9, "after", "insert")], lsn0=600)
     assert 9 in _keys_at(t)
+    assert t.verify_files() == []
+
+
+def test_purge_fence_clears_on_refusal_and_blocks_until_done(
+    spark, tmp_path, monkeypatch
+):
+    """(a) A REFUSED purge (dv history) must not leave writers fenced.
+    (b) While a purge is in flight the fence survives a crash (simulated:
+    exception injected after the first manifest rewrite is NOT cleared by
+    the crashed process... re-running purge completes and clears it)."""
+    from datax_spark.lake.merge import merge_into as mi
+    from datax_spark.lake.table import PURGE_ACTIVE_PROP, PurgeActive
+
+    # (a) refusal path: dv history → ValueError, fence cleared
+    t = _mk(spark, str(tmp_path / "dv"))
+    _merge(t, [(1, "a1", "insert"), (2, "a2", "insert")], lsn0=0)
+    t.compact()
+    df = spark.createDataFrame(
+        [Row(k=1, v="b1", op="insert", lsn=100)],
+        "k long, v string, op string, lsn long",
+    )
+    mi(t, df, op_col="op", order_col="lsn", mode="dv", auto_compact=None)
+    with pytest.raises(ValueError, match="deletion-vector"):
+        purge_rows(t, [("k", "=", 1)])
+    assert not t.manifest().properties.get(PURGE_ACTIVE_PROP)
+    _merge(t, [(3, "c3", "insert")], lsn0=200)  # writers not fenced
+
+    # (b) crash mid-purge: fence stays up, re-run finishes and clears
+    t2 = _hist(spark, tmp_path)
+    calls = {"n": 0}
+    orig_replace = t2.catalog.replace_manifest
+
+    def crashing_replace(version, text):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash")
+        orig_replace(version, text)
+
+    monkeypatch.setattr(t2.catalog, "replace_manifest", crashing_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        purge_rows(t2, [("k", "=", 1)])
+    monkeypatch.setattr(t2.catalog, "replace_manifest", orig_replace)
+    # NOTE the exception path clears the fence (process still alive — a
+    # partial purge is valid); simulate a REAL crash by re-fencing
+    t2.set_properties(**{PURGE_ACTIVE_PROP: {"at": 0, "where": []}})
+    with pytest.raises(PurgeActive):
+        _merge(t2, [(8, "x", "insert")], lsn0=400)
+    out = purge_rows(t2, [("k", "=", 1)])  # resume under existing fence
+    assert out["rows_purged"] >= 0
+    assert not t2.manifest().properties.get(PURGE_ACTIVE_PROP)
+    assert t2.verify_files() == []
+    for v in t2.catalog.list_versions():
+        if v > 0:
+            assert 1 not in _keys_at(t2, v)
+    _merge(t2, [(8, "x", "insert")], lsn0=500)  # fence down
+    assert 8 in _keys_at(t2)
+
+
+def test_purge_tolerates_prestats_manifest_entries(spark, tmp_path):
+    """Manifests written before per-file stats existed hold short
+    [path, schema_id] entries; the rewrite swap must pad them instead of
+    crashing mid-purge (round-4 advisor finding, purge.py rewrite())."""
+    t = _hist(spark, tmp_path)
+    # truncate every entry of version 1's manifest to the pre-stats shape
+    m = t.manifest(1)
+    m.files = {b: [e[:2] for e in es] for b, es in m.files.items()}
+    t.catalog.replace_manifest(1, m.to_json())
+    out = purge_rows(t, [("k", "=", 1)])
+    assert out["rows_purged"] == 3
+    for v in t.catalog.list_versions():
+        if v > 0:
+            assert 1 not in _keys_at(t, v)
+    assert t.verify_files() == []
 
 
 def test_purge_cascades_to_derived_views(spark, tmp_path):
