@@ -110,6 +110,130 @@ def bench_cdc_ingest(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_multitable(spark, n_events: int = 150_000,
+                     n_batches: int = 3) -> dict:
+    """O(batch) routing claim (round-4 verdict Next #3): the SAME feed
+    applied through MultiTableApplier at 2 vs 16 declared tables.  The
+    micro-batch is pinned once per apply (cdc/multitable.py), so the
+    source is scanned once regardless of width; the residual wall growth
+    (measured ratio ~3-4× for 8× the tables at a 50k-row batch) is the
+    per-table MERGE job floor (~0.3 s/commit × 48 vs 6 commits), the same
+    fixed cost the agg-view profiling bounded — it amortizes with batch
+    size, while the cost the pin removes (per-table SOURCE scans) would
+    grow with batch size.  A/B with persist no-opped measured the pin
+    neutral-at-noise on a re-scannable 150k-row parquet batch (3.3 vs
+    3.6 ratio across runs, inside host drift) — its payoff is streaming
+    batches that cannot be re-scanned for free.  Reports wall at both
+    widths and the ratio."""
+    from pyspark.sql import functions as F
+
+    from datax_spark import fixtures
+    from datax_spark.cdc.multitable import MultiTableApplier
+    from datax_spark.cdc.runner import REPO_SCHEMA, create_repo_table
+
+    out: dict = {"events": n_events, "batches": n_batches}
+    work = tempfile.mkdtemp(prefix="dx_mtb_")
+    try:
+        feed_dir = os.path.join(work, "feed")
+        fixtures.change_events(
+            spark, n_events, n_keys=max(1, n_events // 3), seed=7,
+        ).write.mode("overwrite").parquet(feed_dir)
+        for n_tables in (2, 16):
+            feed = spark.read.parquet(feed_dir).withColumn(
+                "tbl",
+                F.concat(
+                    F.lit("t"),
+                    F.pmod(F.xxhash64("repo", F.lit(99)),
+                           F.lit(n_tables)).cast("string"),
+                ),
+            )
+            tables = {
+                f"t{i}": create_repo_table(
+                    spark, os.path.join(work, f"w{n_tables}", f"t{i}"),
+                    num_buckets=4, schema=REPO_SCHEMA,
+                )
+                for i in range(n_tables)
+            }
+            ap = MultiTableApplier(
+                tables, table_col="tbl",
+                ledger_dir=os.path.join(work, f"w{n_tables}", "ledger"),
+            )
+            step = (n_events + n_batches - 1) // n_batches
+            t0 = time.monotonic()
+            for i in range(n_batches):
+                ap.apply_batch(
+                    feed.filter((F.col("lsn") >= i * step)
+                                & (F.col("lsn") < (i + 1) * step)),
+                    i,
+                )
+            out[f"tables_{n_tables}_sec"] = round(time.monotonic() - t0, 2)
+            if len(ap._epochs()) != n_batches:
+                raise AssertionError("not every batch published an epoch")
+        out["ratio_16v2"] = round(
+            out["tables_16_sec"] / out["tables_2_sec"], 2
+        )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_index_scale(spark, sf_dir: str) -> dict:
+    """Index-view scale probe (round-4 verdict Next #7): build the
+    maintained inverted index over THIS sf's documents corpus, token-
+    cluster it, and measure BM25 lookup latency plus the file-skipping
+    ratio — lookup cost must track O(matching files), visibly, as the
+    corpus scales."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datax_spark.lake.indexview import create_index_view, search_bm25
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    work = tempfile.mkdtemp(prefix="dx_ixb_")
+    try:
+        table = LakeTable.create(
+            spark, os.path.join(work, "docs"),
+            schema=T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("body", T.StringType()),
+            ]),
+            key_cols=["doc_id"], bucket_col="doc_id", num_buckets=16,
+        )
+        d = F.col("doc_id").cast("long")
+        merge_into(
+            table,
+            docs.select(d.alias("doc_id"), F.col("text").alias("body"),
+                        d.alias("lsn"), F.lit("insert").alias("op")),
+            op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+            keys_unique=True,
+        )
+        n_docs = table.read().count()
+        t0 = time.monotonic()
+        view = create_index_view(table, os.path.join(work, "ix"), "body",
+                                 num_buckets=32)
+        build_sec = round(time.monotonic() - t0, 2)
+        # token-cluster the postings so the point read prunes files
+        view.compact(sort_cols=["token"], files_per_bucket=2)
+        terms = ["data", "pipeline", "quality"]
+        plan = view.scan_plan(where=[("token", "in", terms)])
+        t0 = time.monotonic()
+        hits = search_bm25(view, terms, k=10).collect()
+        lookup_sec = round(time.monotonic() - t0, 2)
+        return {
+            "docs": n_docs,
+            "postings": view.read().count(),
+            "build_sec": build_sec,
+            "lookup_sec": lookup_sec,
+            "lookup_hits": len(hits),
+            "files_kept": plan["files_kept"],
+            "files_total": plan["files_total"],
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # Suite queries that represent the operator surface; heavy all-pairs ops are
 # included — they are the training-data path and must stay fast at sf0.1.
 BENCH_QUERIES = [
@@ -333,6 +457,18 @@ def main() -> None:
                      "speedup": round(xres["exact_sec"] / xres["lsh_sec"], 2)}
         print(f"# ngram jaccard crossover: {crossover}", file=sys.stderr)
 
+    # multi-table routing stays O(batch) as declared tables grow 2→16
+    multitable = None
+    if int(os.environ.get("DX_BENCH_MULTITABLE", "1")):
+        multitable = bench_multitable(spark)
+        print(f"# multitable scaling: {multitable}", file=sys.stderr)
+
+    # index build + pruned BM25 lookup at THIS sf (scale visibility)
+    index_scale = None
+    if int(os.environ.get("DX_BENCH_INDEX_SCALE", "1")):
+        index_scale = bench_index_scale(spark, sf_dir)
+        print(f"# index scale probe: {index_scale}", file=sys.stderr)
+
     detail = {
         "metric": "cdc_upsert_events_per_sec",
         "value": ingest["events_per_sec"],
@@ -343,6 +479,8 @@ def main() -> None:
         "cdc_ingest": ingest,
         "cdc_ingest_dedup_batch": ingest_dedup,
         "ngram_lsh_crossover": crossover,
+        "multitable_scaling": multitable,
+        "index_scale": index_scale,
         "cores": int(cpus) if str(cpus).isdigit() else cpus,
     }
     # The driver captures only the TAIL of stdout, so the final line must
@@ -377,6 +515,11 @@ def main() -> None:
             if k in ingest
         },
         "cdc_ingest_dedup_batch_eps": ingest_dedup.get("events_per_sec"),
+        "multitable_ratio_16v2": (multitable or {}).get("ratio_16v2"),
+        "text_index_build_sf_sec": (index_scale or {}).get("build_sec"),
+        "text_index_lookup_sf_sec": (index_scale or {}).get("lookup_sec"),
+        "text_index_files_kept": (index_scale or {}).get("files_kept"),
+        "text_index_files_total": (index_scale or {}).get("files_total"),
         "detail_file": os.path.relpath(
             detail_file, os.path.dirname(os.path.abspath(__file__))),
     }

@@ -23,11 +23,17 @@ B no-ops on A (``is_batch_applied``), applies on Z, and then publishes the
 marker — convergent, exactly-once per table, and the ledger only ever
 exposes cuts where EVERY table contains the batch.
 
-Scale: routing is a pushed-down equality filter per table over the
-micro-batch (no pin — re-scanning pruned columnar input beats caching wide
-rows, see ``CdcApplier.apply_batch``); the ledger is O(tables) JSON per
-batch.  At 10^10 events nothing here adds a shuffle beyond what each
-table's own merge already does.
+Scale: the micro-batch is PINNED once (memory-and-disk) before the
+per-table loop, so routing costs ONE source scan plus N in-memory
+columnar filters — not N source scans (a Debezium server-level feed
+declares dozens of tables; re-reading a non-rescannable streaming batch
+per table would make apply cost O(batch × tables)).  A single-table
+group skips the pin.  ``bench.py::bench_multitable`` measures the 2→16
+table growth: the residual wall ratio (~3-4× at a 50k-row batch) is the
+per-table MERGE commit floor — fixed cost that amortizes with batch
+size — while the term the pin removes grows with batch size.  The
+ledger is O(tables) JSON per batch.  At 10^10 events nothing here adds
+a shuffle beyond what each table's own merge already does.
 """
 
 from __future__ import annotations
@@ -101,29 +107,43 @@ class MultiTableApplier:
         epoch marker once ALL of them committed it.  Returns a combined
         lineage dict, or None when every table had already applied the
         batch (pure replay)."""
-        if self.on_unknown == "error":
-            stray = (
-                batch.filter(
-                    ~F.col(self.table_col).isin(list(self.appliers))
+        from pyspark.storagelevel import StorageLevel
+
+        # pin the batch once so the N per-table filters (and the stray
+        # guard) share ONE source scan — at a server-level feed with
+        # dozens of declared tables an unpinned loop re-reads the source
+        # per table, making apply O(batch × tables)
+        pinned = len(self.appliers) > 1
+        if pinned:
+            batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if self.on_unknown == "error":
+                stray = (
+                    batch.filter(
+                        ~F.col(self.table_col).isin(list(self.appliers))
+                    )
+                    .select(self.table_col)
+                    .limit(1)
+                    .collect()
                 )
-                .select(self.table_col)
-                .limit(1)
-                .collect()
-            )
-            if stray:
-                raise ValueError(
-                    f"batch {batch_id}: feed names undeclared table "
-                    f"{stray[0][0]!r} (declared: {sorted(self.appliers)}); "
-                    "declare it or pass on_unknown='ignore'"
-                )
-        lineages: dict[str, dict | None] = {}
-        for name, ap in self.appliers.items():  # sorted — deterministic
-            part = batch.filter(
-                F.col(self.table_col) == F.lit(name)
-            ).drop(self.table_col)
-            if self.filter_watermark:
-                part = ap.filter_already_applied(part)
-            lineages[name] = ap.apply_batch(part, batch_id)
+                if stray:
+                    raise ValueError(
+                        f"batch {batch_id}: feed names undeclared table "
+                        f"{stray[0][0]!r} (declared: "
+                        f"{sorted(self.appliers)}); "
+                        "declare it or pass on_unknown='ignore'"
+                    )
+            lineages: dict[str, dict | None] = {}
+            for name, ap in self.appliers.items():  # sorted — deterministic
+                part = batch.filter(
+                    F.col(self.table_col) == F.lit(name)
+                ).drop(self.table_col)
+                if self.filter_watermark:
+                    part = ap.filter_already_applied(part)
+                lineages[name] = ap.apply_batch(part, batch_id)
+        finally:
+            if pinned:
+                batch.unpersist()
         self._publish_epoch(batch_id)
         if all(ln is None for ln in lineages.values()):
             return None  # full replay: every table no-opped

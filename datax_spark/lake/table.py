@@ -1274,12 +1274,15 @@ class LakeTable:
             ))
             for ci, c, _ in usable
         ]
-        # slice the per-(file,col) position set at the saturation cutoff:
-        # a saturated filter is discarded anyway, so the driver payload is
-        # bounded at (files x cols x m/2+1) ints instead of x m — the
-        # difference between a bounded planning collect and an OOM on a
-        # thousand-file backfill write
-        cap = int(m_bits * _BLOOM_MAX_FILL) + 1
+        # pack bitmaps EXECUTOR-side: distinct (file, col, pos) first — the
+        # map-side partial aggregate bounds every group at ≤ m positions —
+        # then one Arrow grouped aggregate builds each (file, col)'s
+        # fixed-width bitmap on the executor.  The driver receives
+        # O(files × cols) blobs of m/8 bytes (a few MB even at a
+        # 10⁴–10⁵-file backfill with several bloom columns) instead of
+        # O(files × cols × m/2) position ints — the difference between a
+        # bounded planning collect and a multi-GB driver materialization
+        # at 100-TB file counts.
         # explode_OUTER: a file whose every row has NULL in all bloom
         # columns still yields one (file, c=NULL) group, so "scanned but
         # no positions" (→ legitimately empty bitmap, prunes everything)
@@ -1287,25 +1290,53 @@ class LakeTable:
         # normalization mismatch → store None, never prune).  Without
         # the distinction a symlinked table dir would silently bloom-prune
         # EVERY lookup to zero rows.
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        nbytes = m_bits // 8
+
+        # explicit GROUPED_AGG (hint inference can't see the method-local
+        # pandas import under `from __future__ import annotations`)
+        @pandas_udf("binary", PandasUDFType.GROUPED_AGG)
+        def _pack_bitmap(ps):
+            import numpy as np
+
+            pos = ps.dropna().to_numpy(dtype="int64")
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            if pos.size:
+                np.bitwise_or.at(
+                    bits, pos >> 3,
+                    np.left_shift(1, pos & 7).astype(np.uint8),
+                )
+            return bits.tobytes()
+
         rows = (
             df.select(
                 F.col("_metadata.file_path").alias("__f"),
                 F.explode_outer(F.flatten(F.array(*arrays))).alias("cp"),
             )
-            .groupBy("__f", "cp.c")
-            .agg(F.slice(F.collect_set("cp.p"), 1, cap).alias("ps"))
+            .select("__f", F.col("cp.c").alias("c"),
+                    F.col("cp.p").alias("p"))
+            .distinct()
+            .groupBy("__f", "c")
+            .agg(_pack_bitmap(F.col("p")).alias("bm"))
             .collect()
+        )
+        # planning-payload bookkeeping (pinned by tests/test_bloom_pruning):
+        # total driver bytes stays files × cols × m/8 + small row overhead
+        self._last_bloom_payload_bytes = sum(
+            len(r["bm"]) for r in rows if r["bm"] is not None
         )
         from urllib.parse import unquote, urlparse
 
-        per_file: dict[str, dict[int, list[int]]] = {}
+        per_file: dict[str, dict[int, bytes]] = {}
         for r in rows:
             # Spark reports "file:/abs/path" (or file:///): take the path;
             # realpath both sides so symlinked locations still match
             local = os.path.realpath(unquote(urlparse(r["__f"]).path))
             bycol = per_file.setdefault(local, {})
             if r["c"] is not None:
-                bycol[r["c"]] = r["ps"]
+                bycol[r["c"]] = r["bm"]
+        max_fill = m_bits * _BLOOM_MAX_FILL
         for p, e in paths.items():
             got = per_file.get(os.path.realpath(p))
             rec: dict[str, Any] = {}
@@ -1320,16 +1351,14 @@ class LakeTable:
                 e.append(rec)
                 continue
             for ci, c, dtype in usable:
-                ps = got.get(ci, [])
-                # == cap means the slice truncated: provably saturated
-                if len(ps) > m_bits * _BLOOM_MAX_FILL:
+                # absent group = scanned but every row NULL in this column
+                # → legitimately empty bitmap
+                blob = got.get(ci, bytes(nbytes))
+                if int.from_bytes(blob, "big").bit_count() > max_fill:
                     rec[c] = None  # saturated: fpp too high to be worth it
                     continue
-                bits = bytearray(m_bits // 8)
-                for pos in ps:
-                    bits[pos >> 3] |= 1 << (pos & 7)
                 rec[c] = {
-                    "b": base64.b64encode(bytes(bits)).decode(),
+                    "b": base64.b64encode(blob).decode(),
                     "t": dtype, "m": m_bits, "k": k,
                 }
             while len(e) < 6:

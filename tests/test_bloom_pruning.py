@@ -233,3 +233,48 @@ def test_bloom_positions_match_jvm_for_dates(spark, tmp_path):
     needle = base + datetime.timedelta(days=3)
     got = t.read(where=[("d", "=", needle)]).count()
     assert got == len([r for r in rows if r[1] == needle])
+
+
+def test_bloom_planning_payload_bounded_at_many_files(spark, tmp_path):
+    """Bitmaps are packed EXECUTOR-side: the planning collect for a
+    ≥500-file write with 2 bloom columns must hand the driver
+    O(files × cols) fixed-width blobs (files × cols × m/8 bytes), not
+    O(files × cols × m/2) position ints — the round-4 verdict's 100-TB
+    watch item.  Pruning must stay green on the result."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("uid", T.LongType()),
+    ])
+    buckets = 64
+    t = LakeTable.create(
+        spark, str(tmp_path / "many"), schema=schema,
+        key_cols=["k"], bucket_col="k", num_buckets=buckets,
+    )
+    t.set_bloom_filters(["tag", "uid"], m_bits=M_BITS, k=K)
+    n = 20_000
+    payload = 0
+    for part in range(8):  # 8 appends × 64 buckets = 512 files
+        df = spark.range(part * n // 8, (part + 1) * n // 8).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("tag"), (F.col("id") % 5000).cast("string"))
+            .alias("tag"),
+            (F.col("id") * 7919 % 100_000).alias("uid"),
+        )
+        t.append(df)
+        payload = max(payload, t._last_bloom_payload_bytes * 8)
+    n_files = sum(len(es) for es in t.manifest().files.values())
+    assert n_files >= 500
+    # every (file, col) blob is m/8 bytes; the whole planning payload for
+    # 512 files × 2 cols at the DEFAULT m (32768) would be 4 MiB — here
+    # (m=1024) it must be exactly ≤ files × cols × m/8
+    assert payload <= n_files * 2 * (M_BITS // 8), payload
+    # and the bitmaps it produced actually prune a needle lookup
+    needle_k = 12_345
+    needle_tag = f"tag{needle_k % 5000}"
+    plan = t.scan_plan(where=[("tag", "=", needle_tag)])
+    assert plan["bloom_skipped"] > 0, "bloom pruning was vacuous"
+    got = sorted(r.k for r in
+                 t.read(where=[("tag", "=", needle_tag)]).collect())
+    want = sorted(k for k in range(n) if k % 5000 == needle_k % 5000)
+    assert got == want
