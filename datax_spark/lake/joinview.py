@@ -18,7 +18,13 @@ each fact row contributes at most one view row and the view is keyed by
 the fact table's key.  Per dim, ``how`` is ``inner`` (an unmatched or
 dim-deleted fact row leaves the view) or ``left`` (it stays with null
 dim columns).  Snowflake chains (joining through a dim's columns) are
-deliberately out of contract — flatten the dim first.
+deliberately out of contract — flatten the dim first with
+:func:`flatten_dim`: a MAINTAINED join view whose "fact" is the child
+dim and whose dims are its parents.  The flattened view is an ordinary
+LakeTable keyed by the child dim's key, so it plugs straight into a
+star as a dim; refreshing the flattened view first and the star second
+propagates a parent change (a nation rename two hops from the fact) in
+two incremental refreshes, each O(changed keys) — never a fact scan.
 
 Refresh = exact partial recompute, never O(any table):
 
@@ -307,6 +313,47 @@ def create_join_view(
         [{"table": right, "on": on, "right_cols": right_cols, "how": how}],
         location, num_buckets=num_buckets, mode=mode,
     )
+
+
+def flatten_dim(
+    dim: LakeTable,
+    parents: list[dict],
+    location: str,
+    num_buckets: int = 16,
+    mode: str = "mor",
+) -> LakeTable:
+    """The snowflake recipe: materialize ``dim ⋈ parent₁ ⋈ … ⋈ parentₖ``
+    as a maintained join view keyed by ``dim``'s key.  ``parents`` takes
+    the same shape as :func:`create_star_view`'s ``rights`` (each
+    parent's join columns must be columns of ``dim`` and exactly that
+    parent's key — the N:1 contract applies one level up).  The result
+    is an ordinary LakeTable: pass it as a dim to a star view over the
+    real fact, refresh it FIRST (:func:`refresh_flattened_dim`) and the
+    star second, and a parent-level change reaches the fact rows in two
+    O(changed-keys) refreshes.  Two-level-plus chains compose the same
+    way (flatten the grandparent into the parent, then the parent into
+    the dim).
+
+    Reference analogue: DataX outsources snowflake joins wholesale to
+    the source database's querySql
+    (plugin-rdbms-util/.../util/ReaderSplitUtil.java:94-103) and
+    re-syncs the whole result on any change; here each level folds
+    incrementally."""
+    return create_star_view(dim, parents, location,
+                            num_buckets=num_buckets, mode=mode)
+
+
+def refresh_flattened_dim(
+    dim: LakeTable,
+    parents: list[LakeTable],
+    view: LakeTable,
+    on_rewrite: str = "error",
+    auto_compact: int | None = None,
+) -> dict:
+    """One incremental refresh of a :func:`flatten_dim` view — call
+    before refreshing any star that consumes it."""
+    return refresh_star_view(dim, parents, view, on_rewrite=on_rewrite,
+                             auto_compact=auto_compact)
 
 
 def star_view_lag(left: LakeTable, rights: list[LakeTable],

@@ -25,6 +25,7 @@ Scale design (the part that must survive 100 TB / 10^10 events):
 
 from __future__ import annotations
 
+import random
 import time
 
 from pyspark.sql import DataFrame
@@ -39,6 +40,13 @@ from datax_spark.lake.table import (
     Manifest,
     merge_schemas,
 )
+
+# optimistic-concurrency rebase budget (Iceberg commit.retry.num-retries
+# analogue): each retry fully restages against the fresh snapshot, so the
+# cap bounds work, not correctness — MOR appends commute.  Sized for a
+# handful of genuinely concurrent writers (the catalog-seam stress test
+# runs 4); the jittered backoff below keeps losers from starving.
+_MOR_COMMIT_RETRIES = 12
 
 OP_COL_DEFAULT = "op"
 DELETE_OP = "delete"
@@ -279,7 +287,7 @@ def merge_into(
         # the replay guard re-checks in case the OTHER writer applied this
         # very batch id.
         last_err: Exception | None = None
-        for _ in range(5):
+        for attempt in range(_MOR_COMMIT_RETRIES):
             base = table.manifest()
             if lineage and base.is_applied(lineage.get("batch_id")):
                 return None
@@ -294,6 +302,13 @@ def merge_into(
                 )
             except CommitConflict as e:
                 last_err = e
+                # jittered backoff (Iceberg's commit.retry shape): under
+                # genuine multi-writer contention the loser's rebase is
+                # slower than the winners' claims, so a tight loop can
+                # starve — the capped random sleep de-synchronizes the
+                # herd (tests/test_catalog_seam.py concurrent writers)
+                time.sleep(min(0.8, 0.05 * (2 ** attempt))
+                           * (0.5 + random.random()))
                 continue
         raise last_err  # type: ignore[misc]
     try:

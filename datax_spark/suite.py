@@ -5079,6 +5079,149 @@ FROM w GROUP BY 1, 2
 """
 
 
+def q_cdc_snowflake_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNOWFLAKE schema as composed incremental views (round-4 verdict
+    Next #6; lake/joinview.flatten_dim): orders → customer → nation is a
+    two-hop chain the star contract rejects directly, so the supported
+    recipe maintains customer ⋈ nation as a FLATTENED DIM view (an
+    ordinary LakeTable keyed by c_custkey) feeding a star over orders.
+    Churn on ALL THREE levels — nation renames %5 / deletes %23,
+    customer nation-rewires %7 / deletes %53, order price patches %31 /
+    deletes %97 — then refresh flatten-first, star-second: a nation
+    rename two hops from the fact reaches every affected order row in
+    two O(changed-keys) refreshes, never a fact scan.  The oracle folds
+    all three change sets in SQL and double-joins one-shot."""
+    from datax_spark.lake.joinview import (
+        create_star_view,
+        flatten_dim,
+        refresh_flattened_dim,
+        refresh_star_view,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    locs = [tempfile.mkdtemp(prefix=f"dx_snow_{n}_")
+            for n in ("fact", "cust", "nat", "flat", "star")]
+    for d in locs:
+        os.rmdir(d)
+    fact = LakeTable.create(
+        spark, locs[0],
+        schema=T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]),
+        key_cols=["k"], bucket_col="k", num_buckets=8,
+    )
+    cust = LakeTable.create(
+        spark, locs[1],
+        schema=T.StructType([
+            T.StructField("ck", T.LongType()),
+            T.StructField("nationkey", T.LongType()),
+            T.StructField("acct_cents", T.LongType()),
+        ]),
+        key_cols=["ck"], bucket_col="ck", num_buckets=4,
+    )
+    nat = LakeTable.create(
+        spark, locs[2],
+        schema=T.StructType([
+            T.StructField("nk", T.LongType()),
+            T.StructField("nname", T.StringType()),
+        ]),
+        key_cols=["nk"], bucket_col="nk", num_buckets=2,
+    )
+    ok = F.col("o_orderkey").cast("long")
+    ck = F.col("c_custkey").cast("long")
+    nk = F.col("n_nationkey").cast("long")
+    fact.overwrite(orders.select(
+        ok.alias("k"), F.col("o_custkey").cast("long").alias("custkey"),
+        _cents("o_totalprice").alias("total_cents"),
+    ))
+    cust.overwrite(customer.select(
+        ck.alias("ck"), F.col("c_nationkey").cast("long").alias("nationkey"),
+        _cents("c_acctbal").alias("acct_cents"),
+    ))
+    nat.overwrite(nation.select(nk.alias("nk"),
+                                F.col("n_name").alias("nname")))
+    flat = flatten_dim(
+        cust,
+        [{"table": nat, "on": {"nationkey": "nk"}, "how": "inner",
+          "right_cols": {"nname": "nname"}}],
+        locs[3], num_buckets=4,
+    )
+    star = create_star_view(
+        fact,
+        [{"table": flat, "on": {"custkey": "ck"}, "how": "inner",
+          "right_cols": {"acct_cents": "acct_cents", "nname": "nname"}}],
+        locs[4], num_buckets=8,
+    )
+    # churn at EVERY level of the snowflake
+    merge_into(nat, nation.filter((nk % 5 == 0) | (nk % 23 == 0)).select(
+        nk.alias("nk"),
+        F.when(nk % 5 == 0, F.lit("RENAMED"))
+        .otherwise(F.col("n_name")).alias("nname"),
+        (nk + F.lit(10**9)).alias("lsn"),
+        F.when(nk % 23 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    merge_into(cust, customer.filter((ck % 7 == 0) | (ck % 53 == 0))
+               .select(
+        ck.alias("ck"),
+        F.when(ck % 7 == 0,
+               (F.col("c_nationkey").cast("long") + 1) % 25)
+        .otherwise(F.col("c_nationkey").cast("long")).alias("nationkey"),
+        _cents("c_acctbal").alias("acct_cents"),
+        (ck + F.lit(10**9)).alias("lsn"),
+        F.when(ck % 53 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    merge_into(fact, orders.filter((ok % 31 == 0) | (ok % 97 == 0)).select(
+        ok.alias("k"), F.col("o_custkey").cast("long").alias("custkey"),
+        (_cents("o_totalprice")
+         + F.when(ok % 31 == 0, F.lit(1000)).otherwise(F.lit(0)))
+        .alias("total_cents"),
+        (ok + F.lit(10**9)).alias("lsn"),
+        F.when(ok % 97 == 0, F.lit("delete"))
+        .otherwise(F.lit("insert")).alias("op"),
+    ), op_col="op", order_col="lsn", mode="mor", auto_compact=None,
+        keys_unique=True)
+    # flatten-first, star-second: the composed incremental propagation
+    refresh_flattened_dim(cust, [nat], flat)
+    refresh_star_view(fact, [flat], star)
+    return star.read().select("k", "custkey", "total_cents",
+                              "acct_cents", "nname")
+
+
+_ORACLES["cdc_snowflake_view"] = """
+WITH nat AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS nk,
+         CASE WHEN n_nationkey % 5 = 0 THEN 'RENAMED'
+              ELSE n_name END AS nname
+  FROM nation WHERE n_nationkey % 23 <> 0),
+cust AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck,
+         CASE WHEN c_custkey % 7 = 0
+              THEN (CAST(c_nationkey AS BIGINT) + 1) % 25
+              ELSE CAST(c_nationkey AS BIGINT) END AS nationkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS acct_cents
+  FROM customer WHERE c_custkey % 53 <> 0),
+fact AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(o_custkey AS BIGINT) AS custkey,
+         CAST(round(o_totalprice*100) AS BIGINT)
+           + CASE WHEN o_orderkey % 31 = 0 THEN 1000 ELSE 0 END
+           AS total_cents
+  FROM orders WHERE o_orderkey % 97 <> 0)
+SELECT f.k, f.custkey, f.total_cents, c.acct_cents, n.nname
+FROM fact f
+JOIN cust c ON f.custkey = c.ck
+JOIN nat n ON c.nationkey = n.nk
+"""
+
+
 # Registry order matters: the driver gate evaluates the FIRST 50 entries
 # against their DuckDB oracles each round.  Round-5 policy (deterministic,
 # prescribed by the round-4 verdict): oldest-driver-evidence-first — entries
@@ -5087,6 +5230,8 @@ FROM w GROUP BY 1, 2
 # ``python tools/rotate_window.py`` after each round's CORRECTNESS lands, so
 # no query's driver row ever ages past ~2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- never driver-gated (new this round) ----
+    "cdc_snowflake_view": q_cdc_snowflake_view,
     # ---- latest driver-green row: r2 ----
     "skew_salted_agg": q_skew_salted_agg,
     "cdc_shard_lineage": q_cdc_shard_lineage,

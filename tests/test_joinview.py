@@ -846,3 +846,116 @@ def test_composite_foreign_key_join(spark, tmp_path):
     with pytest.raises(ValueError, match="key columns"):
         create_join_view(fact, dim, str(tmp_path / "v2"),
                          on={"fka": "da"})
+
+
+def test_flatten_dim_snowflake_recipe(spark, tmp_path):
+    """Snowflake chain fact→dim→parent via the supported recipe
+    (flatten_dim): a PARENT-level change (two hops from the fact) reaches
+    the star through two incremental refreshes — flatten first, star
+    second — and the star equals the one-shot double join of current
+    snapshots after churn at every level."""
+    from datax_spark.lake.joinview import (
+        create_star_view,
+        flatten_dim,
+        refresh_flattened_dim,
+        refresh_star_view,
+    )
+
+    fact, dim = _mk(spark, tmp_path)  # fact(k, fk, amt), dim(dk, seg)
+    parent = LakeTable.create(
+        spark, str(tmp_path / "parent"),
+        schema=T.StructType([
+            T.StructField("pk", T.LongType()),
+            T.StructField("region", T.StringType()),
+        ]),
+        key_cols=["pk"], bucket_col="pk", num_buckets=2,
+    )
+    # dim needs a parent fk column → recreate with one
+    dim2 = LakeTable.create(
+        spark, str(tmp_path / "dim2"),
+        schema=T.StructType([
+            T.StructField("dk", T.LongType()),
+            T.StructField("pfk", T.LongType()),
+            T.StructField("seg", T.StringType()),
+        ]),
+        key_cols=["dk"], bucket_col="dk", num_buckets=4,
+    )
+
+    def merge_parent(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(pk=pk, region=rg, op=op, lsn=lsn0 + i)
+             for i, (pk, rg, op) in enumerate(rows)],
+            "pk long, region string, op string, lsn long",
+        )
+        merge_into(parent, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    def merge_dim2(rows, lsn0):
+        df = spark.createDataFrame(
+            [Row(dk=dk, pfk=pfk, seg=s, op=op, lsn=lsn0 + i)
+             for i, (dk, pfk, s, op) in enumerate(rows)],
+            "dk long, pfk long, seg string, op string, lsn long",
+        )
+        merge_into(dim2, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    _merge_fact(fact, [(1, 10, 5, "insert"), (2, 11, 7, "insert"),
+                       (3, 10, 9, "insert")], lsn0=0)
+    merge_dim2([(10, 100, "big", "insert"), (11, 101, "small", "insert")],
+               lsn0=0)
+    merge_parent([(100, "emea", "insert"), (101, "apac", "insert")], lsn0=0)
+
+    flat = flatten_dim(
+        dim2,
+        [{"table": parent, "on": {"pfk": "pk"}, "how": "inner",
+          "right_cols": {"region": "region"}}],
+        str(tmp_path / "flat"), num_buckets=2,
+    )
+    star = create_star_view(
+        fact,
+        [{"table": flat, "on": {"fk": "dk"}, "how": "inner",
+          "right_cols": {"seg": "seg", "region": "region"}}],
+        str(tmp_path / "star"), num_buckets=2,
+    )
+
+    def expect():
+        f = fact.read()
+        d = dim2.read().withColumnRenamed("dk", "__dk")
+        p = parent.read().withColumnRenamed("pk", "__pk")
+        out = (f.join(d, f["fk"] == F.col("__dk"), "inner")
+               .join(p, F.col("pfk") == F.col("__pk"), "inner")
+               .select("k", "fk", "amt", "seg", "region"))
+        return sorted(tuple(r) for r in out.collect())
+
+    def got():
+        return sorted(
+            tuple(r)
+            for r in star.read().select("k", "fk", "amt", "seg",
+                                        "region").collect()
+        )
+
+    assert got() == expect()  # bootstrap parity
+
+    # PARENT-level churn only: rename region 100, delete region 101 —
+    # two hops from the fact
+    merge_parent([(100, "emea-x", "insert"), (101, "", "delete")], lsn0=100)
+    refresh_flattened_dim(dim2, [parent], flat)
+    out = refresh_star_view(fact, [flat], star)
+    assert out["applied"]
+    assert got() == expect()
+    regions = {r[4] for r in got()}
+    assert regions == {"emea-x"}  # rename propagated, delete cascaded
+
+    # churn at every level at once, same two-refresh propagation
+    _merge_fact(fact, [(2, 10, 70, "insert"), (4, 11, 1, "insert")],
+                lsn0=200)
+    merge_dim2([(11, 100, "small", "insert"),  # rewire 11 → parent 100
+                (10, 100, "", "delete")], lsn0=200)
+    merge_parent([(100, "emea-y", "insert")], lsn0=200)
+    refresh_flattened_dim(dim2, [parent], flat)
+    refresh_star_view(fact, [flat], star)
+    assert got() == expect()
+    # replay of both refreshes is a no-op
+    r1 = refresh_flattened_dim(dim2, [parent], flat)
+    r2 = refresh_star_view(fact, [flat], star)
+    assert not r1["applied"] and not r2["applied"]
