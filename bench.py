@@ -324,6 +324,8 @@ BENCH_QUERIES = [
     "lake_purge_key",
     "text_index_view",
     "text_index_bm25",
+    # round-5: snowflake chain as composed incremental views
+    "cdc_snowflake_view",
 ]
 
 
