@@ -548,6 +548,11 @@ class LakeTable:
     ``MemoryCatalog``; a real deployment maps the same five methods onto
     an Iceberg/Nessie/Glue commit-if-version-matches)."""
 
+    # planning-payload bookkeeping for the latest bloom-bitmap build on
+    # this handle (tests/bench assert the executor-side packing bound);
+    # class default so handles that never wrote blooms read 0
+    _last_bloom_payload_bytes: int = 0
+
     def __init__(self, spark: SparkSession, location: str,
                  catalog: "ManifestCatalog | None" = None):
         self.spark = spark
