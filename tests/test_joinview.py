@@ -959,3 +959,116 @@ def test_flatten_dim_snowflake_recipe(spark, tmp_path):
     r1 = refresh_flattened_dim(dim2, [parent], flat)
     r2 = refresh_star_view(fact, [flat], star)
     assert not r1["applied"] and not r2["applied"]
+
+
+def test_flatten_dim_composes_three_hop_chain(spark, tmp_path):
+    """The docstring's 'two-level-plus chains compose the same way'
+    claim, pinned: fact → dim → parent → GRANDPARENT.  A grandparent
+    change (three hops from the fact) reaches the star through THREE
+    incremental refreshes — grandparent-into-parent flatten first, then
+    parent-into-dim flatten, then the star — each O(changed keys)."""
+    from datax_spark.lake.joinview import (
+        create_star_view,
+        flatten_dim,
+        refresh_flattened_dim,
+        refresh_star_view,
+    )
+
+    def mk(name, ddl_fields, key):
+        return LakeTable.create(
+            spark, str(tmp_path / name),
+            schema=T.StructType([T.StructField(n, t) for n, t in ddl_fields]),
+            key_cols=[key], bucket_col=key, num_buckets=2,
+        )
+
+    fact = mk("fact3", [("k", T.LongType()), ("fk", T.LongType()),
+                        ("amt", T.LongType())], "k")
+    dim = mk("dim3", [("dk", T.LongType()), ("pfk", T.LongType()),
+                      ("seg", T.StringType())], "dk")
+    parent = mk("par3", [("pk", T.LongType()), ("gfk", T.LongType()),
+                         ("pname", T.StringType())], "pk")
+    grand = mk("gp3", [("gk", T.LongType()),
+                       ("region", T.StringType())], "gk")
+
+    def merge(t, schema_ddl, rows, lsn0):
+        df = spark.createDataFrame(rows, schema_ddl)
+        merge_into(t, df, op_col="op", order_col="lsn", mode="mor",
+                   auto_compact=None)
+
+    merge(fact, "k long, fk long, amt long, op string, lsn long",
+          [(1, 10, 5, "insert", 0), (2, 11, 7, "insert", 1),
+           (3, 10, 9, "insert", 2)], 0)
+    merge(dim, "dk long, pfk long, seg string, op string, lsn long",
+          [(10, 100, "big", "insert", 0), (11, 101, "small", "insert", 1)],
+          0)
+    merge(parent, "pk long, gfk long, pname string, op string, lsn long",
+          [(100, 1000, "p-a", "insert", 0), (101, 1001, "p-b", "insert", 1)],
+          0)
+    merge(grand, "gk long, region string, op string, lsn long",
+          [(1000, "emea", "insert", 0), (1001, "apac", "insert", 1)], 0)
+
+    # level 1: parent ⋈ grandparent, keyed by pk
+    pflat = flatten_dim(
+        parent,
+        [{"table": grand, "on": {"gfk": "gk"}, "how": "inner",
+          "right_cols": {"region": "region"}}],
+        str(tmp_path / "pflat"), num_buckets=2,
+    )
+    # level 2: dim ⋈ flattened parent, keyed by dk
+    dflat = flatten_dim(
+        dim,
+        [{"table": pflat, "on": {"pfk": "pk"}, "how": "inner",
+          "right_cols": {"pname": "pname", "region": "region"}}],
+        str(tmp_path / "dflat"), num_buckets=2,
+    )
+    star = create_star_view(
+        fact,
+        [{"table": dflat, "on": {"fk": "dk"}, "how": "inner",
+          "right_cols": {"seg": "seg", "pname": "pname",
+                         "region": "region"}}],
+        str(tmp_path / "star3"), num_buckets=2,
+    )
+
+    def expect():
+        f = fact.read()
+        d = dim.read().withColumnRenamed("dk", "__dk")
+        p = parent.read().withColumnRenamed("pk", "__pk")
+        g = grand.read().withColumnRenamed("gk", "__gk")
+        out = (f.join(d, f["fk"] == F.col("__dk"), "inner")
+               .join(p, F.col("pfk") == F.col("__pk"), "inner")
+               .join(g, F.col("gfk") == F.col("__gk"), "inner")
+               .select("k", "fk", "amt", "seg", "pname", "region"))
+        return sorted(tuple(r) for r in out.collect())
+
+    def got():
+        return sorted(
+            tuple(r) for r in star.read()
+            .select("k", "fk", "amt", "seg", "pname", "region").collect()
+        )
+
+    assert got() == expect()  # bootstrap parity through two flatten levels
+
+    # GRANDPARENT-only churn: rename region 1000, delete region 1001 —
+    # three hops from the fact
+    merge(grand, "gk long, region string, op string, lsn long",
+          [(1000, "emea-x", "insert", 100), (1001, "", "delete", 101)], 100)
+    refresh_flattened_dim(parent, [grand], pflat)
+    refresh_flattened_dim(dim, [pflat], dflat)
+    out = refresh_star_view(fact, [dflat], star)
+    assert out["applied"]
+    assert got() == expect()
+    assert {r[5] for r in got()} == {"emea-x"}  # rename + delete cascade
+
+    # churn at every level at once, same three-refresh propagation
+    merge(fact, "k long, fk long, amt long, op string, lsn long",
+          [(4, 11, 1, "insert", 200)], 200)
+    merge(dim, "dk long, pfk long, seg string, op string, lsn long",
+          [(11, 100, "small", "insert", 200)], 200)  # rewire 11 → parent 100
+    merge(parent, "pk long, gfk long, pname string, op string, lsn long",
+          [(100, 1000, "p-a2", "insert", 200)], 200)
+    merge(grand, "gk long, region string, op string, lsn long",
+          [(1000, "emea-y", "insert", 200)], 200)
+    refresh_flattened_dim(parent, [grand], pflat)
+    refresh_flattened_dim(dim, [pflat], dflat)
+    refresh_star_view(fact, [dflat], star)
+    assert got() == expect()
